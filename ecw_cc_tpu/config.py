@@ -1,0 +1,61 @@
+"""Global configuration for ecw_cc_tpu.
+
+The reference implementation (MilaimKas/ECW_CC) is pure float64 NumPy; to match
+it to 1e-8 the device kernels must run in float64 (enable via `Config.x64`).
+On TPU hardware, f64 matmuls are emulated and slow; production runs use f32
+(optionally with an f64 residual-correction pass, see ops/ccsd.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass
+class Config:
+    # Working dtype for device kernels: 'float64' for parity tests (CPU),
+    # 'float32' for TPU production/bench.
+    dtype: str = "float64"
+    # Enable jax x64 mode at import time of ecw_cc_tpu.ops.
+    x64: bool = True
+    # Default DIIS settings (mirrors reference Solver_GS defaults).
+    maxdiis: int = 15
+    mindiis: int = 2
+    # Pallas kernels on/off (falls back to XLA einsum when off or unsupported).
+    use_pallas: bool = False
+    # Degenerate-threshold used when dividing by orbital-energy gaps.
+    # (The reference divides without protection; 0.0 reproduces that.)
+    eia_shift: float = 0.0
+
+
+_config = Config(
+    dtype=os.environ.get("ECW_CC_TPU_DTYPE", "float64"),
+    x64=os.environ.get("ECW_CC_TPU_X64", "1") != "0",
+    use_pallas=os.environ.get("ECW_CC_TPU_PALLAS", "0") == "1",
+)
+
+
+def get_config() -> Config:
+    return _config
+
+
+def set_config(**kwargs) -> Config:
+    for k, v in kwargs.items():
+        if not hasattr(_config, k):
+            raise AttributeError(f"unknown config field {k!r}")
+        setattr(_config, k, v)
+    return _config
+
+
+def setup_jax():
+    """Apply the x64 setting to JAX. Call before building device arrays."""
+    import jax
+
+    jax.config.update("jax_enable_x64", bool(_config.x64))
+
+
+def np_dtype():
+    import numpy as np
+
+    return np.dtype(_config.dtype)
