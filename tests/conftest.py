@@ -1,0 +1,63 @@
+"""Test configuration: force CPU with a virtual 8-device mesh and x64.
+
+All parity tests run in float64 on the CPU backend (the reference is float64
+NumPy).  Sharding tests use the 8 virtual devices.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ.setdefault("ECW_CC_TPU_X64", "1")
+os.environ.setdefault("ECW_CC_TPU_DTYPE", "float64")
+
+import numpy as np
+import pytest
+
+from ecw_cc_tpu.models.molecule import Molecule
+from ecw_cc_tpu.models.scf import RHF, GHF
+from ecw_cc_tpu.models.eris import build_eris
+
+
+@pytest.fixture(scope="session")
+def h2_631g():
+    """H2/6-31G system: mol, ghf, host eris, device eris (the reference's
+    CCS self-test system, CCS.py:2605-2612)."""
+    mol = Molecule("H 0 0 0\nH 0 0 1", "6-31g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    eris_host = build_eris(mol, ghf)
+    return mol, ghf, eris_host, eris_host.to_device()
+
+
+@pytest.fixture(scope="session")
+def h2o_sto3g():
+    mol = Molecule("h2o", "sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    eris_host = build_eris(mol, ghf)
+    return mol, ghf, eris_host, eris_host.to_device()
+
+
+@pytest.fixture(scope="session")
+def h2o_631g():
+    mol = Molecule("h2o", "6-31g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    eris_host = build_eris(mol, ghf)
+    return mol, ghf, eris_host, eris_host.to_device()
+
+
+def random_g_amp(rng, nocc, nvir, scale=0.1):
+    """Random amplitudes in R format converted to G [0,1,0,1,...] format
+    (mirrors reference utilities.convert_r_to_g_amp for the 2-dim case)."""
+    r = rng.random((nocc // 2, nvir // 2)) * scale
+    g = np.zeros((nocc, nvir))
+    g[0::2, 0::2] = r
+    g[1::2, 1::2] = r
+    return g
