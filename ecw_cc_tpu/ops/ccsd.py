@@ -1,0 +1,417 @@
+"""ECW-CCSD device kernels (JAX, pure functions, jit-safe).
+
+Re-implements the reference CCSD module (CCSD.py): T1/T2 and Lambda1/Lambda2
+SCF updates with the effective Fock matrix fsp and optional L1 regularization
+(applied to doubles only, CCSD.py:316-330), the CCSD rdm1 and transition
+rdm1 builders.  The amplitude equations follow the standard factorized
+spin-orbital CCSD scheme (Stanton, Gauss, Watts, Bartlett, JCP 94, 4334
+(1991)), which is also what the reference/PySCF implement.
+
+Energy-term convention: the reference adds `l1new += -l1new * E` (and same
+for l2) in lupdate (CCSD.py:509-510).  The multiplicand `l1new` (instead of
+`l1`) is reference behavior and is replicated under energy_term='ref';
+energy_term='off' gives the textbook Lambda equations (equal to the
+raw-equation oracle and PySCF), used for plain-CCSD target generation.
+
+The vvvv ladder contraction ('ijef,abef->ijab', the hot spot flagged in
+SURVEY.md section 6) is routed through ops/ladder.py, which picks an XLA
+dot_general or a Pallas MXU kernel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ecw_cc_tpu.ops.l1reg import subdiff
+from ecw_cc_tpu.ops.ladder import ladder_contract
+
+einsum = jnp.einsum
+
+
+# ---------------------------------------------------------------------------
+# rdm1 (reference CCSD.py:136-182)
+# ---------------------------------------------------------------------------
+
+def gamma_inter(t1, t2, l1, l2):
+    doo = -einsum("ie,je->ij", l1, t1) - 0.5 * einsum("imef,jmef->ij", l2, t2)
+    dvv = einsum("ma,mb->ab", t1, l1) + 0.5 * einsum("mnea,mneb->ab", t2, l2)
+    xt1 = 0.5 * einsum("mnef,inef->mi", l2, t2)
+    xt2 = 0.5 * einsum("mnfa,mnfe->ae", t2, l2) + einsum("ma,me->ae", t1, l1)
+    dvo = (einsum("imae,me->ai", t2, l1) - einsum("mi,ma->ai", xt1, t1)
+           - einsum("ie,ae->ai", t1, xt2) + t1.T)
+    dov = l1
+    return doo, dov, dvo, dvv
+
+
+def gamma_CCSD(t1, t2, l1, l2):
+    """Symmetrized GS rdm1 (PySCF convention). Reference CCSD.py:136-162."""
+    doo, dov, dvo, dvv = gamma_inter(t1, t2, l1, l2)
+    nocc, nvir = dov.shape
+    top = jnp.concatenate([doo + doo.T, dov + dvo.T], axis=1)
+    bot = jnp.concatenate([(dov + dvo.T).T, dvv + dvv.T], axis=1)
+    dm1 = 0.5 * jnp.concatenate([top, bot], axis=0)
+    return dm1 + jnp.diag(jnp.concatenate(
+        [jnp.ones(nocc, dm1.dtype), jnp.zeros(nvir, dm1.dtype)]))
+
+
+# ---------------------------------------------------------------------------
+# Transition rdm1 (reference CCSD.py:33-133, raw equations from Stanton 95)
+# ---------------------------------------------------------------------------
+
+def tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0):
+    Yijem = einsum("if,jmfe->ijem", t1, l2)
+    Yabn = einsum("me,mnea->abn", r1, l2)
+    Yim = (-einsum("ie,me->im", t1, l1) - 0.5 * einsum("inef,mnef->im", t2, l2)) * r0
+    Yim = Yim - einsum("ie,me->im", r1, l1)
+    Yim = Yim - 0.5 * einsum("inef,mnef->im", r2, l2)
+    Yim = Yim - einsum("ie,nf,mnef->im", t1, r1, l2)
+    Yea = (-0.5 * r0 * einsum("mnaf,mnef->ea", t2, l2)
+           - einsum("ma,me->ea", r1, l1)
+           - 0.5 * einsum("mnaf,mnef->ea", r2, l2))
+    Yea_p = -0.5 * einsum("mnaf,mnef->ea", t2, l2)
+    Yanef = -0.5 * einsum("ma,mnef->anef", r1, l2)
+    Yainf = einsum("imae,mnef->ainf", t2, l2)
+    return Yijem, Yabn, Yim, Yea, Yea_p, Yanef, Yainf
+
+
+def tr_rdm1(t1, t2, l1, l2, r1, r2, r0, inter=None):
+    """Transition rdm1 <Psi_m(t,l)|ap+.aq|Psi_n(t,r)>. Reference CCSD.py:75-133."""
+    if inter is None:
+        inter = tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0)
+    Yijem, Yabn, Yim, Yea, Yea_p, Yanef, Yainf = inter
+
+    oo = (einsum("ie,je->ij", t1, l1) + 0.5 * einsum("imfe,jmfe->ij", t2, l2)) * (-r0)
+    oo = oo - einsum("ie,je->ij", r1, l1) - 0.5 * einsum("imfe,jmfe->ij", r2, l2)
+    oo = oo + einsum("me,ijem->ij", r1, Yijem)
+
+    vv = (einsum("mb,am->ab", t1, l1.T) + 0.5 * einsum("mneb,mnea->ab", t2, l2)) * r0
+    vv = vv + einsum("mb,ma->ab", r1, l1) + 0.5 * einsum("mneb,mnea->ab", r2, l2)
+    vv = vv + einsum("nb,abn->ab", t1, Yabn)
+
+    ov = r0 * l1 + einsum("imae,me->ia", l2, r1)
+
+    vo = (r0 * einsum("imae,me->ai", t2, l1) + t1.T
+          + einsum("imae,me->ai", r2, l1)
+          + einsum("ie,ea->ai", r1, Yea_p)
+          + einsum("inef,anef->ai", t2, Yanef)
+          + einsum("nf,ainf->ai", r1, Yainf)
+          + einsum("ma,im->ai", t1, Yim)
+          + einsum("ea,ie->ai", Yea, t1))
+
+    return jnp.block([[oo, ov], [vo, vv]])
+
+
+# ---------------------------------------------------------------------------
+# Energy (reference CCSD.py:224-242)
+# ---------------------------------------------------------------------------
+
+def energy(eris, t1, t2, fsp):
+    nocc = t1.shape[0]
+    fsp = eris.fock if fsp is None else fsp
+    e = einsum("ia,ia", fsp[:nocc, nocc:], t1)
+    e = e + 0.25 * einsum("ijab,ijab", t2, eris.oovv)
+    e = e + 0.5 * einsum("ia,jb,ijab", t1, t1, eris.oovv)
+    return e
+
+
+# ---------------------------------------------------------------------------
+# T intermediates (reference CCSD.py:346-413; Stanton et al. 1991)
+# ---------------------------------------------------------------------------
+
+def make_tau(t2, t1a, t1b, fac=1.0):
+    t1t1 = einsum("ia,jb->ijab", fac * 0.5 * t1a, t1b)
+    t1t1 = t1t1 - t1t1.transpose(1, 0, 2, 3)
+    return t2 + t1t1 - t1t1.transpose(0, 1, 3, 2)
+
+
+def cc_Fvv(eris, t1, t2, fsp):
+    nocc = t1.shape[0]
+    fov, fvv = fsp[:nocc, nocc:], fsp[nocc:, nocc:]
+    tau_t = make_tau(t2, t1, t1, fac=0.5)
+    return (fvv - 0.5 * einsum("me,ma->ae", fov, t1)
+            + einsum("mf,amef->ae", t1, eris.vovv)
+            - 0.5 * einsum("mnaf,mnef->ae", tau_t, eris.oovv))
+
+
+def cc_Foo(eris, t1, t2, fsp):
+    nocc = t1.shape[0]
+    fov, foo = fsp[:nocc, nocc:], fsp[:nocc, :nocc]
+    tau_t = make_tau(t2, t1, t1, fac=0.5)
+    return (foo + 0.5 * einsum("me,ie->mi", fov, t1)
+            + einsum("ne,mnie->mi", t1, eris.ooov)
+            + 0.5 * einsum("inef,mnef->mi", tau_t, eris.oovv))
+
+
+def cc_Fov(eris, t1, t2, fsp):
+    nocc = t1.shape[0]
+    return fsp[:nocc, nocc:] + einsum("nf,mnef->me", t1, eris.oovv)
+
+
+def cc_Woooo(eris, t1, t2):
+    tau = make_tau(t2, t1, t1)
+    tmp = einsum("je,mnie->mnij", t1, eris.ooov)
+    W = eris.oooo + tmp - tmp.transpose(0, 1, 3, 2)
+    return W + 0.25 * einsum("ijef,mnef->mnij", tau, eris.oovv)
+
+
+def cc_Wvvvv(eris, t1, t2):
+    tau = make_tau(t2, t1, t1)
+    tmp = einsum("mb,mafe->bafe", t1, eris.ovvv)
+    W = eris.vvvv - tmp + tmp.transpose(1, 0, 2, 3)
+    return W + einsum("mnab,mnef->abef", tau, 0.25 * eris.oovv)
+
+
+def cc_Wovvo(eris, t1, t2):
+    eris_ovvo = -eris.ovov.transpose(0, 1, 3, 2)
+    eris_oovo = -eris.ooov.transpose(0, 1, 3, 2)
+    W = einsum("jf,mbef->mbej", t1, eris.ovvv)
+    W = W - einsum("nb,mnej->mbej", t1, eris_oovo)
+    W = W - 0.5 * einsum("jnfb,mnef->mbej", t2, eris.oovv)
+    W = W - einsum("jf,nb,mnef->mbej", t1, t1, eris.oovv)
+    return W + eris_ovvo
+
+
+# ---------------------------------------------------------------------------
+# t update (reference CCSD.py:248-338)
+# ---------------------------------------------------------------------------
+
+def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False):
+    """T1/T2 SCF update (or equation values) with optional L1 regularization
+    on the doubles. Reference CCSD.py:248-338."""
+    nocc, nvir = t1.shape
+    fock = eris.fock
+    fsp = fock if fsp is None else fsp
+    fov = fsp[:nocc, nocc:]
+    diag_vv = jnp.diag(fock)[nocc:]
+    diag_oo = jnp.diag(fock)[:nocc]
+
+    tau = make_tau(t2, t1, t1)
+    Fvv = cc_Fvv(eris, t1, t2, fsp)
+    Foo = cc_Foo(eris, t1, t2, fsp)
+    Fov = cc_Fov(eris, t1, t2, fsp)
+    Woooo = cc_Woooo(eris, t1, t2)
+    Wovvo = cc_Wovvo(eris, t1, t2)
+
+    if not equation and alpha is None:
+        Fvv = Fvv - jnp.diag(diag_vv)
+        Foo = Foo - jnp.diag(diag_oo)
+
+    # T1
+    t1new = (einsum("ie,ae->ia", t1, Fvv)
+             - einsum("ma,mi->ia", t1, Foo)
+             + einsum("imae,me->ia", t2, Fov)
+             - einsum("nf,naif->ia", t1, eris.ovov)
+             - 0.5 * einsum("imef,maef->ia", t2, eris.ovvv)
+             - 0.5 * einsum("mnae,mnie->ia", t2, eris.ooov)
+             + fov)
+
+    # T2
+    Ftmp = Fvv - 0.5 * einsum("mb,me->be", t1, Fov)
+    tmp = einsum("ijae,be->ijab", t2, Ftmp)
+    t2new = tmp - tmp.transpose(0, 1, 3, 2)
+    Ftmp = Foo + 0.5 * einsum("je,me->mj", t1, Fov)
+    tmp = einsum("imab,mj->ijab", t2, Ftmp)
+    t2new = t2new - (tmp - tmp.transpose(1, 0, 2, 3))
+    t2new = t2new + eris.oovv
+    t2new = t2new + 0.5 * einsum("mnab,mnij->ijab", tau, Woooo)
+    # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections)
+    t2new = t2new + ladder_contract(eris, t1, t2, tau)
+    tmp = einsum("imae,mbej->ijab", t2, Wovvo)
+    tmp = tmp + einsum("ie,ma,mbje->ijab", t1, t1, eris.ovov)
+    tmp = tmp - tmp.transpose(1, 0, 2, 3)
+    tmp = tmp - tmp.transpose(0, 1, 3, 2)
+    t2new = t2new + tmp
+    tmp = einsum("ie,jeba->ijab", t1, eris.ovvv)
+    t2new = t2new + (tmp - tmp.transpose(1, 0, 2, 3))
+    tmp = einsum("ma,ijmb->ijab", t1, eris.ooov)
+    t2new = t2new - (tmp - tmp.transpose(0, 1, 3, 2))
+
+    if alpha is not None:
+        dW1 = t1new  # L1 reg applied on doubles only (CCSD.py:318-319)
+        dW2 = subdiff(t2new, t2, alpha)
+        if equation:
+            return dW1, dW2
+        eia = diag_oo[:, None] - diag_vv[None, :]
+        eijab = eia[:, None, :, None] + eia[None, :, None, :]
+        return (dW1 + t1 * eia) / eia, (dW2 + t2 * eijab) / eijab
+
+    if not equation:
+        eia = diag_oo[:, None] - diag_vv[None, :]
+        eijab = eia[:, None, :, None] + eia[None, :, None, :]
+        return t1new / eia, t2new / eijab
+    return t1new, t2new
+
+
+# ---------------------------------------------------------------------------
+# Lambda intermediates + update (reference CCSD.py:419-623; PySCF gccsd_lambda)
+# ---------------------------------------------------------------------------
+
+def Linter(eris, t1, t2, fsp=None):
+    """Lambda intermediates. Reference CCSD.py:543-623."""
+    nocc = t1.shape[0]
+    fsp = eris.fock if fsp is None else fsp
+    foo, fov = fsp[:nocc, :nocc], fsp[:nocc, nocc:]
+    fvo, fvv = fsp[nocc:, :nocc], fsp[nocc:, nocc:]
+
+    tau = t2 + 2.0 * einsum("ia,jb->ijab", t1, t1)
+
+    v1 = (fvv - einsum("ja,jb->ba", fov, t1)
+          - einsum("jbac,jc->ba", eris.ovvv, t1)
+          + 0.5 * einsum("jkca,jkbc->ba", eris.oovv, tau))
+    v2 = (foo + einsum("ib,jb->ij", fov, t1)
+          - einsum("kijb,kb->ij", eris.ooov, t1)
+          + 0.5 * einsum("ikbc,jkbc->ij", eris.oovv, tau))
+    v3 = einsum("ijcd,klcd->ijkl", eris.oovv, tau)
+    v4 = einsum("ljdb,klcd->jcbk", eris.oovv, t2) + eris.ovvo
+    v5 = fvo + einsum("kc,jkbc->bj", fov, t2)
+    tmp = fov - einsum("kldc,ld->kc", eris.oovv, t1)
+    v5 = v5 + einsum("kc,kb,jc->bj", tmp, t1, t1)
+    v5 = v5 - 0.5 * einsum("kljc,klbc->bj", eris.ooov, t2)
+    v5 = v5 + 0.5 * einsum("kbdc,jkcd->bj", eris.ovvv, t2)
+
+    w3 = (v5 + einsum("jcbk,jb->ck", v4, t1)
+          + einsum("cb,jb->cj", v1, t1)
+          - einsum("jk,jb->bk", v2, t1))
+
+    woooo = 0.5 * eris.oooo + 0.25 * v3 + einsum("jilc,kc->jilk", eris.ooov, t1)
+    wovvo = (v4 - einsum("ljdb,lc,kd->jcbk", eris.oovv, t1, t1)
+             - einsum("ljkb,lc->jcbk", eris.ooov, t1)
+             + einsum("jcbd,kd->jcbk", eris.ovvv, t1))
+    wovoo = (0.25 * einsum("icdb,jkdb->icjk", eris.ovvv, tau)
+             + 0.5 * einsum("jkic->icjk", eris.ooov)
+             + einsum("icbk,jb->icjk", v4, t1)
+             - einsum("lijb,klcb->icjk", eris.ooov, t2))
+    wvvvo = (einsum("jcak,jb->bcak", v4, t1)
+             + 0.25 * einsum("jlka,jlbc->bcak", eris.ooov, tau)
+             - 0.5 * einsum("jacb->bcaj", eris.ovvv)
+             + einsum("kbad,jkcd->bcaj", eris.ovvv, t2))
+
+    E = (einsum("ia,ia", fsp[:nocc, nocc:], t1)
+         + 0.25 * einsum("ijab,ijab", t2, eris.oovv)
+         + 0.5 * einsum("ia,jb,ijab", t1, t1, eris.oovv))
+    return dict(v1=v1, v2=v2, w3=w3, woooo=woooo, wovvo=wovvo,
+                wovoo=wovoo, wvvvo=wvvvo, E=E)
+
+
+def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
+            energy_term="ref"):
+    """Lambda1/Lambda2 SCF update. Reference CCSD.py:419-535.
+
+    energy_term: 'ref' reproduces the reference's `l1new += -l1new * E`
+    (CCSD.py:509-510); 'off' gives the textbook equations (matches the
+    raw-equation oracle and PySCF)."""
+    nocc, nvir = t1.shape
+    fock = eris.fock
+    fsp = fock if fsp is None else fsp
+    imds = Linter(eris, t1, t2, fsp=fsp)
+    fov = fsp[:nocc, nocc:]
+    diag_vv = jnp.diag(fock)[nocc:]
+    diag_oo = jnp.diag(fock)[:nocc]
+
+    if equation is False and alpha is None:
+        v1 = imds["v1"] - jnp.diag(diag_vv)
+        v2 = imds["v2"] - jnp.diag(diag_oo)
+        E = imds["E"]
+    else:
+        v1 = imds["v1"]
+        v2 = imds["v2"]
+        E = jnp.asarray(0.0, dtype=t1.dtype)
+    if energy_term == "off":
+        E = jnp.asarray(0.0, dtype=t1.dtype)
+
+    oovv = eris.oovv
+    mba = 0.5 * einsum("klca,klcb->ba", l2, t2)
+    mij = 0.5 * einsum("kicd,kjcd->ij", l2, t2)
+    m3 = einsum("klab,ijkl->ijab", l2, imds["woooo"])
+    tau = t2 + 2.0 * einsum("ia,jb->ijab", t1, t1)
+    tmp = einsum("ijcd,klcd->ijkl", l2, tau)
+    m3 = m3 + 0.25 * einsum("klab,ijkl->ijab", oovv, tmp)
+    tmp = einsum("ijcd,kd->ijck", l2, t1)
+    m3 = m3 - einsum("kcba,ijck->ijab", eris.ovvv, tmp)
+    m3 = m3 + 0.5 * einsum("ijcd,cdab->ijab", l2, eris.vvvv)
+
+    l2new = oovv + m3
+    fov1 = fov + einsum("kjcb,kc->jb", oovv, t1)
+    tmp = einsum("ia,jb->ijab", l1, fov1)
+    tmp = tmp + einsum("kica,jcbk->ijab", l2, imds["wovvo"])
+    tmp = tmp - tmp.transpose(1, 0, 2, 3)
+    l2new = l2new + tmp - tmp.transpose(0, 1, 3, 2)
+    tmp = einsum("ka,ijkb->ijab", l1, eris.ooov)
+    tmp = tmp + einsum("ijca,cb->ijab", l2, v1)
+    tmp1vv = mba + einsum("ka,kb->ba", l1, t1)
+    tmp = tmp + einsum("ca,ijcb->ijab", tmp1vv, oovv)
+    l2new = l2new - (tmp - tmp.transpose(0, 1, 3, 2))
+    tmp = einsum("ic,jcba->jiba", l1, eris.ovvv)
+    tmp = tmp + einsum("kiab,jk->ijab", l2, v2)
+    tmp1oo = mij + einsum("ic,kc->ik", l1, t1)
+    tmp = tmp - einsum("ik,kjab->ijab", tmp1oo, oovv)
+    l2new = l2new + (tmp - tmp.transpose(1, 0, 2, 3))
+
+    l1new = (fov
+             + einsum("jb,ibaj->ia", l1, eris.ovvo)
+             + einsum("ib,ba->ia", l1, v1)
+             - einsum("ja,ij->ia", l1, v2)
+             - einsum("kjca,icjk->ia", l2, imds["wovoo"])
+             - einsum("ikbc,bcak->ia", l2, imds["wvvvo"])
+             + einsum("ijab,jb->ia", m3, t1)
+             + einsum("jiba,bj->ia", l2, imds["w3"]))
+    tmp = (t1 + einsum("kc,kjcb->jb", l1, t2)
+           - einsum("bd,jd->jb", tmp1vv, t1)
+           - einsum("lj,lb->jb", mij, t1))
+    l1new = l1new + einsum("jiba,jb->ia", oovv, tmp)
+    l1new = l1new + einsum("icab,bc->ia", eris.ovvv, tmp1vv)
+    l1new = l1new - einsum("jika,kj->ia", eris.ooov, tmp1oo)
+    tmp = fov - einsum("kjba,jb->ka", oovv, t1)
+    l1new = l1new - einsum("ik,ka->ia", mij, tmp)
+    l1new = l1new - einsum("ca,ic->ia", mba, tmp)
+
+    # energy terms (reference behavior: multiplies the assembled residual)
+    l1new = l1new - l1new * E
+    l2new = l2new - l2new * E
+
+    if alpha is not None:
+        dW1 = l1new  # L1 reg on doubles only (CCSD.py:515-516)
+        dW2 = subdiff(l2new, l2, alpha)
+        if equation:
+            return dW1, dW2
+        eia = diag_oo[:, None] - diag_vv[None, :]
+        eijab = eia[:, None, :, None] + eia[None, :, None, :]
+        return (dW1 + l1 * eia) / eia, (dW2 + l2 * eijab) / eijab
+
+    if not equation:
+        eia = diag_oo[:, None] - diag_vv[None, :]
+        eijab = eia[:, None, :, None] + eia[None, :, None, :]
+        return l1new / eia, l2new / eijab
+    return l1new, l2new
+
+
+class GCC:
+    """Thin class wrapper matching the reference API (CCSD.py:185)."""
+
+    def __init__(self, eris, fock=None):
+        self.eris = eris
+        self.fock = eris.fock if fock is None else fock
+        self.nocc = eris.nocc
+        self.nvir = eris.nvir
+
+    def gamma(self, t1, t2, l1, l2):
+        return gamma_CCSD(t1, t2, l1, l2)
+
+    def gamma_inter(self, t1, t2, l1, l2):
+        return gamma_inter(t1, t2, l1, l2)
+
+    def tr_rdm1_inter(self, t1, t2, l1, l2, r1, r2, r0):
+        return tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0)
+
+    def tr_rdm1(self, t1, t2, l1, l2, r1, r2, r0, inter=None):
+        return tr_rdm1(t1, t2, l1, l2, r1, r2, r0, inter)
+
+    def energy(self, t1, t2, fsp):
+        return energy(self.eris, t1, t2, fsp)
+
+    def tupdate(self, t1, t2, fsp=None, alpha=None, equation=False):
+        return tupdate(self.eris, t1, t2, fsp, alpha, equation)
+
+    def lupdate(self, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
+                energy_term="ref"):
+        return lupdate(self.eris, t1, t2, l1, l2, fsp, alpha, equation, energy_term)

@@ -1,0 +1,120 @@
+"""The vvvv 'ladder' contraction — the CCSD hot spot.
+
+Reference computes Wvvvv = <ab||ef> - P(ab) t1.ovvv + 0.25 tau.oovv and then
+t2 += 0.5 einsum('ijef,abef->ijab', tau, Wvvvv)  (CCSD.py:305,396-402): an
+O(nocc^2 nvir^4) contraction that dominates the iteration cost (SURVEY.md
+section 6).
+
+TPU-first design here:
+  - the Wvvvv intermediate is NEVER materialized; the three contributions are
+    contracted with tau directly:
+      L1 = 0.5 tau_ijef <ab||ef>              (o^2 v^2) x (v^2 v^2) matmul -> MXU
+      L2 = -P_(ab) 0.5 tau_ijef t1_ma <mb||fe>   O(o^2 v^3)
+      L3 = 0.125 (tau_ijef <mn||ef>) tau_mnab    O(o^4 v^2)
+  - L1 is a single (nocc^2, nvir^2) x (nvir^2, nvir^2) matmul: reshaped
+    dot_general rides the MXU directly; a Pallas kernel (enabled via
+    Config.use_pallas) tiles it explicitly with f32 accumulation, exploiting
+    the (ab)<->(ef) symmetry of <ab||ef> to skip the transpose.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ecw_cc_tpu.config import get_config
+
+einsum = jnp.einsum
+
+
+def _ladder_mm_xla(tau_r, vvvv_r):
+    # <ab||ef> = <ef||ab>  =>  contract directly without transposing vvvv
+    return jax.lax.dot_general(
+        tau_r, vvvv_r,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=tau_r.dtype,
+    )
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def _ladder_mm_pallas(tau_r, vvvv_r, tile_m=128, tile_n=128, tile_k=512):
+    """Tiled Pallas matmul C[m,n] = sum_k tau_r[m,k] vvvv_r[n,k] with f32
+    accumulation; pads to MXU-aligned shapes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, K = tau_r.shape
+    N = vvvv_r.shape[0]
+    Mp, Np, Kp = _round_up(M, tile_m), _round_up(N, tile_n), _round_up(K, tile_k)
+    a = jnp.zeros((Mp, Kp), tau_r.dtype).at[:M, :K].set(tau_r)
+    b = jnp.zeros((Np, Kp), vvvv_r.dtype).at[:N, :K].set(vvvv_r)
+
+    nk = Kp // tile_k
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[:], b_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(k == nk - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), tau_r.dtype),
+        grid=(Mp // tile_m, Np // tile_n, nk),
+        in_specs=[
+            pl.BlockSpec((tile_m, tile_k), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, tile_k), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, tile_n), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_m, tile_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=(Mp * Kp + Np * Kp + Mp * Np) * 4,
+            transcendentals=0),
+    )(a, b)
+    return out[:M, :N]
+
+
+def ladder_contract(eris, t1, t2, tau):
+    """0.5 * einsum('ijef,abef->ijab', tau, Wvvvv) without materializing Wvvvv."""
+    nocc, nvir = t1.shape
+    tau_r = tau.reshape(nocc * nocc, nvir * nvir)
+    vvvv_r = eris.vvvv.reshape(nvir * nvir, nvir * nvir)
+
+    cfg = get_config()
+    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+    if use_pallas:
+        L1 = 0.5 * _ladder_mm_pallas(tau_r, vvvv_r)
+    else:
+        L1 = 0.5 * _ladder_mm_xla(tau_r, vvvv_r)
+    L1 = L1.reshape(nocc, nocc, nvir, nvir)
+
+    # - P_(ab) part from the t1.ovvv correction to Wvvvv
+    Y = einsum("ijef,mbef->ijmb", tau, eris.ovvv)
+    Z = -0.5 * einsum("ijmb,ma->ijab", Y, t1)
+    L2 = Z - Z.transpose(0, 1, 3, 2)
+
+    # 0.25 tau.oovv correction contracted with tau
+    X = einsum("ijef,mnef->ijmn", tau, eris.oovv)
+    L3 = 0.125 * einsum("ijmn,mnab->ijab", X, tau)
+
+    return L1 + L2 + L3

@@ -6,12 +6,18 @@ NumPy).  Sharding tests use the 8 virtual devices.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 os.environ.setdefault("ECW_CC_TPU_X64", "1")
 os.environ.setdefault("ECW_CC_TPU_DTYPE", "float64")
+
+import jax
+
+# The axon TPU plugin (sitecustomize) force-installs jax_platforms="axon,cpu";
+# re-point to the CPU backend for the f64 parity tests + virtual 8-device mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

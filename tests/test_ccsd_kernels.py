@@ -1,0 +1,121 @@
+"""CCSD kernel validation against the determinant-space (FCI) oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ecw_cc_tpu.ops import ccsd
+from ecw_cc_tpu.utils import convert
+from tests.fci_oracle import CCOracle
+from tests.test_ccs_kernels import _assemble_full_eri
+
+
+@pytest.fixture(scope="module")
+def system(h2_631g):
+    mol, ghf, eris_host, eris_dev = h2_631g
+    rng = np.random.default_rng(7)
+    nocc, nvir = eris_host.nocc, eris_host.nvir
+    t1r = rng.random((nocc // 2, nvir // 2)) * 0.1
+    t2r = rng.random((nocc // 2, nocc // 2, nvir // 2, nvir // 2)) * 0.1
+    # impose the RCCSD permutation symmetry t2[i,j,a,b] = t2[j,i,b,a] so the
+    # spin conversion yields a valid antisymmetric spin-orbital t2
+    t2r = t2r + t2r.transpose(1, 0, 3, 2)
+    t1 = convert.convert_r_to_g_amp(t1r)
+    t2 = convert.convert_r_to_g_amp(t2r)
+    l1 = 0.5 * t1
+    l2 = 0.5 * t2
+    f = np.asarray(eris_host.fock)
+    eri_full = _assemble_full_eri(eris_host)
+    oracle = CCOracle(f, eri_full, nocc)
+    return eris_host, eris_dev, oracle, t1, t2, l1, l2, f
+
+
+def test_t2_antisymmetry_of_conversion(system):
+    *_, t2 = system[4], system[4]
+    t2 = system[4]
+    assert np.allclose(t2, -t2.transpose(1, 0, 2, 3), atol=1e-12)
+    assert np.allclose(t2, -t2.transpose(0, 1, 3, 2), atol=1e-12)
+
+
+def test_ccsd_energy_vs_oracle(system):
+    eris_host, eris_dev, oracle, t1, t2, l1, l2, f = system
+    hbar = oracle.hbar(t1, t2)
+    e_oracle = oracle.energy(hbar)
+    e = float(ccsd.energy(eris_dev, jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(f)))
+    assert abs(e - e_oracle) < 1e-10
+
+
+def test_t1t2_equations_vs_oracle(system):
+    eris_host, eris_dev, oracle, t1, t2, l1, l2, f = system
+    hbar = oracle.hbar(t1, t2)
+    res1_o = oracle.t1_residual(hbar, t1)
+    res2_o = oracle.doubles_proj(hbar[:, oracle.ref], t1.shape[0], t1.shape[1])
+    T1, T2 = ccsd.tupdate(eris_dev, jnp.asarray(t1), jnp.asarray(t2),
+                          jnp.asarray(f), equation=True)
+    assert np.max(np.abs(np.asarray(T1) - res1_o)) < 1e-9
+    assert np.max(np.abs(np.asarray(T2) - res2_o)) < 1e-9
+
+
+def test_lambda_equations_vs_oracle(system, h2_631g):
+    """The PySCF-style Lambda intermediates assume the T equations hold
+    (<mu|Hbar|0> = 0), so the residual equals the exact commutator form only
+    at converged t — which is the regime the solver uses them in."""
+    eris_host, eris_dev, oracle, t1, t2, l1, l2, f = system
+    mol, ghf, *_ = h2_631g
+    nocc, nvir = t1.shape
+    e = ghf.mo_energy
+    eia = e[:nocc, None] - e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t1c = jnp.zeros((nocc, nvir))
+    t2c = jnp.asarray(eris_host.oovv / eijab)
+    for _ in range(80):
+        t1c, t2c = ccsd.tupdate(eris_dev, t1c, t2c, None)
+    hbar = oracle.hbar(np.asarray(t1c), np.asarray(t2c))
+    L1_o = oracle.lambda1_residual(hbar, np.asarray(t1c), l1, l2=l2, commutator=True)
+    L1, L2 = ccsd.lupdate(eris_dev, t1c, t2c, jnp.asarray(l1), jnp.asarray(l2),
+                          None, equation=True, energy_term="off")
+    assert np.max(np.abs(np.asarray(L1) - L1_o)) < 1e-9
+
+
+def test_plain_ccsd_converges_to_fci_limit(h2_631g):
+    """Full CCSD on H2 (2 electrons) must equal FCI: iterate the kernels and
+    compare the correlation energy against exact diagonalization."""
+    mol, ghf, eris_host, eris_dev = h2_631g
+    nocc, nvir = eris_host.nocc, eris_host.nvir
+    f = np.asarray(eris_host.fock)
+    eri_full = _assemble_full_eri(eris_host)
+    oracle = CCOracle(f, eri_full, nocc)
+    w = np.linalg.eigvalsh(oracle.H)
+    e_fci_corr = w[0] - oracle.E_ref
+
+    # MP2 start (reference Solver_GS.py:557-562)
+    e = ghf.mo_energy
+    eia = e[:nocc, None] - e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t2 = jnp.asarray(eris_host.oovv / eijab)
+    t1 = jnp.zeros((nocc, nvir))
+    for _ in range(60):
+        t1, t2 = ccsd.tupdate(eris_dev, t1, t2, None)
+    e_cc = float(ccsd.energy(eris_dev, t1, t2, None))
+    assert abs(e_cc - e_fci_corr) < 1e-9
+
+
+def test_ccsd_rdm1_trace(system):
+    eris_host, eris_dev, oracle, t1, t2, l1, l2, f = system
+    g = np.asarray(ccsd.gamma_CCSD(jnp.asarray(t1), jnp.asarray(t2),
+                                   jnp.asarray(l1), jnp.asarray(l2)))
+    assert abs(np.trace(g) - eris_host.nocc) < 1e-10
+    assert np.allclose(g, g.T, atol=1e-12)
+
+
+def test_tr_rdm1_gs_limit(system):
+    """tr_rdm1 with r=0,r0=1 equals the unsymmetrized GS CCSD rdm1 whose trace
+    is nelec (Stanton 95 structure)."""
+    eris_host, eris_dev, oracle, t1, t2, l1, l2, f = system
+    nocc, nvir = t1.shape
+    r1 = np.zeros_like(t1)
+    r2 = np.zeros_like(t2)
+    g = np.asarray(ccsd.tr_rdm1(jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(l1),
+                                jnp.asarray(l2), jnp.asarray(r1), jnp.asarray(r2), 1.0))
+    # GS case: add HF diagonal -> trace must be nelec
+    assert abs(np.trace(g) + nocc - 2 * nocc) < 1e-9
