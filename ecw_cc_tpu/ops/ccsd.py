@@ -60,7 +60,10 @@ def gamma_CCSD(t1, t2, l1, l2):
 
 def tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0):
     Yijem = einsum("if,jmfe->ijem", t1, l2)
-    Yabn = einsum("me,mnea->abn", r1, l2)
+    # NOTE: the reference writes einsum('me,mnea->abn', r1, l2) (CCSD.py:48),
+    # which is an invalid subscript (numpy raises); the intended intermediate
+    # contracted later with t1[n,b] is Y[n,a] = sum_me r_me l2_mnea.
+    Yna = einsum("me,mnea->na", r1, l2)
     Yim = (-einsum("ie,me->im", t1, l1) - 0.5 * einsum("inef,mnef->im", t2, l2)) * r0
     Yim = Yim - einsum("ie,me->im", r1, l1)
     Yim = Yim - 0.5 * einsum("inef,mnef->im", r2, l2)
@@ -71,14 +74,14 @@ def tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0):
     Yea_p = -0.5 * einsum("mnaf,mnef->ea", t2, l2)
     Yanef = -0.5 * einsum("ma,mnef->anef", r1, l2)
     Yainf = einsum("imae,mnef->ainf", t2, l2)
-    return Yijem, Yabn, Yim, Yea, Yea_p, Yanef, Yainf
+    return Yijem, Yna, Yim, Yea, Yea_p, Yanef, Yainf
 
 
 def tr_rdm1(t1, t2, l1, l2, r1, r2, r0, inter=None):
     """Transition rdm1 <Psi_m(t,l)|ap+.aq|Psi_n(t,r)>. Reference CCSD.py:75-133."""
     if inter is None:
         inter = tr_rdm1_inter(t1, t2, l1, l2, r1, r2, r0)
-    Yijem, Yabn, Yim, Yea, Yea_p, Yanef, Yainf = inter
+    Yijem, Yna, Yim, Yea, Yea_p, Yanef, Yainf = inter
 
     oo = (einsum("ie,je->ij", t1, l1) + 0.5 * einsum("imfe,jmfe->ij", t2, l2)) * (-r0)
     oo = oo - einsum("ie,je->ij", r1, l1) - 0.5 * einsum("imfe,jmfe->ij", r2, l2)
@@ -86,7 +89,7 @@ def tr_rdm1(t1, t2, l1, l2, r1, r2, r0, inter=None):
 
     vv = (einsum("mb,am->ab", t1, l1.T) + 0.5 * einsum("mneb,mnea->ab", t2, l2)) * r0
     vv = vv + einsum("mb,ma->ab", r1, l1) + 0.5 * einsum("mneb,mnea->ab", r2, l2)
-    vv = vv + einsum("nb,abn->ab", t1, Yabn)
+    vv = vv + einsum("nb,na->ab", t1, Yna)
 
     ov = r0 * l1 + einsum("imae,me->ia", l2, r1)
 

@@ -117,5 +117,7 @@ def test_tr_rdm1_gs_limit(system):
     r2 = np.zeros_like(t2)
     g = np.asarray(ccsd.tr_rdm1(jnp.asarray(t1), jnp.asarray(t2), jnp.asarray(l1),
                                 jnp.asarray(l2), jnp.asarray(r1), jnp.asarray(r2), 1.0))
-    # GS case: add HF diagonal -> trace must be nelec
-    assert abs(np.trace(g) + nocc - 2 * nocc) < 1e-9
+    # transition rdm1 has no HF diagonal; oo and vv correlation traces cancel
+    assert abs(np.trace(g)) < 1e-9
+    # and its ov block reduces to l1 (r0=1, r=0)
+    assert np.allclose(g[:nocc, nocc:], l1, atol=1e-12)
