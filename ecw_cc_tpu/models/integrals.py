@@ -551,3 +551,32 @@ def ft_aopair(bs: BasisSet, kvecs):
                 if isha != ishb:
                     out[ik, ob:ob + sph.shape[1], oa:oa + sph.shape[0]] = sph.T
     return out
+
+
+# ----------------------------------------------------------------------------
+# AO evaluation on a real-space grid (for cube files / densities)
+# ----------------------------------------------------------------------------
+
+def eval_ao(bs: BasisSet, points):
+    """Evaluate all (spherical, normalized) AOs at `points` (n, 3) Bohr.
+
+    Returns (n, nao).  Replaces PySCF's numint AO evaluator for cube output
+    (reference utilities.py:917-937 uses pyscf.tools.cubegen)."""
+    points = np.asarray(points, dtype=float)
+    n = len(points)
+    out = np.zeros((n, bs.nao))
+    for ish, sh in enumerate(bs.shells):
+        off = bs.sph_offsets[ish]
+        d = points - sh.center
+        r2 = np.einsum("ni,ni->n", d, d)
+        rad = np.zeros(n)
+        for a, c in zip(sh.exps, sh.coefs):
+            rad += c * np.exp(-a * r2)
+        carts = CART_COMPONENTS[sh.l]
+        cart_vals = np.empty((len(carts), n))
+        for ic, (lx, ly, lz) in enumerate(carts):
+            cart_vals[ic] = d[:, 0] ** lx * d[:, 1] ** ly * d[:, 2] ** lz * rad
+        sph = _c2s_matrix(sh.l) @ cart_vals
+        nrm = bs._norms[off:off + NSPH[sh.l]]
+        out[:, off:off + NSPH[sh.l]] = (sph * nrm[:, None]).T
+    return out

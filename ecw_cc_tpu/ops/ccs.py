@@ -714,3 +714,92 @@ class Gccs:
 
     def Extract_r0(self, r1, ts, fsp, vm):
         return Extract_r0(self.eris, r1, ts, fsp, vm)
+
+
+# ---------------------------------------------------------------------------
+# Gradient / Newton machinery (reference CCS.py:1524-2160, class ccs_gradient)
+#
+# TPU-first re-design: instead of the reference's ~600 lines of hand-derived
+# Jacobian blocks (dT/dt, dT/dl, dL/dt, dL/dl with three Vexp-derivative
+# models DV1/DV2/DV3, CCS.py:1668-2071), the Jacobian of the coupled
+# (T1, Lambda1) residual system is obtained EXACTLY with jax.jacfwd through
+# the full computational graph, including the Vexp(gamma(t, l)) dependence.
+# This covers the reference's DV1 linear-in-gamma 'mat' model exactly and
+# generalizes to every property the device Vexp supports.
+# ---------------------------------------------------------------------------
+
+class ccs_gradient:
+    def __init__(self, eris, Vexp_model=1, exp_pot=None):
+        self.eris = eris
+        self.fock = eris.fock
+        self.nocc = eris.nocc
+        self.nvir = eris.nvir
+        self.exp_pot = exp_pot
+        # device Vexp closure (optional): exact property-model derivatives
+        self._vexp_fn = None
+        if exp_pot is not None and Vexp_model in (2, 3):
+            from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
+            self._vexp_fn = make_gs_vexp_device(exp_pot)
+
+    # -- coupled residual with the local 'mat'-linear Vexp model ----------
+    def _residuals(self, ts, ls, fsp0, gamma0, L):
+        """T1/Lambda1 residuals with fsp varying through the rdm1:
+        fsp(t, l) = fsp0 + L (gamma(t, l) - gamma0)  (exact for 'mat')."""
+        if self._vexp_fn is not None:
+            rdm1 = gamma_CCS(ts, ls)
+            nprop = len(self.exp_pot.prop_names[0])
+            Lvec = jnp.full((nprop,), L, dtype=ts.dtype)
+            V, _, _ = self._vexp_fn(rdm1, Lvec)
+            fsp = self.eris.fock - V
+        else:
+            fsp = fsp0 + L * (gamma_CCS(ts, ls) - gamma0)
+        T1 = T1eq(self.eris, ts, fsp)
+        L1 = L1eq(self.eris, ts, ls, fsp, E_term=False)
+        return T1, L1
+
+    def Jacobian(self, ts, ls, fsp, L):
+        """Exact Jacobian of the stacked (T1, L1) residuals w.r.t (t1, l1)."""
+        import jax
+
+        ts = jnp.asarray(ts)
+        ls = jnp.asarray(ls)
+        gamma0 = gamma_CCS(ts, ls)
+        fsp0 = jnp.asarray(fsp)
+        n = ts.size
+
+        def stacked(x):
+            t = x[:n].reshape(ts.shape)
+            l = x[n:].reshape(ls.shape)
+            T1, L1 = self._residuals(t, l, fsp0, gamma0, L)
+            return jnp.concatenate([T1.ravel(), L1.ravel()])
+
+        x0 = jnp.concatenate([ts.ravel(), ls.ravel()])
+        J = jax.jacfwd(stacked)(x0)
+        return J, stacked(x0)
+
+    def Newton(self, ts, ls, fsp, L):
+        """One Newton step on the coupled system. Reference CCS.py:2094-2124."""
+        ts = jnp.asarray(ts)
+        ls = jnp.asarray(ls)
+        n = ts.size
+        J, R = self.Jacobian(ts, ls, fsp, L)
+        dx = jnp.linalg.solve(J, -R)
+        tsnew = ts + dx[:n].reshape(ts.shape)
+        lsnew = ls + dx[n:].reshape(ls.shape)
+        return tsnew, lsnew
+
+    def Gradient_Descent(self, beta, ts, ls, fsp, L):
+        """Steepest-descent step on 1/2 |R|^2. Reference CCS.py:2126-2160."""
+        import jax
+
+        ts = jnp.asarray(ts)
+        ls = jnp.asarray(ls)
+        gamma0 = gamma_CCS(ts, ls)
+        fsp0 = jnp.asarray(fsp)
+
+        def objective(t, l):
+            T1, L1 = self._residuals(t, l, fsp0, gamma0, L)
+            return 0.5 * (jnp.sum(T1 ** 2) + jnp.sum(L1 ** 2))
+
+        gt, gl = jax.grad(objective, argnums=(0, 1))(ts, ls)
+        return ts - beta * gt, ls - beta * gl

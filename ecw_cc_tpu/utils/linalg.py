@@ -1,0 +1,250 @@
+"""Linear-algebra helpers + initial guesses (reference utilities.py:397-876)."""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from ecw_cc_tpu.utils import convert
+
+
+def get_norm(rs, ls, r0, l0):
+    """<Psi_r|Psi_l> inner product of amplitude sets. Reference utilities.py:625-642."""
+    rs = np.asarray(rs)
+    ls = np.asarray(ls)
+    if rs.shape != ls.shape:
+        raise ValueError("shape of both sets of amplitudes must be the same")
+    return l0 * np.conjugate(r0) + np.sum(np.conjugate(rs) * ls)
+
+
+def ortho_QR(Mvec):
+    """QR orthonormalization of column vectors. Reference utilities.py:645-655."""
+    Q, _ = np.linalg.qr(Mvec)
+    return Q
+
+
+def ortho_SVD(mol, cL, cR):
+    """Biorthogonalize two MO coefficient sets via SVD (Werner 2007).
+    Reference utilities.py:658-695. `mol` may be a Molecule or an AO overlap."""
+    if hasattr(mol, "intor"):
+        S_AO = mol.intor("ovlp")
+    elif isinstance(mol, np.ndarray):
+        S_AO = mol
+    else:
+        raise ValueError("AO overlap must be an ndarray or a Molecule")
+    if S_AO.shape[0] * 2 == cL.shape[0]:
+        S_AO = convert.convert_r_to_g_rdm1(S_AO)
+    S = np.einsum("mp,nq,mn->pq", np.conj(cL), cR, S_AO)
+    u, sv, v = np.linalg.svd(S)
+    S_inv_sqrt = np.sqrt(np.linalg.inv(np.diag(sv)))
+    TL = u @ S_inv_sqrt
+    TR = np.conj(v).T @ S_inv_sqrt
+    return cL @ TL, cR @ TR
+
+
+def ortho_GS(U, eps=1e-12):
+    """Gram-Schmidt orthonormalization of columns. Reference utilities.py:698-727."""
+    U = np.array(U, dtype=float)
+    V = U.T
+    for i in range(len(V)):
+        prev = V[:i]
+        coeff = prev @ V[i].T
+        V[i] -= coeff @ prev
+        nrm = np.linalg.norm(V[i])
+        if nrm < eps:
+            V[i][V[i] < eps] = 0.0
+        else:
+            V[i] /= nrm
+    return V.T
+
+
+def check_ortho(rn, ln, r0n, l0n):
+    """Matrix of averaged overlaps between state vectors. Reference utilities.py:730-758."""
+    n = len(rn)
+    if n != len(ln):
+        raise ValueError("r and l lists must have the same length")
+    C = np.zeros((n, n))
+    for k in range(n):
+        for l in range(n):
+            c_l = get_norm(rn[k], ln[l], r0n[k], l0n[l])
+            c_r = get_norm(rn[l], ln[k], r0n[l], l0n[k])
+            C[k, l] = np.real((c_l + c_r) / 2.0)
+    return C
+
+
+def ortho_es(rn, ln, r0n, l0n):
+    """QR-orthonormalize the (r0, r) and (l0, l) state vectors.
+    Reference utilities.py:761-801."""
+    nocc, nvir = np.asarray(rn[0]).shape
+    n = len(rn)
+    Mr = np.zeros((nocc * nvir + 1, n))
+    Ml = np.zeros((nocc * nvir + 1, n))
+    for j in range(n):
+        Mr[1:, j] = np.ravel(rn[j])
+        Mr[0, j] = r0n[j]
+        Ml[1:, j] = np.ravel(ln[j])
+        Ml[0, j] = l0n[j]
+    Qr = ortho_QR(Mr)
+    Ql = ortho_QR(Ml)
+    new_rn = [Qr[1:, i].reshape(nocc, nvir) for i in range(n)]
+    new_ln = [Ql[1:, i].reshape(nocc, nvir) for i in range(n)]
+    new_r0 = [Qr[0, i] for i in range(n)]
+    new_l0 = [Ql[0, i] for i in range(n)]
+    return new_rn, new_ln, new_r0, new_l0
+
+
+def biortho_es(r1, l1, r0, l0):
+    """Biorthogonalize one (r, l) pair via QR. Reference utilities.py:804-832."""
+    nocc, nvir = np.asarray(r1).shape
+    M = np.zeros((nocc * nvir + 1, 2))
+    M[1:, 0] = np.ravel(r1)
+    M[0, 0] = r0
+    M[1:, 1] = np.ravel(l1)
+    M[0, 1] = l0
+    Q = ortho_QR(M)
+    return (Q[1:, 0].reshape(nocc, nvir), Q[1:, 1].reshape(nocc, nvir),
+            Q[0, 0], Q[0, 1])
+
+
+def ortho_norm(rn, ln, rn0, ln0, ortho=True):
+    """Normalize (and biorthogonalize for 2 states) the state vectors.
+    Reference utilities.py:835-876."""
+    C = check_ortho(rn, ln, rn0, ln0)
+    ln_new = copy.deepcopy(list(ln))
+    rn_new = copy.deepcopy(list(rn))
+    ln0_new = copy.deepcopy(list(ln0))
+    rn0_new = copy.deepcopy(list(rn0))
+    if len(rn) == 2 and ortho:
+        for c in np.tril(C, -1).ravel():
+            if abs(c) > 0.001:
+                rn_new[0], ln_new[1], rn0_new[0], ln0_new[1] = biortho_es(
+                    rn_new[0], ln_new[1], rn0_new[0], ln0_new[1])
+                rn_new[1], ln_new[0], rn0_new[1], ln0_new[0] = biortho_es(
+                    rn_new[1], ln_new[0], rn0_new[1], ln0_new[0])
+                C = check_ortho(rn_new, ln_new, rn0_new, ln0_new)
+                break
+    for i in range(len(ln_new)):
+        if C[i, i] < 0.999 or C[i, i] > 1.001:
+            ln_new[i] = ln_new[i] / C[i, i]
+            ln0_new[i] = ln0_new[i] / C[i, i]
+    return rn_new, ln_new, rn0_new, ln0_new
+
+
+def check_spin(amp_r, amp_l):
+    """Total spin indicator of an amplitude pair. Reference utilities.py:551-571."""
+    spin_mat = np.zeros_like(np.asarray(amp_r))
+    spin_mat[::2, 1::2] = -1.0
+    spin_mat[1::2, 0::2] = 1.0
+    return np.einsum("ia,ia,ia", np.asarray(amp_r), np.asarray(amp_l), spin_mat)
+
+
+def spin_square(rdm1, mo_coeff, ovlp=1):
+    """Spin multiplicity from a G-format rdm1. Reference utilities.py:574-617."""
+    dm1a, dm1b = convert.convert_g_to_ru_rdm1(np.asarray(rdm1))[1]
+    nao = mo_coeff.shape[0] // 2
+    moa = mo_coeff[:nao, 0::2]
+    mob = mo_coeff[nao:, 1::2]
+    if isinstance(ovlp, np.ndarray):
+        ovlpaa = moa.T @ ovlp @ moa
+        ovlpbb = mob.T @ ovlp @ mob
+    else:
+        ovlpaa = moa.T @ moa
+        ovlpbb = mob.T @ mob
+    ssz = (np.einsum("ji,ij->", dm1a, ovlpaa) + np.einsum("ji,ij->", dm1b, ovlpbb)) * 0.25
+    ssxy = (np.einsum("ji,ij->", dm1a, ovlpaa) + np.einsum("ji,ij->", dm1b, ovlpbb)) * 0.5
+    ss = ssxy + ssz
+    s = np.sqrt(ss + 0.25) - 0.5
+    return s * 2 + 1
+
+
+def koopman_init_guess(mo_energy, mo_occ, nstates=(1, 0), koop_idx=None,
+                       core_ene_thresh=10.0):
+    """Koopman r1 guesses in G format, valence/core split.
+    Reference utilities.py:397-478."""
+    nstates = list(nstates)
+    if koop_idx is not None and sum(nstates) != len(koop_idx):
+        raise ValueError("number of Koopman indices must equal number of states")
+    if koop_idx is None:
+        val_idx = np.zeros(nstates[0], dtype=int) if nstates[0] else [0]
+        core_idx = np.zeros(nstates[1], dtype=int) if nstates[1] else [0]
+    else:
+        val_idx = koop_idx[: nstates[0]] if nstates[0] else [0]
+        core_idx = koop_idx[nstates[0]:] if nstates[1] else [0]
+
+    mo_energy = np.asarray(mo_energy)[0::2]
+    mo_occ = np.asarray(mo_occ)[0::2]
+    occidx = np.where(mo_occ > 0)[0]
+    viridx = np.where(mo_occ == 0)[0]
+    nocc, nvir = len(occidx), len(viridx)
+    ncore = int(np.sum(np.abs(mo_energy[:nocc]) > core_ene_thresh))
+    e_ia = mo_energy[viridx] - mo_energy[occidx, None]
+
+    x0, DE = [], []
+    eia_val = e_ia[ncore:, :].ravel()
+    eia_core = e_ia[:ncore, :].ravel()
+    if nstates[0] > eia_val.size or nstates[1] > eia_core.size:
+        raise ValueError("basis too small for the requested number of states")
+
+    nroot = min(nstates[0], eia_val.size)
+    idx = np.argsort(eia_val)
+    nocc_val = nocc - ncore
+    for i in range(nroot):
+        tmp = np.zeros(eia_val.size)
+        tmp[idx[i + val_idx[i]]] = 1.0
+        tmp = tmp.reshape(nocc_val, nvir)
+        tmp = np.vstack([np.zeros((ncore, nvir)), tmp])
+        g = convert.convert_r_to_g_amp(tmp)
+        # zero the first of the two degenerate spin components
+        nz = np.transpose(np.nonzero(g))
+        g[tuple(nz[0])] = 0.0
+        x0.append(g)
+        DE.append(eia_val[idx[i + val_idx[i]]])
+
+    nroot = min(nstates[1], eia_core.size)
+    idx = np.argsort(eia_core)
+    for i in range(nroot):
+        tmp = np.zeros(eia_core.size)
+        tmp[idx[i + core_idx[i]]] = 1.0
+        tmp = tmp.reshape(ncore, nvir)
+        tmp = np.vstack([tmp, np.zeros((nocc_val, nvir))])
+        g = convert.convert_r_to_g_amp(tmp)
+        nz = np.transpose(np.nonzero(g))
+        g[tuple(nz[0])] = 0.0
+        x0.append(g)
+        DE.append(eia_core[idx[i + core_idx[i]]])
+
+    return x0, DE
+
+
+def get_DE(mo_energy, rs):
+    """Orbital-energy difference at the largest amplitude.
+    Reference utilities.py:481-493."""
+    nocc, nvir = np.asarray(rs).shape
+    mo_energy = np.asarray(mo_energy)
+    eia = mo_energy[nocc:] - mo_energy[:nocc, None]
+    idx = np.unravel_index(np.argmax(np.asarray(rs)), (nocc, nvir))
+    return eia[idx]
+
+
+def tdm_slater(TcL, TcR, occ_diff):
+    """Biorthogonal Slater transition density matrix in AO basis.
+    Reference utilities.py:496-515."""
+    Tg = np.diag(occ_diff)
+    return np.einsum("pi,ij,qj->pq", TcL, Tg, np.conj(TcR))
+
+
+def EOM_r0(DE, t1, r1, fsp, eris_oovv, r2=None):
+    """EOM r0 amplitudes. Reference utilities.py:518-548."""
+    n = len(r1)
+    nocc, nvir = np.asarray(r1[0]).shape
+    if r2 is None:
+        r2 = [np.zeros((nocc, nocc, nvir, nvir))] * n
+    Xia = np.asarray(fsp)[:nocc, nocc:] + np.einsum(
+        "me,imae->ia", np.asarray(t1), np.asarray(eris_oovv))
+    out = []
+    for k in range(n):
+        r0 = np.einsum("ld,ld", Xia, np.asarray(r1[k]))
+        r0 += 0.25 * np.einsum("lmde,lmde", np.asarray(eris_oovv), np.asarray(r2[k]))
+        out.append(r0 / DE[k])
+    return out

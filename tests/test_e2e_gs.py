@@ -1,0 +1,122 @@
+"""End-to-end ground-state tests through the ECW driver.
+
+Anchors (reference values):
+  - doctest run (reference __init__.py:9-40): h2o/6-31g, 'mat' target from
+    HF + field [0.05, 0.01, 0], L = 0.5 -> EHF = -75.9839, Eexp = -75.9860,
+    Ep = -75.9840, converged after 8 iterations.
+  - ECW-CCSD at L=0 equals plain CCSD (reference Solver_GS.py:885).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ecw_cc_tpu import ECW
+from ecw_cc_tpu.ops import ccsd as ccsd_ops
+
+
+@pytest.fixture(scope="module")
+def ecw_h2o():
+    ecw = ECW("h2o", "6-31g")
+    ecw.Build_GS_exp("mat", "HF", field=[0.05, 0.01, 0.0])
+    return ecw
+
+
+def test_doctest_anchors(ecw_h2o):
+    ecw = ecw_h2o
+    assert abs(ecw.EHF - (-75.9839)) < 1e-3
+    assert abs(ecw.Eexp_GS - (-75.9860)) < 1e-3
+    res = ecw.CCS_GS(np.linspace(0.5, 0.5, 1))
+    assert "Convergence reached" in res[0]
+    assert "after 8 iteration" in res[0]
+    Ep_tot = res[1][-1] + ecw.EHF
+    assert abs(Ep_tot - (-75.9840)) < 5e-4
+
+
+def test_host_device_solver_parity(ecw_h2o):
+    """The fully-jitted while_loop path must agree with the host loop to
+    f64 roundoff."""
+    from ecw_cc_tpu.ops.ccs import Gccs
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCS
+
+    ecw = ecw_h2o
+    VX = Exp(0.5, ecw.exp_data, ecw.mol, ecw.mo_coeff, Ek_exp_GS=ecw.Ek_exp_GS)
+    solver = Solver_CCS(Gccs(ecw.eris), VX, conv="tl", conv_thres=1e-5,
+                        diis="", maxiter=80)
+    r_host = solver._scf_host(0.5)
+    r_dev = solver.SCF_device(0.5)
+    assert r_host[0] == r_dev[0]
+    assert np.max(np.abs(r_host[5][0] - r_dev[5][0])) < 1e-12
+    assert np.max(np.abs(r_host[5][1] - r_dev[5][1])) < 1e-12
+    assert np.allclose(r_host[1], r_dev[1], atol=1e-10)
+
+
+def test_ccsd_L0_equals_plain_ccsd(ecw_h2o):
+    """The key regression invariant: at L=0, ECW-CCSD == vanilla CCSD
+    (reference Solver_GS.py:885, required parity 1e-8)."""
+    ecw = ecw_h2o
+    res = ecw.CCSD_GS([0.0], conv_thres=1e-8, maxiter=60)
+    Ep0 = res[1][-1]
+    eris = ecw.eris
+    nocc, nvir = ecw.nocc, ecw.nvir
+    e = np.diag(ecw.fock)
+    eia = e[:nocc, None] - e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t1 = jnp.zeros((nocc, nvir))
+    t2 = jnp.asarray(np.asarray(eris.oovv) / eijab)
+    e_old = 0.0
+    for _ in range(120):
+        t1, t2 = ccsd_ops.tupdate(eris, t1, t2, None)
+        e_cc = float(ccsd_ops.energy(eris, t1, t2, None))
+        if abs(e_cc - e_old) < 1e-12:
+            break
+        e_old = e_cc
+    assert abs(e_cc - Ep0) < 1e-8
+    # literature check: H2O/6-31G CCSD correlation energy ~ -0.1354
+    assert abs(e_cc - (-0.13540)) < 2e-4
+
+
+def test_lambda_sweep_warm_start(ecw_h2o):
+    """Sweep over several L values with warm-started amplitudes
+    (reference Main.py:595-646)."""
+    ecw = ecw_h2o
+    Larray = np.linspace(0.0, 0.4, 3)
+    res = ecw.CCS_GS(Larray, conv_thres=1e-5, maxiter=80)
+    assert len(ecw.Ep_lamb) == 3
+    assert len(ecw.Delta_lamb) == 3
+    # Delta decreases as the constraint is turned on
+    assert ecw.Delta_lamb[-1] < ecw.Delta_lamb[0]
+
+
+def test_ccsd_diis(ecw_h2o):
+    """CCSD with joint tl-DIIS converges and matches the no-DIIS fixed point."""
+    ecw = ecw_h2o
+    r1 = ecw.CCSD_GS([0.1], conv_thres=1e-7, maxiter=60)
+    r2 = ecw.CCSD_GS([0.1], conv_thres=1e-7, maxiter=60, diis="tl")
+    assert abs(r1[1][-1] - r2[1][-1]) < 1e-6
+
+
+def test_l1_regularization_sparsifies():
+    """L1 regularization on CCS amplitudes produces sparser solutions
+    (reference: Ivanov et al., utilities.subdiff path)."""
+    ecw = ECW("h2o", "6-31g")
+    ecw.Build_GS_exp("mat", "HF", field=[0.05, 0.01, 0.0])
+    res_plain = ecw.CCS_GS([0.2], conv_thres=1e-6, maxiter=120)
+    n_plain = np.sum(np.abs(res_plain[5][0]) > 1e-10)
+    res_l1 = ecw.CCS_GS([0.2], alpha=0.02, conv_thres=1e-6, maxiter=120)
+    n_l1 = np.sum(np.abs(res_l1[5][0]) > 1e-10)
+    assert n_l1 < n_plain
+
+
+def test_gs_outputs(tmp_path):
+    """Cube + table output files are produced (reference Main.py:206-213,
+    611-615, 1007-1010)."""
+    ecw = ECW("h2", "sto-3g", out_dir=str(tmp_path))
+    ecw.Build_GS_exp("mat", "HF", field=[0.02, 0.0, 0.0])
+    ecw.CCS_GS([0.1], nbr_cube_file=1, maxiter=50)
+    files = {f.name for f in tmp_path.iterdir()}
+    assert "HF.cube" in files
+    assert "target_GS.cube" in files
+    assert "output.txt" in files
+    assert any(f.startswith("L0.10") for f in files)

@@ -1,0 +1,105 @@
+"""Excited-state solver tests (coupled multi-state ECW-CCS).
+
+Mirrors the reference driver example (Main.py:1220-1231): H2O/6-31G with a
+transition-dipole target for ES1 and a kinetic-energy-difference target for
+ES2 (QChem H2O values, gamma_exp.py:27-94)."""
+
+import numpy as np
+import pytest
+
+from ecw_cc_tpu import ECW
+from ecw_cc_tpu.utils import linalg as ulinalg
+
+EV = 27.2114
+
+
+@pytest.fixture(scope="module")
+def ecw_es():
+    ecw = ECW("h2o", "6-31g")
+    dip = (0.523742 + 0.550251) / 2.0
+    DEk = 7.6051 * 0.03675
+    es_prop = [[["trdip", (dip, 0.0, 0.0)]], [["DEk", DEk]]]
+    ecw.Build_ES_exp_input(es_prop)
+    return ecw
+
+
+def test_koopman_guess(ecw_es):
+    """Koopman guesses: single excitation, sensible energies."""
+    ecw = ecw_es
+    assert len(ecw.r_ini) == 2
+    for r in ecw.r_ini:
+        assert np.sum(np.abs(r) > 0) == 1
+    r1, de = ulinalg.koopman_init_guess(np.diag(ecw.fock), ecw.mo_occ, [2, 0])
+    assert de[0] <= de[1]
+    assert 0.1 < de[0] < 1.5  # valence gap in au
+
+
+def test_es_solve_converges(ecw_es):
+    ecw = ecw_es
+    out = ecw.CCS_ES(0.15, method="scf", diis="all", conv="rl",
+                     conv_thres=1e-5, maxiter=60, print_ite=False)
+    Conv_text, dic_amp, Delta, Ep, rdm1_GS = out
+    assert "Convergence reached" in Conv_text
+    # excitation energies in a physically sensible window (QChem EOM-CCSD
+    # references: 7.61 eV and 9.96 eV)
+    e1, e2 = Ep[1, 0] * EV, Ep[2, 0] * EV
+    assert 6.0 < e1 < 10.0
+    assert 8.0 < e2 < 13.0
+    assert e2 > e1
+    # right and left energies agree at convergence
+    assert abs(Ep[1, 0] - Ep[1, 1]) < 1e-3
+    # GS rdm1 trace = nelec
+    assert abs(np.trace(rdm1_GS) - ecw.nocc) < 1e-8
+    # state norms ~ 1
+    C = ulinalg.check_ortho(dic_amp["rn"], dic_amp["ln"],
+                            dic_amp["r0n"], dic_amp["l0n"])
+    assert abs(C[0, 0] - 1) < 0.05
+    assert abs(C[1, 1] - 1) < 0.05
+
+
+def test_es_L0_pure_eom_limit():
+    """At L=0 the coupled ES solve decouples into plain EOM-CCS: the
+    converged energy must be an eigenvalue of the similarity-transformed
+    singles matrix restricted to the force_alpha subspace (rows 1::2, the
+    rows rsupdate leaves free, CCS.py:940-941)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES
+    from ecw_cc_tpu.ops.ccs import Gccs
+    from ecw_cc_tpu.ops import ccs as ccs_ops
+
+    ecw = ECW("h2o", "sto-3g")
+    es_prop = [[["trdip", (0.5, 0.0, 0.0)]]]
+    ecw.Build_ES_exp_input(es_prop)
+    Vexp = Exp(0.0, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    solver = Solver_ES(Gccs(ecw.eris), Vexp, rn_ini=ecw.r_ini, conv_var="rl",
+                       conv_thres=1e-7, maxiter=100, diis="all")
+    out = solver.SCF(0.0, print_ite=False)
+    assert "Convergence reached" in out[0]
+    E_scf = out[3][1, 0]
+    # build the full singles matrix at the converged t (= 0 at L=0)
+    nocc, nvir = ecw.nocc, ecw.nvir
+    ts = jnp.asarray(out[1]["ts"])
+    Fab, Fji, W, F, Tia, Pia = ccs_ops.R1inter(ecw.eris, ts, None, None)
+    A = (np.einsum("ab,ij->iajb", Fab, np.eye(nocc))
+         - np.einsum("ji,ab->iajb", Fji, np.eye(nvir))
+         + np.asarray(W).transpose(2, 0, 1, 3))  # akic -> i a k c
+    A = A.reshape(nocc * nvir, nocc * nvir) + float(F) * np.eye(nocc * nvir)
+    # restrict to the rows/cols rsupdate leaves free (odd occupied rows)
+    mask = np.zeros((nocc, nvir), dtype=bool)
+    mask[1::2, :] = True
+    idx = np.where(mask.ravel())[0]
+    w = np.linalg.eigvals(A[np.ix_(idx, idx)])
+    assert np.min(np.abs(w.real - E_scf)) < 1e-6
+
+
+def test_mom_es_targets():
+    """MOM delta-SCF ES target generation (reference gamma_exp.ESexp)."""
+    ecw = ECW("h2", "6-31g")
+    ecw.Build_ES_exp_MOM(nbr_of_es=(1, 0))
+    assert len(ecw.exp_data) == 2
+    assert ecw.exp_data[1][0][0] == "trmat"
+    de = ecw.Eexp_ES[0][0]
+    assert 0.3 < de < 1.5  # H2 HOMO->LUMO delta-SCF in au
+    tdm = ecw.exp_data[1][0][1][0]
+    assert tdm.shape == (2 * ecw.mol.nao,) * 2
