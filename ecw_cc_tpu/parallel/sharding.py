@@ -1,0 +1,68 @@
+"""Sharding rules for the ECW-CC tensors over a ('dp', 'tp') mesh.
+
+Layout rationale (jax-ml scaling-book recipe: pick a mesh, annotate
+shardings, let XLA insert the collectives):
+
+  - vvvv <ab||ef>: sharded along the FIRST virtual axis over 'tp'.  In the
+    ladder matmul  M[ij, ab] = tau[ij, ef] . W[ab, ef]  the contraction axis
+    (ef) stays local after an all-gather-free formulation: each shard owns a
+    slice of rows `ab`, computes its output slice locally — no collective at
+    all for the dominant term.
+  - ovvv / vovv: sharded along their largest virtual axis over 'tp'.
+  - oovv / amplitude tensors t2, l2: sharded along the LAST virtual axis over
+    'tp' (contractions against vvvv reduce over it -> psum), occupied axes
+    replicated (nocc is small in this domain).
+  - one-electron data (fock, t1, l1): replicated.
+  - an optional leading 'dp' batch axis (lambda sweep / alpha scan / states)
+    maps to `vmap` + sharding over 'dp'.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ecw_cc_tpu.models.eris import GEris
+
+
+def eris_shardings(mesh):
+    """Per-block NamedShardings for a GEris pytree."""
+    def S(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "fock": S(),
+        "oooo": S(),
+        "ooov": S(),
+        "oovo": S(),
+        "oovv": S(None, None, None, "tp"),
+        "ovov": S(),
+        "ovvo": S(),
+        "ovvv": S(None, "tp", None, None),
+        "ovoo": S(),
+        "vvvv": S("tp", None, None, None),
+        "vooo": S(),
+        "vovo": S(),
+        "voov": S(),
+        "vovv": S("tp", None, None, None),
+        "vvoo": S(),
+        "vvvo": S(),
+    }
+
+
+def amp_shardings(mesh):
+    """Shardings for the amplitude pytree {t1, t2, l1, l2}."""
+    def S(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    return {
+        "t1": S(), "l1": S(),
+        "t2": S(None, None, None, "tp"),
+        "l2": S(None, None, None, "tp"),
+    }
+
+
+def shard_eris(eris: GEris, mesh) -> GEris:
+    sh = eris_shardings(mesh)
+    return GEris(**{k: jax.device_put(getattr(eris, k), sh[k])
+                    for k in GEris._fields})
