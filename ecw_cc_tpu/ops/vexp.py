@@ -63,8 +63,16 @@ class Exp:
                         raise SyntaxError(
                             "structure factors require ['F', F, h, rec_vec]")
                     if self.F_int is None:
-                        self.dic_int["F"], self.F_int = uprops.FT_MO(
+                        _, self.F_int = uprops.FT_MO(
                             mol, prop[2], self.mo_coeff, prop[3])
+                        # G-format MO potential matrices via the same
+                        # transform convention as the other properties
+                        # (the reference stores the R-format FT_MO result,
+                        # which cannot broadcast against the G-format Vexp —
+                        # 'F' was never runnable end-to-end there)
+                        self.dic_int["F"] = np.stack([
+                            convert.convert_aoint(fa, self.mo_coeff)
+                            for fa in self.F_int])
                     self.h = prop[2]
                     self.rec_vec = prop[3]
                 if ("dip" in name or "trdip" in name) and self.dip_int is None:

@@ -367,12 +367,16 @@ class Solver_ES:
         return Conv_text, dic_amp, Delta, Ep, np.asarray(rdm1[0])
 
     # ------------------------------------------------------------------
-    def SCF_diag(self, L=None, dic_amp_ini=None, print_ite=True):
+    def SCF_diag(self, L=None, dic_amp_ini=None, print_ite=True,
+                 davidson=False, max_space=20):
         """Davidson-style variant: at each macro-iteration the R1/L1 updates
-        are replaced by exact diagonalization of the similarity-transformed
-        singles matrix (intended behavior of the reference's stale SCF_diag,
-        Solver_ES.py:502-862; exact diagonalization is used since the singles
-        space is small once the host front-end fits in memory)."""
+        are replaced by diagonalization of the similarity-transformed singles
+        matrix (intended behavior of the reference's stale SCF_diag,
+        Solver_ES.py:502-862).  With davidson=True the matrix-free
+        non-symmetric Davidson solver (utils.linalg.davidson_nosym, the
+        analogue of pyscf lib.davidson_nosym1 at Solver_ES.py:710-711) is
+        used with the orbital-energy-difference diagonal preconditioner;
+        otherwise exact dense diagonalization."""
         Vexp_class = self.Vexp_class
         nbr_states = self.nbr_states
         mycc = self.mycc
@@ -426,10 +430,37 @@ class Solver_ES:
             L1i = ccs_ops.L1inter(eris, ts, fsp[0])
             ls = ccs_ops.lsupdate(eris, ts, ls, L1i)
 
-            # exact diagonalization of the R1 map in the singles space
+            # diagonalization of the R1 map in the singles space
             for n in range(1, nbr_states):
                 Rinter = ccs_ops.R1inter(eris, ts, fsp[n], None)
                 Fab, Fji, W, F, Tia, Pia = Rinter
+                if davidson:
+                    # matrix-free Davidson on the R1 map with the
+                    # orbital-gap diagonal preconditioner
+                    diag_f = np.diag(np.asarray(mycc.fock))
+                    precond = (-diag_f[:nocc, None] + diag_f[None, nocc:]
+                               ).ravel() + float(F)
+
+                    def matvec(v):
+                        r = jnp.asarray(v.reshape(nocc, nvir))
+                        out = ccs_ops.R1eq(r, 0.0, Rinter)
+                        return np.asarray(out).ravel()
+
+                    x0 = [np.ravel(np.asarray(rn[n - 1]))]
+                    conv_dav, w_dav, xs = ulinalg.davidson_nosym(
+                        matvec, x0, precond, nroots=1, max_space=max_space,
+                        follow=True)
+                    Em = float(w_dav[0])
+                    vec = np.asarray(xs[0])
+                    vec = vec / np.linalg.norm(vec)
+                    rn[n - 1] = jnp.asarray(vec.reshape(nocc, nvir))
+                    r0n[n - 1] = float(ccs_ops.r0_fromE(eris, Em, ts, rn[n - 1],
+                                                        None, fsp=fsp[n]))
+                    ln[n - 1] = rn[n - 1]
+                    l0n[n - 1] = r0n[n - 1]
+                    Ep[n, 0] = Em
+                    Ep[n, 1] = Em
+                    continue
                 A = (jnp.einsum("ab,ij->iajb", Fab, jnp.eye(nocc))
                      - jnp.einsum("ji,ab->iajb", Fji, jnp.eye(nvir))
                      + jnp.einsum("akic->iakc", W).reshape(nocc, nvir, nocc, nvir))

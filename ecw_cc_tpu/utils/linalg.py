@@ -248,3 +248,91 @@ def EOM_r0(DE, t1, r1, fsp, eris_oovv, r2=None):
         r0 += 0.25 * np.einsum("lmde,lmde", np.asarray(eris_oovv), np.asarray(r2[k]))
         out.append(r0 / DE[k])
     return out
+
+
+def davidson_nosym(matvec, x0, diag, nroots=1, tol=1e-8, max_cycle=80,
+                   max_space=20, follow=False):
+    """Davidson eigensolver for a non-symmetric real matrix (right
+    eigenvectors), the analogue of pyscf.lib.davidson_nosym1 used by the
+    reference's Solver_ES.SCF_diag (Solver_ES.py:710-711).
+
+    :param matvec: callable v -> A v on flat vectors
+    :param x0: list of initial guess vectors
+    :param diag: diagonal of A (preconditioner)
+    :param nroots: number of roots
+    :param follow: if True, pick Ritz roots by maximum overlap with the
+        initial guesses (root homing for state-specific EOM solves) instead
+        of lowest eigenvalue
+    :return: (converged_flags, eigenvalues, eigenvectors)
+    """
+    diag = np.asarray(diag, dtype=float)
+    n = diag.size
+    V = []
+    AV = []
+
+    def orthonormalize(v):
+        for u in V:
+            v = v - u * np.dot(u, v)
+        nrm = np.linalg.norm(v)
+        return None if nrm < 1e-12 else v / nrm
+
+    for v in x0:
+        v = orthonormalize(np.asarray(v, dtype=float).ravel())
+        if v is not None:
+            V.append(v)
+    if not V:
+        raise ValueError("no independent initial vectors")
+
+    conv = [False] * nroots
+    theta = np.zeros(nroots)
+    Xs = [None] * nroots
+    for _ in range(max_cycle):
+        while len(AV) < len(V):
+            AV.append(np.asarray(matvec(V[len(AV)])).ravel())
+        m = len(V)
+        H = np.array([[np.dot(V[i], AV[j]) for j in range(m)] for i in range(m)])
+        w, y = np.linalg.eig(H)
+        if follow:
+            # overlap of each Ritz vector with the span of the guesses
+            G = np.array([np.asarray(g, dtype=float).ravel() for g in x0])
+            ritz_full = np.array([[np.dot(G[q], sum(y[i, k].real * V[i]
+                                                    for i in range(m)))
+                                   for k in range(m)] for q in range(len(G))])
+            score = np.max(np.abs(ritz_full), axis=0)
+            order = np.argsort(-score)
+        else:
+            order = np.argsort(w.real)
+        w = w[order]
+        y = y[:, order]
+        new_dirs = []
+        for k in range(min(nroots, m)):
+            theta[k] = w[k].real
+            xk = sum(y[i, k].real * V[i] for i in range(m))
+            Axk = sum(y[i, k].real * AV[i] for i in range(m))
+            r = Axk - theta[k] * xk
+            Xs[k] = xk / max(np.linalg.norm(xk), 1e-300)
+            conv[k] = np.linalg.norm(r) < tol
+            if not conv[k]:
+                denom = theta[k] - diag
+                denom = np.where(np.abs(denom) < 1e-8,
+                                 np.sign(denom + 1e-30) * 1e-8, denom)
+                new_dirs.append(r / denom)
+        if all(conv[: min(nroots, m)]) and m >= nroots:
+            break
+        if len(V) + len(new_dirs) > max_space:
+            # collapse the subspace to the current Ritz vectors
+            V = []
+            AV = []
+            for k in range(min(nroots, m)):
+                v = orthonormalize(Xs[k].copy())
+                if v is not None:
+                    V.append(v)
+        added = 0
+        for d in new_dirs:
+            v = orthonormalize(d)
+            if v is not None:
+                V.append(v)
+                added += 1
+        if added == 0 and not all(conv[:nroots]):
+            break
+    return conv, theta[:nroots], [Xs[k] for k in range(nroots)]

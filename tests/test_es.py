@@ -103,3 +103,20 @@ def test_mom_es_targets():
     assert 0.3 < de < 1.5  # H2 HOMO->LUMO delta-SCF in au
     tdm = ecw.exp_data[1][0][1][0]
     assert tdm.shape == (2 * ecw.mol.nao,) * 2
+
+
+def test_scf_diag_davidson_matches_exact():
+    """SCF_diag with the matrix-free Davidson equals exact diagonalization."""
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES
+    from ecw_cc_tpu.ops.ccs import Gccs
+
+    ecw = ECW("h2o", "sto-3g")
+    es_prop = [[["trdip", (0.5, 0.0, 0.0)]]]
+    ecw.Build_ES_exp_input(es_prop)
+    Vexp = Exp(0.0, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    solver = Solver_ES(Gccs(ecw.eris), Vexp, rn_ini=ecw.r_ini, conv_var="rl",
+                       conv_thres=1e-7, maxiter=60)
+    out_e = solver.SCF_diag(0.0)
+    out_d = solver.SCF_diag(0.0, davidson=True)
+    assert abs(out_e[3][1, 0] - out_d[3][1, 0]) < 1e-6
