@@ -66,7 +66,21 @@ def _c2s_matrix(l):
             [0.0, 0.0, s3, 0.0, 0.0, 0.0],        # sqrt(3) xz
             [s3 / 2, 0.0, 0.0, -s3 / 2, 0.0, 0.0],  # sqrt(3)/2 (x2-y2)
         ])
-    raise NotImplementedError(f"l={l} not supported yet (s,p,d only)")
+    if l == 3:
+        # cols: xxx xxy xxz xyy xyz xzz yyy yyz yzz zzz
+        a = np.sqrt(5.0 / 8.0)
+        b = np.sqrt(15.0)
+        c = np.sqrt(3.0 / 8.0)
+        M = np.zeros((7, 10))
+        M[0, 1], M[0, 6] = 3 * a, -a          # m=-3: sqrt(5/8)(3x2y - y3)
+        M[1, 4] = b                           # m=-2: sqrt(15) xyz
+        M[2, 8], M[2, 1], M[2, 6] = 4 * c, -c, -c  # m=-1
+        M[3, 9], M[3, 2], M[3, 7] = 1.0, -1.5, -1.5  # m=0
+        M[4, 5], M[4, 0], M[4, 3] = 4 * c, -c, -c  # m=+1
+        M[5, 2], M[5, 7] = b / 2, -b / 2      # m=+2
+        M[6, 0], M[6, 3] = a, -3 * a          # m=+3
+        return M
+    raise NotImplementedError(f"l={l} not supported yet (s,p,d,f only)")
 
 
 class Shell:
@@ -413,11 +427,22 @@ def _pair_hermite(sha, shb):
     return T, p, P
 
 
-def eri(bs: BasisSet):
+def eri(bs: BasisSet, native="auto"):
     """Full (nao,nao,nao,nao) spherical ERI tensor, chemists' notation (ij|kl).
 
+    native='auto' uses the C++ engine (ecw_cc_tpu/native) when it compiles,
+    falling back to this NumPy implementation; native=False forces NumPy
+    (used as the cross-check oracle for the C++ engine).
     Uses 4-fold shell-pair symmetry (ij|kl) = (ji|kl) = (ij|lk) = (kl|ij).
     """
+    if native != False:  # noqa: E712  (allow 'auto'/True)
+        import os as _os
+        if _os.environ.get("ECW_CC_TPU_NO_NATIVE", "0") != "1":
+            from ecw_cc_tpu import native as _native
+            if _native.available():
+                return _native.compute_eri(bs)
+            if native is True:
+                raise RuntimeError("native ERI engine requested but unavailable")
     nao = bs.nao
     nsh = len(bs.shells)
     pairs = []

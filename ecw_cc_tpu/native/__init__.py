@@ -1,0 +1,92 @@
+"""Native (C++) integral engine loader.
+
+Compiles mdint.cpp to libmdint.so on first use (g++ -O3) and exposes
+`compute_eri(basis_set) -> (nao,nao,nao,nao)` via ctypes.  Falls back to the
+NumPy engine transparently if no C++ toolchain is available
+(models/integrals.py checks `available()`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "mdint.cpp")
+_LIB = os.path.join(_HERE, "libmdint.so")
+_lib = None
+_build_error = None
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def _load():
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if _build_error is not None:
+        return None
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            _build()
+        lib = ctypes.CDLL(_LIB)
+        lib.compute_eri.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.int32, flags="C"),
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+            np.ctypeslib.ndpointer(np.float64, flags="C"),
+        ]
+        lib.compute_eri.restype = None
+        _lib = lib
+        return _lib
+    except Exception as exc:  # pragma: no cover - toolchain missing
+        _build_error = exc
+        return None
+
+
+def available():
+    return _load() is not None
+
+
+def compute_eri(bs):
+    """Full spherical ERI tensor from the C++ engine (chemists' (ij|kl))."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {_build_error}")
+    shells = bs.shells
+    nshell = len(shells)
+    ls = np.array([sh.l for sh in shells], dtype=np.int32)
+    nprim = np.array([len(sh.exps) for sh in shells], dtype=np.int32)
+    prim_off = np.zeros(nshell, dtype=np.int32)
+    off = 0
+    exps, coefs = [], []
+    for i, sh in enumerate(shells):
+        prim_off[i] = off
+        exps.extend(sh.exps.tolist())
+        coefs.extend(sh.coefs.tolist())
+        off += len(sh.exps)
+    exps = np.asarray(exps, dtype=np.float64)
+    coefs = np.asarray(coefs, dtype=np.float64)
+    centers = np.ascontiguousarray(
+        np.array([sh.center for sh in shells], dtype=np.float64))
+    sph_off = np.asarray(bs.sph_offsets, dtype=np.int32)
+    norms = np.ascontiguousarray(bs._norms, dtype=np.float64)
+    out = np.zeros((bs.nao,) * 4, dtype=np.float64)
+    lib.compute_eri(nshell, ls, nprim, prim_off, exps, coefs,
+                    centers.reshape(-1), sph_off, bs.nao, norms,
+                    out.reshape(-1))
+    return out
