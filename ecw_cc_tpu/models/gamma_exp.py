@@ -68,6 +68,7 @@ class Gexp:
         self.method = method
         self.EHF_def = 0.0
         self.ECCSD_def = 0.0
+        self.ECCSD_t_def = 0.0
         self.Eexp = 0.0
 
     def deform(self, def_max, rng=None):
@@ -113,12 +114,23 @@ class Gexp:
             rdm1_ao_g = convert.mo_to_ao(rdm1_mo_g, ghf.mo_coeff)
             self.gamma_ao = convert.convert_g_to_ru_rdm1(rdm1_ao_g)[0]
             return
-        if self.method.upper().replace("(", "").replace(")", "") in ("CCSDT", "CCSDt"):
-            raise NotImplementedError(
-                "CCSD(T) target densities require the (T) lambda response "
-                "density (reference gamma_exp.py:228-248); planned for the "
-                "ccsd_t module")
-        raise ValueError("method not recognized (use 'HF' or 'CCSD')")
+        if self.method.upper().replace("(", "").replace(")", "") == "CCSDT":
+            from ecw_cc_tpu.ops import ccsd_t
+
+            ghf = GHF(self.mf_def)
+            eris = build_eris(self.mol_def, ghf).to_device()
+            t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+            et = float(ccsd_t.energy_t(eris, t1, t2))
+            self.ECCSD_def = e_cc
+            self.ECCSD_t_def = e_cc + et
+            self.Eexp = self.EHF_def + e_cc + et
+            rdm1_mo_g = np.asarray(ccsd_t.ccsd_t_rdm1_response(eris, t1, t2))
+            # symmetrize (the response density of a real functional)
+            rdm1_mo_g = 0.5 * (rdm1_mo_g + rdm1_mo_g.T)
+            rdm1_ao_g = convert.mo_to_ao(rdm1_mo_g, ghf.mo_coeff)
+            self.gamma_ao = convert.convert_g_to_ru_rdm1(rdm1_ao_g)[0]
+            return
+        raise ValueError("method not recognized (use 'HF', 'CCSD' or 'CCSD(T)')")
 
     def underfit(self, para_factor, rng=None):
         """Randomly zero elements of gamma_ao to simulate under-fitting.

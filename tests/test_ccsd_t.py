@@ -1,0 +1,90 @@
+"""CCSD(T) energy + response-density tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ecw_cc_tpu.ops import ccsd_t, ccsd as ccsd_ops
+
+
+def test_t_zero_for_two_electrons(h2_631g):
+    """(T) vanishes identically for a 2-electron system (no triples)."""
+    mol, ghf, eris_host, eris_dev = h2_631g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris_dev)
+    et = float(ccsd_t.energy_t(eris_dev, t1, t2))
+    assert abs(et) < 1e-12
+
+
+@pytest.fixture(scope="module")
+def h2o_system(h2o_sto3g):
+    mol, ghf, eris_host, eris_dev = h2o_sto3g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris_dev)
+    return eris_dev, t1, t2, e_cc
+
+
+def test_t_energy_sign_and_magnitude(h2o_system):
+    """(T) is a small negative correction for H2O near equilibrium."""
+    eris, t1, t2, e_cc = h2o_system
+    et = float(ccsd_t.energy_t(eris, t1, t2))
+    assert -5e-3 < et < 0.0
+
+
+def test_t3_antisymmetry(h2o_system):
+    eris, t1, t2, e_cc = h2o_system
+    t3c, t3d, D, w = ccsd_t._t3_pieces(eris, t1, t2, None)
+    t3c = np.asarray(t3c)
+    assert np.allclose(t3c, -t3c.transpose(1, 0, 2, 3, 4, 5), atol=1e-10)
+    assert np.allclose(t3c, -t3c.transpose(0, 2, 1, 3, 4, 5), atol=1e-10)
+    assert np.allclose(t3c, -t3c.transpose(0, 1, 2, 4, 3, 5), atol=1e-10)
+    assert np.allclose(t3c, -t3c.transpose(0, 1, 2, 3, 5, 4), atol=1e-10)
+
+
+def test_response_density_finite_difference(h2o_system, h2o_sto3g):
+    """The adjoint-computed CCSD(T) density is the exact derivative of the
+    converged E_CCSD(T) w.r.t. the one-body matrix (frozen orbitals):
+        Tr(gamma_corr A) == d/de E(f + e A)  at e -> 0."""
+    eris, t1, t2, e_cc = h2o_system
+    mol, ghf, eris_host, _ = h2o_sto3g
+    nocc, nvir = t1.shape
+    dim = nocc + nvir
+
+    gamma = np.asarray(ccsd_t.ccsd_t_rdm1_response(eris, t1, t2))
+    rng = np.random.default_rng(5)
+    A = rng.standard_normal((dim, dim)) * 0.5
+    A = A + A.T
+
+    def etot(eps):
+        f = jnp.asarray(np.asarray(eris.fock) + eps * A)
+        # re-solve amplitudes at perturbed f (frozen MOs)
+        t1p, t2p = jnp.zeros_like(t1), t2
+        t1p, t2p = t1, t2
+        e_old = 0.0
+        for _ in range(300):
+            t1p, t2p = ccsd_ops.tupdate(eris, t1p, t2p, fsp=f)
+            e_now = float(ccsd_ops.energy(eris, t1p, t2p, f))
+            if abs(e_now - e_old) < 1e-12:
+                break
+            e_old = e_now
+        return (float(ccsd_ops.energy(eris, t1p, t2p, f))
+                + float(ccsd_t.energy_t(eris, t1p, t2p, f))
+                + float(jnp.einsum("pq,qp", f, jnp.diag(
+                    jnp.concatenate([jnp.ones(nocc), jnp.zeros(nvir)])))))
+
+    eps = 2e-5
+    deriv_fd = (etot(eps) - etot(-eps)) / (2 * eps)
+    deriv_an = np.einsum("pq,qp", A, gamma)
+    assert abs(deriv_fd - deriv_an) < 1e-6
+
+
+def test_gexp_ccsd_t_target():
+    """Gexp builds a CCSD(T) target density end to end."""
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.gamma_exp import Gexp
+
+    mol = Molecule("h2o", "sto-3g")
+    gexp = Gexp(mol, "CCSD(T)")
+    gexp.build()
+    g = gexp.gamma_ao
+    S = mol.intor("ovlp")
+    assert abs(np.einsum("ij,ji", g, S) - mol.nelectron) < 1e-6
+    assert gexp.Eexp < gexp.EHF_def  # correlation lowers the energy
