@@ -21,7 +21,7 @@ from ecw_cc_tpu.ops.ccsd import GCC
 from ecw_cc_tpu.ops.vexp import Exp
 from ecw_cc_tpu.solvers.gs import Solver_CCS, Solver_CCSD
 from ecw_cc_tpu.solvers.es import Solver_ES
-from ecw_cc_tpu.utils import convert, props, linalg, output
+from ecw_cc_tpu.utils import convert, props, linalg, output, checkpoint
 
 format_float = "{:10.5e}"
 
@@ -240,7 +240,7 @@ class ECW:
     def CCS_GS(self, Larray, alpha=None, method="scf", diis="", nbr_cube_file=2,
                tl1ini=0, print_ite_info=False, beta=None, diis_max=15, conv="tl",
                conv_thres=1e-5, maxiter=80, tablefmt="rst", HF_prop=False,
-               target_rdm1_GS=None):
+               target_rdm1_GS=None, checkpoint_dir=None, resume=False):
         """GS-ECW-CCS lambda sweep. Reference Main.py:490-661."""
         self.diis = diis + f" diis_max={diis_max}"
         if method == "L1_grad" and beta is None:
@@ -280,6 +280,10 @@ class ECW:
         print()
         for idx_L, L in enumerate(Larray):
             print("LAMBDA= ", L)
+            if resume and checkpoint_dir is not None:
+                saved = checkpoint.load_amplitudes(checkpoint_dir, L)
+                if saved is not None:
+                    ts, ls = saved["ts"], saved["ls"]
             if method == "newton":
                 Result = Solve.Gradient(L, ts=ts, ls=ls)
             elif method == "descend":
@@ -291,6 +295,10 @@ class ECW:
             else:
                 raise ValueError("method not recognized")
             ts, ls = Result[5]
+            if checkpoint_dir is not None:
+                checkpoint.save_amplitudes(checkpoint_dir, L,
+                                           {"ts": ts, "ls": ls},
+                                           meta={"Ep": float(Result[1][-1])})
             if self.out_dir is not None and idx_L in idx_L_print:
                 fout = os.path.join(self.out_dir, f"L{L:.2f}")
                 output.cube_rdm1(Result[4], self.mo_coeff, self.mol, fout)
@@ -327,7 +335,8 @@ class ECW:
 
     def CCSD_GS(self, Larray, alpha=None, diis="", nbr_cube_file=2, tl1ini=0,
                 print_ite_info=False, diis_max=15, conv="tl", conv_thres=1e-5,
-                maxiter=40, tablefmt="rst", HF_prop=False, target_rdm1_GS=None):
+                maxiter=40, tablefmt="rst", HF_prop=False, target_rdm1_GS=None,
+                checkpoint_dir=None, resume=False):
         """GS-ECW-CCSD lambda sweep. Reference Main.py:663-816."""
         self.diis = diis + f" diis_max={diis_max}"
         if len(self.exp_data) > 1:
@@ -361,8 +370,17 @@ class ECW:
         print()
         for idx_L, L in enumerate(Larray):
             print("LAMBDA= ", L)
+            if resume and checkpoint_dir is not None:
+                saved = checkpoint.load_amplitudes(checkpoint_dir, L)
+                if saved is not None:
+                    ts, ls = saved["ts"], saved["ls"]
+                    td, ld = saved["td"], saved["ld"]
             Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha)
             ts, ls, td, ld = Result[5]
+            if checkpoint_dir is not None:
+                checkpoint.save_amplitudes(
+                    checkpoint_dir, L, {"ts": ts, "ls": ls, "td": td, "ld": ld},
+                    meta={"Ep": float(Result[1][-1])})
             if self.out_dir is not None and idx_L in idx_L_print:
                 fout = os.path.join(self.out_dir, f"L{L:.2f}")
                 output.cube_rdm1(Result[4], self.mo_coeff, self.mol, fout)

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from ecw_cc_tpu.ops import ccs
-from tests.fci_oracle import CCOracle
+from ecw_cc_tpu.oracle import CCOracle
 from tests.conftest import random_g_amp
 
 

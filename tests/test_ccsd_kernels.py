@@ -6,7 +6,7 @@ import pytest
 
 from ecw_cc_tpu.ops import ccsd
 from ecw_cc_tpu.utils import convert
-from tests.fci_oracle import CCOracle
+from ecw_cc_tpu.oracle import CCOracle
 from tests.test_ccs_kernels import _assemble_full_eri
 
 

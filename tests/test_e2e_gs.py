@@ -120,3 +120,23 @@ def test_gs_outputs(tmp_path):
     assert "target_GS.cube" in files
     assert "output.txt" in files
     assert any(f.startswith("L0.10") for f in files)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Lambda-sweep checkpointing: amplitudes serialized per lambda and
+    reusable as warm starts across driver instances."""
+    ecw = ECW("h2", "sto-3g")
+    ecw.Build_GS_exp("mat", "HF", field=[0.02, 0.0, 0.0])
+    ck = str(tmp_path / "ckpt")
+    ecw.CCSD_GS([0.0, 0.1], conv_thres=1e-7, maxiter=50, checkpoint_dir=ck)
+    from ecw_cc_tpu.utils import checkpoint
+    L, amps = checkpoint.last_checkpoint(ck)
+    assert L == 0.1
+    assert set(amps) == {"ts", "ls", "td", "ld"}
+    # resume: a fresh driver run warm-starts from the saved amplitudes
+    ecw2 = ECW("h2", "sto-3g")
+    ecw2.Build_GS_exp("mat", "HF", field=[0.02, 0.0, 0.0])
+    res = ecw2.CCSD_GS([0.1], conv_thres=1e-7, maxiter=50,
+                       checkpoint_dir=ck, resume=True)
+    assert "Convergence reached" in res[0]
+    assert len(res[1]) <= 4  # warm start converges almost immediately

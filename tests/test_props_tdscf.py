@@ -5,7 +5,7 @@ import pytest
 
 from ecw_cc_tpu.models import tdscf
 from ecw_cc_tpu.utils import props, linalg
-from tests.fci_oracle import CCOracle
+from ecw_cc_tpu.oracle import CCOracle
 from tests.test_ccs_kernels import _assemble_full_eri
 
 
