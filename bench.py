@@ -157,12 +157,18 @@ def main():
     # ---- NumPy f64 baseline (reference engine) -------------------------
     # Note: the numpy step covers the t-update + rdm1 + Vexp (the lambda
     # update costs the same order; measuring the same subset on both sides).
-    t1, t2 = t1_0.copy(), t2_0.copy()
-    n_np = 1  # ~25 s/iteration at this problem size
-    t0 = time.perf_counter()
-    for _ in range(n_np):
+    # The measurement (~25 s/iteration) is cached alongside the integrals.
+    base_file = CACHE + ".baseline.json"
+    if os.path.exists(base_file):
+        with open(base_file) as f:
+            numpy_ms = json.load(f)["numpy_ms"]
+    else:
+        t1, t2 = t1_0.copy(), t2_0.copy()
+        t0 = time.perf_counter()
         numpy_step(blocks, t1, t2, 0.5 * t1, 0.5 * t2, target, Lw)
-    numpy_ms = (time.perf_counter() - t0) / n_np * 1e3
+        numpy_ms = (time.perf_counter() - t0) * 1e3
+        with open(base_file, "w") as f:
+            json.dump({"numpy_ms": numpy_ms}, f)
 
     # ---- JAX/TPU f32 fused step ----------------------------------------
     import ecw_cc_tpu.config as config
@@ -177,7 +183,6 @@ def main():
     eris = GEris(**{k: jnp.asarray(blocks[k], dtype=dtype) for k in GEris._fields})
     tgt = jnp.asarray(target, dtype=dtype)
 
-    @jax.jit
     def step(t1, t2, l1, l2):
         rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
         fsp = eris.fock - Lw * (tgt - rdm1)
@@ -185,17 +190,29 @@ def main():
         Ep = ccsd_ops.energy(eris, t1n, t2n, fsp)
         return t1n, t2n, Ep
 
+    # time K chained iterations inside ONE jitted fori_loop (a single device
+    # dispatch: excludes host<->device round-trip latency from the number)
+    K = 50
+
+    @jax.jit
+    def run_k(t1, t2):
+        def body(_, carry):
+            a, b, _ = carry
+            return step(a, b, 0.5 * a, 0.5 * b)
+        return jax.lax.fori_loop(0, K, body,
+                                 (t1, t2, jnp.asarray(0.0, t1.dtype)))
+
     t1j = jnp.asarray(t1_0, dtype=dtype)
     t2j = jnp.asarray(t2_0, dtype=dtype)
-    out = step(t1j, t2j, 0.5 * t1j, 0.5 * t2j)
+    out = run_k(t1j, t2j)
     jax.block_until_ready(out)
-    n_it = 10
-    t0 = time.perf_counter()
-    a, b = t1j, t2j
-    for _ in range(n_it):
-        a, b, Ep = step(a, b, 0.5 * a, 0.5 * b)
-    jax.block_until_ready((a, b))
-    tpu_ms = (time.perf_counter() - t0) / n_it * 1e3
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run_k(t1j, t2j)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / K * 1e3)
+    tpu_ms = best
 
     print(json.dumps({
         "metric": "ecw_ccsd_iteration_c2h2_ccpvdz",
