@@ -266,12 +266,66 @@ void compute_eri(int nshell, const int* l, const int* nprim,
     std::vector<double> R;
     const int stride3 = nao, stride2 = nao * nao, stride1 = (size_t)nao * nao * nao;
 
+    // Cauchy-Schwarz screening bounds: Q_P = sqrt(max |(P|P)|) per shell pair
+    std::vector<double> Q(npair, 0.0);
+    {
+        std::vector<double> diagbuf;
+        for (int kp = 0; kp < npair; ++kp) {
+            const PairData& P = pairs[kp];
+            const int Lp = P.la + P.lb;
+            const int np_ = NCART[P.la] * NCART[P.lb];
+            const int nh = ntuv(Lp);
+            const int Lt = 2 * Lp;
+            R.resize(ntuv(Lt));
+            diagbuf.assign((size_t)np_ * np_, 0.0);
+            for (int p1 = 0; p1 < P.nprim; ++p1) {
+                const double pb = P.p[p1];
+                const double* Pb = &P.P[p1*3];
+                const double* H1 = &P.H[(size_t)p1 * nh * np_];
+                for (int p2 = 0; p2 < P.nprim; ++p2) {
+                    const double pk = P.p[p2];
+                    const double* Pk = &P.P[p2*3];
+                    const double* H2 = &P.H[(size_t)p2 * nh * np_];
+                    const double alpha = pb * pk / (pb + pk);
+                    const double PQ[3] = {Pb[0]-Pk[0], Pb[1]-Pk[1], Pb[2]-Pk[2]};
+                    const double pref = 2.0 * std::pow(PI, 2.5)
+                        / (pb * pk * std::sqrt(pb + pk));
+                    rtable(Lt, alpha, PQ, R.data());
+                    for (int t1_ = 0; t1_ <= Lp; ++t1_)
+                    for (int u1 = 0; u1 <= Lp - t1_; ++u1)
+                    for (int v1 = 0; v1 <= Lp - t1_ - u1; ++v1) {
+                        const int i1 = tuv_index(t1_, u1, v1, Lp);
+                        for (int t2_ = 0; t2_ <= Lp; ++t2_)
+                        for (int u2 = 0; u2 <= Lp - t2_; ++u2)
+                        for (int v2 = 0; v2 <= Lp - t2_ - u2; ++v2) {
+                            const int i2 = tuv_index(t2_, u2, v2, Lp);
+                            const double sign = ((t2_ + u2 + v2) & 1) ? -1.0 : 1.0;
+                            const double rv = sign * pref
+                                * R[tuv_index(t1_+t2_, u1+u2, v1+v2, Lt)];
+                            if (rv == 0.0) continue;
+                            for (int ab = 0; ab < np_; ++ab)
+                                diagbuf[(size_t)ab * np_ + ab] +=
+                                    rv * H1[(size_t)i1 * np_ + ab]
+                                       * H2[(size_t)i2 * np_ + ab];
+                        }
+                    }
+                }
+            }
+            double mx = 0.0;
+            for (int ab = 0; ab < np_; ++ab)
+                mx = std::max(mx, std::fabs(diagbuf[(size_t)ab * np_ + ab]));
+            Q[kp] = std::sqrt(mx);
+        }
+    }
+    constexpr double SCREEN_THRESH = 1e-14;
+
     for (int kb = 0; kb < npair; ++kb) {
         const PairData& B = pairs[kb];
         const int Lb = B.la + B.lb;
         const int nhb = ntuv(Lb);
         const int nab = NCART[B.la] * NCART[B.lb];
         for (int kk = 0; kk <= kb; ++kk) {
+            if (Q[kb] * Q[kk] < SCREEN_THRESH) continue;
             const PairData& K = pairs[kk];
             const int Lk = K.la + K.lb;
             const int nhk = ntuv(Lk);

@@ -65,10 +65,11 @@ class Solver_CCS:
             raise ValueError("Accepted convergence parameter is Ep, l or tl")
         self.conv = conv
         self.fock = mycc.fock
-        self.tsini = (jnp.zeros((self.nocc, self.nvir)) if tsini is None
-                      else jnp.asarray(tsini))
-        self.lsini = (jnp.zeros((self.nocc, self.nvir)) if lsini is None
-                      else jnp.asarray(lsini))
+        dt = self.fock.dtype
+        self.tsini = (jnp.zeros((self.nocc, self.nvir), dtype=dt) if tsini is None
+                      else jnp.asarray(tsini, dtype=dt))
+        self.lsini = (jnp.zeros((self.nocc, self.nvir), dtype=dt) if lsini is None
+                      else jnp.asarray(lsini, dtype=dt))
         self._device_ok = all(p in _DEVICE_PROPS
                               for p in self.myVexp.prop_names[0])
 
@@ -237,8 +238,9 @@ class Solver_CCS:
         return run
 
     def SCF_device(self, L, ts=None, ls=None, diis="", alpha=None):
-        ts = self.tsini if ts is None else jnp.asarray(ts)
-        ls = self.lsini if ls is None else jnp.asarray(ls)
+        dt = self.fock.dtype
+        ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
+        ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
         diis = diis or self.diis
         key = (diis, alpha is not None)
         if not hasattr(self, "_device_solvers"):
@@ -385,18 +387,19 @@ class Solver_CCSD:
             raise ValueError("Accepted convergence parameter is Ep, l or tl")
         self.conv = conv
         nocc, nvir = self.nocc, self.nvir
-        self.tsini = (jnp.zeros((nocc, nvir)) if tsini is None
-                      else jnp.asarray(tsini))
-        self.lsini = (jnp.zeros((nocc, nvir)) if lsini is None
-                      else jnp.asarray(lsini))
+        dt = self.fock.dtype
+        self.tsini = (jnp.zeros((nocc, nvir), dtype=dt) if tsini is None
+                      else jnp.asarray(tsini, dtype=dt))
+        self.lsini = (jnp.zeros((nocc, nvir), dtype=dt) if lsini is None
+                      else jnp.asarray(lsini, dtype=dt))
         if tdini is None:
             mo_e = jnp.diag(self.fock)
             eia = mo_e[:nocc, None] - mo_e[None, nocc:]
             eijab = eia[:, None, :, None] + eia[None, :, None, :]
             tdini = mycc.eris.oovv / eijab
             ldini = tdini
-        self.tdini = jnp.asarray(tdini)
-        self.ldini = jnp.asarray(ldini)
+        self.tdini = jnp.asarray(tdini, dtype=dt)
+        self.ldini = jnp.asarray(ldini, dtype=dt)
         self._device_ok = all(p in _DEVICE_PROPS
                               for p in self.myVexp.prop_names[0])
 
@@ -558,10 +561,11 @@ class Solver_CCSD:
         return run
 
     def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis=""):
-        ts = self.tsini if ts is None else jnp.asarray(ts)
-        ls = self.lsini if ls is None else jnp.asarray(ls)
-        td = self.tdini if td is None else jnp.asarray(td)
-        ld = self.ldini if ld is None else jnp.asarray(ld)
+        dt = self.fock.dtype
+        ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
+        ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
+        td = self.tdini if td is None else jnp.asarray(td, dtype=dt)
+        ld = self.ldini if ld is None else jnp.asarray(ld, dtype=dt)
         diis = diis or self.diis
         key = (diis, alpha is not None)
         if not hasattr(self, "_device_solvers"):
@@ -580,3 +584,42 @@ class Solver_CCSD:
         self.myVexp.Vexp_update(rdm1, rdm1, (0, 0), L=L)
         return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1,
                 [ts_f, ls_f, td_f, ld_f])
+
+
+# ---------------------------------------------------------------------------
+# Mixed precision: f32 device solve + f64 polish
+# ---------------------------------------------------------------------------
+
+def polish_f64(eris_host, VXexp, L, amps, n_iter=6, alpha=None,
+               energy_term="ref"):
+    """Refine f32-converged ECW-CCSD amplitudes with f64 iterations on the
+    CPU backend, recovering 1e-8 parity with a full-f64 solve (the
+    mixed-precision scheme from BASELINE.md's hard parts: iterate in f32 on
+    the MXU, correct the residual in f64).
+
+    :param eris_host: ErisHost (f64 NumPy blocks)
+    :param VXexp: host Vexp engine
+    :param L: constraint weight
+    :param amps: (ts, ls, td, ld) from the f32 solve
+    :param n_iter: number of f64 polish iterations (the f32 fixed point is
+        already within ~1e-6; a handful of contraction-steps suffice)
+    :return: (ts, ls, td, ld) in f64, and the final Ep
+    """
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+    eris64 = eris_host.to_device(dtype="float64")
+    eris64 = jax.tree.map(lambda x: jax.device_put(np.asarray(x), cpu), eris64)
+    ts, ls, td, ld = [jax.device_put(np.asarray(a, dtype=np.float64), cpu)
+                      for a in amps]
+    fock = np.asarray(eris_host.fock)
+    Ep = None
+    for _ in range(n_iter):
+        rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
+        VXexp.Vexp_update(np.asarray(rdm1), np.asarray(rdm1), (0, 0), L=L)
+        fsp = jax.device_put(fock - VXexp.Vexp[0, 0], cpu)
+        Ep = float(ccsd_ops.energy(eris64, ts, td, fsp))
+        ts, td = ccsd_ops.tupdate(eris64, ts, td, fsp=fsp, alpha=alpha)
+        ls, ld = ccsd_ops.lupdate(eris64, ts, td, ls, ld, fsp=fsp, alpha=alpha,
+                                  energy_term=energy_term)
+    return (np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)), Ep

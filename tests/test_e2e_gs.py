@@ -140,3 +140,35 @@ def test_checkpoint_resume(tmp_path):
                        checkpoint_dir=ck, resume=True)
     assert "Convergence reached" in res[0]
     assert len(res[1]) <= 4  # warm start converges almost immediately
+
+
+def test_mixed_precision_polish(ecw_h2o):
+    """f32 solve + a few f64 polish iterations reaches the f64 fixed point
+    to 1e-8 (BASELINE.md mixed-precision scheme)."""
+    import jax
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD, polish_f64
+
+    ecw = ecw_h2o
+    L = 0.1
+    # full f64 solve (ground truth)
+    VX64 = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    s64 = Solver_CCSD(GCC(ecw.eris), VX64, conv="tl", conv_thres=1e-10,
+                      maxiter=120)
+    r64 = s64.SCF(L)
+    # f32 solve
+    eris32 = ecw.eris_host.to_device(dtype="float32")
+    VX32 = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    s32 = Solver_CCSD(GCC(eris32), VX32, conv="tl", conv_thres=3e-6,
+                      maxiter=120)
+    r32 = s32.SCF(L)
+    e32 = r32[1][-1]
+    assert abs(e32 - r64[1][-1]) > 1e-9  # f32 alone is NOT at 1e-8
+    # polish
+    VXp = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    amps, Ep = polish_f64(ecw.eris_host, VXp, L, r32[5], n_iter=8)
+    assert abs(Ep - r64[1][-1]) < 1e-8
+    for a, b in zip(amps, r64[5]):
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-6
