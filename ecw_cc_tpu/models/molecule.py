@@ -39,6 +39,12 @@ def parse_geometry(spec):
         key = spec.strip().lower()
         if key in GEOMETRIES:
             return [(s, tuple(c)) for s, c in GEOMETRIES[key]]
+        if not any(ch.isdigit() for ch in spec):
+            # a bare name that isn't in the catalog (reference Main.py:123-129)
+            raise ValueError(
+                f"molecule {spec!r} not recognized; available: "
+                f"{sorted(GEOMETRIES)} — or pass an explicit geometry "
+                "string/list")
         atoms = []
         for line in spec.replace(";", "\n").strip().splitlines():
             parts = line.split()
