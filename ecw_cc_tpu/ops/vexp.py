@@ -362,3 +362,150 @@ def make_gs_vexp_device(exp: Exp):
         return v, delta, vmax
 
     return device_update
+
+
+def make_es_vexp_device(exp: Exp):
+    """Compile the multi-state Vexp update into a pure jitted function
+
+        (rdm1_gs, rdm1_es, tr_r, tr_l, Lflat) ->
+            (V00, Vnn, V0n, Vn0, Delta)
+
+    where rdm1_es/tr_r/tr_l are stacked (n_es, dim, dim), Vnn/V0n/Vn0 are
+    stacked potentials and Delta is the (n_states, n_states) deviation
+    matrix.  Supports the property set exercised by Solver_ES
+    (mat/Ek/v1e/dip for the GS; mat/Ek/v1e/dip/DEk/trdip/trmat for ES;
+    reference exp_pot.py:131-345 and Solver_ES.py:274-296).  Lflat is the
+    flattened per-state per-property weight vector.
+    """
+    import jax.numpy as jnp
+
+    n_states = exp.nbr_states
+    names = [list(p) for p in exp.prop_names]
+    # flat offsets into Lflat
+    offs = []
+    k = 0
+    for st in names:
+        offs.append(k)
+        k += len(st)
+    gs_update = make_gs_vexp_device(exp) if names[0] else None
+
+    pot_mats = {kk: jnp.asarray(np.real(vv)) for kk, vv in exp.dic_int.items()}
+    C = np.asarray(exp.mo_coeff)
+
+    def _trace_mat(A_ao):
+        A_g = convert.convert_r_to_g_rdm1(A_ao) * 2.0
+        return jnp.asarray(C.T @ A_g @ C)
+
+    trace_mats = {}
+    if exp.Ek_int is not None:
+        trace_mats["Ek"] = _trace_mat(exp.Ek_int)
+    if exp.v1e_int is not None:
+        trace_mats["v1e"] = _trace_mat(exp.v1e_int)
+    if exp.dip_int is not None:
+        trace_mats["dip"] = jnp.stack([_trace_mat(exp.dip_int[c])
+                                       for c in range(3)])
+    targets = exp.exp_data
+    DEk_GS_idx = exp.DEk_GS_idx
+
+    def update(rdm1_gs, rdm1_es, tr_r, tr_l, Lflat):
+        dtype = rdm1_gs.dtype
+        dim = rdm1_gs.shape[0]
+        n_es = n_states - 1
+        Delta = jnp.zeros((n_states, n_states), dtype)
+        V00 = jnp.zeros((dim, dim), dtype)
+        Vnn = jnp.zeros((n_es, dim, dim), dtype)
+        V0n = jnp.zeros((n_es, dim, dim), dtype)
+        Vn0 = jnp.zeros((n_es, dim, dim), dtype)
+
+        if gs_update is not None:
+            Lgs = Lflat[offs[0]: offs[0] + len(names[0])]
+            v, d, _ = gs_update(rdm1_gs, Lgs)
+            V00 = V00 + v
+            Delta = Delta.at[0, 0].set(d)
+
+        for n in range(1, n_states):
+            st = names[n]
+            base = offs[n]
+            for i, name in enumerate(st):
+                w = Lflat[base + i]
+                if name == "mat":
+                    tgt = jnp.asarray(targets[n][i][1], dtype=dtype)
+                    diff = tgt - rdm1_es[n - 1]
+                    Vnn = Vnn.at[n - 1].add(w * diff)
+                    den = jnp.sum(jnp.abs(tgt))
+                    Delta = Delta.at[n, n].add(jnp.sum(jnp.abs(diff)) / den)
+                elif name == "trmat":
+                    tgtL = jnp.asarray(targets[n][i][1][0], dtype=dtype)
+                    tgtR = jnp.asarray(targets[n][i][1][1], dtype=dtype)
+                    # right (n,0) built from tr_r; left (0,n) from tr_l
+                    diffR = tgtR - tr_r[n - 1]
+                    diffL = tgtL - tr_l[n - 1]
+                    Vn0 = Vn0.at[n - 1].add(w * diffR)
+                    V0n = V0n.at[n - 1].add(w * diffL)
+                    avg = 0.5 * (jnp.sum(jnp.abs(tgtR)) + jnp.sum(jnp.abs(tgtL)))
+                    Delta = Delta.at[n, 0].add(jnp.sum(jnp.abs(diffR)) / avg)
+                    Delta = Delta.at[0, n].add(jnp.sum(jnp.abs(diffL)) / avg)
+                elif name in ("Ek", "v1e"):
+                    A_tr = trace_mats[name].astype(dtype)
+                    A_pot = pot_mats[name].astype(dtype)
+                    calc = jnp.einsum("ij,ji->", A_tr, rdm1_es[n - 1])
+                    exp_val = jnp.asarray(targets[n][i][1], dtype=dtype)
+                    diff = jnp.abs(exp_val - calc)
+                    Delta = Delta.at[n, n].add(
+                        jnp.where(jnp.abs(exp_val) > 1e-6,
+                                  diff / jnp.abs(exp_val), 0.0))
+                    Vnn = Vnn.at[n - 1].add(w * diff * A_pot)
+                elif name == "dip":
+                    A_tr = trace_mats["dip"].astype(dtype)
+                    A_pot = pot_mats["dip"].astype(dtype)
+                    calc = jnp.einsum("xij,ji->x", A_tr, rdm1_es[n - 1])
+                    exp_val = jnp.asarray(targets[n][i][1], dtype=dtype)
+                    diff = jnp.abs(exp_val - calc)
+                    Delta = Delta.at[n, n].add(jnp.sum(
+                        jnp.where(jnp.abs(exp_val) > 1e-6,
+                                  diff / jnp.abs(exp_val), 0.0)))
+                    Vnn = Vnn.at[n - 1].add(
+                        w * jnp.sum(diff[:, None, None] * A_pot, axis=0))
+                elif name == "DEk":
+                    # Ek difference fed back into V00 (exp_pot.py:256-282)
+                    A_tr = trace_mats["Ek"].astype(dtype)
+                    A_pot = pot_mats["Ek"].astype(dtype)
+                    diff_rdm1 = rdm1_gs - rdm1_es[n - 1]
+                    calc = jnp.einsum("ij,ji->", A_tr, diff_rdm1)
+                    exp_val = jnp.asarray(targets[n][i][1], dtype=dtype)
+                    diff = jnp.abs(exp_val - calc)
+                    Delta = Delta.at[n, n].add(
+                        jnp.where(jnp.abs(exp_val) > 1e-6,
+                                  diff / jnp.abs(exp_val), 0.0))
+                    if DEk_GS_idx is not None:
+                        wgs = Lflat[offs[0] + DEk_GS_idx]
+                    else:
+                        wgs = w
+                    V00 = V00 + wgs * diff * A_pot
+                elif name == "trdip":
+                    A_tr = trace_mats["dip"].astype(dtype)
+                    A_pot = pot_mats["dip"].astype(dtype)
+                    exp_val = jnp.asarray(targets[n][i][1], dtype=dtype)
+                    # right update (n,0): rdm1 = tr_r, rdm1_add = tr_l
+                    for (VT, mat_main, mat_add, dl, dr) in (
+                            ("n0", tr_r[n - 1], tr_l[n - 1], n, 0),
+                            ("0n", tr_l[n - 1], tr_r[n - 1], 0, n)):
+                        a1 = jnp.einsum("xij,ji->x", A_tr, mat_main)
+                        a2 = jnp.einsum("xij,ji->x", A_tr, mat_add.T)
+                        calc = a1 * a2
+                        diff = jnp.abs(exp_val - calc)
+                        dmat = jnp.sum((diff * a2)[:, None, None] * A_pot,
+                                       axis=0)
+                        if VT == "n0":
+                            Vn0 = Vn0.at[n - 1].add(w * dmat)
+                        else:
+                            V0n = V0n.at[n - 1].add(w * dmat)
+                        Delta = Delta.at[dl, dr].add(jnp.sum(
+                            jnp.where(jnp.abs(exp_val) > 1e-6,
+                                      diff / jnp.abs(exp_val), 0.0)))
+                else:
+                    raise NotImplementedError(
+                        f"device ES Vexp does not support {name!r}")
+        return V00, Vnn, V0n, Vn0, Delta
+
+    return update

@@ -18,9 +18,11 @@ from __future__ import annotations
 import copy
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ecw_cc_tpu.ops import ccs as ccs_ops
+from ecw_cc_tpu.ops import diis as diis_ops
 from ecw_cc_tpu.models.scf import HostDIIS
 from ecw_cc_tpu.utils import linalg as ulinalg
 
@@ -499,3 +501,244 @@ class Solver_ES:
                    "rn": [np.asarray(x) for x in rn],
                    "ln": [np.asarray(x) for x in ln], "r0n": r0n, "l0n": l0n}
         return Conv_text, dic_amp, Delta, Ep, np.asarray(rdm1_gs)
+
+
+# ---------------------------------------------------------------------------
+# Fully-jitted device path: one lax.while_loop for the coupled ES solve
+# ---------------------------------------------------------------------------
+
+_ES_DEVICE_PROPS = {"mat", "trmat", "Ek", "v1e", "dip", "DEk", "trdip"}
+
+
+class SolverES_Device:
+    """lax.while_loop version of Solver_ES.SCF: all state/transition rdm1s,
+    the full Vexp[n,m] refresh, the coupled t/lambda updates and the
+    per-state (r, r0, l, l0) updates run inside ONE jitted while_loop, with
+    the per-state work vmapped over the excited states.
+
+    Construct with the same arguments as Solver_ES; call `SCF(L, ...)`.
+    """
+
+    def __init__(self, solver: "Solver_ES"):
+        self.s = solver
+        names = solver.Vexp_class.prop_names
+        ok = all(p in _ES_DEVICE_PROPS for st in names for p in st)
+        if not ok:
+            raise NotImplementedError(
+                "device ES solver supports mat/trmat/Ek/v1e/dip/DEk/trdip "
+                "targets; use Solver_ES.SCF for others")
+        from ecw_cc_tpu.ops.vexp import make_es_vexp_device
+
+        self._vexp = make_es_vexp_device(solver.Vexp_class)
+        self._runs = {}
+
+    def _build(self, use_ov, force_alpha, diis):
+        s = self.s
+        mycc = s.mycc
+        eris = mycc.eris
+        nocc, nvir = s.nocc, s.nvir
+        dim = s.dim
+        n_states = s.nbr_states
+        n_es = n_states - 1
+        vexp_fn = self._vexp
+        maxiter = s.maxiter
+        thres = s.conv_thres
+        conv_kind = s.conv_var
+        hist = maxiter + 2
+        mindiis = s.mindiis
+        nov = nocc * nvir
+
+        def conv_vec(ts, ls, rn, ln, Ep):
+            if conv_kind == "Ep":
+                return Ep.ravel()
+            if conv_kind == "tl":
+                return (ts + ls).ravel()
+            if conv_kind == "rl":
+                return jnp.sum(rn + ln, axis=0).ravel()
+            return ((ts + ls) + jnp.sum(rn + ln, axis=0)).ravel()
+
+        def state_update(ts, fspn, v0n, vn0, r, l, r0, l0, ov):
+            Rinter = ccs_ops.R1inter(eris, ts, fspn, v0n)
+            if use_ov:
+                o, v = ov[0], ov[1]
+                Em, o, v = ccs_ops.Extract_Em_r(eris, r, r0, Rinter, ov=(o, v))
+            else:
+                Em, o, v = ccs_ops.Extract_Em_r(eris, r, r0, Rinter)
+            rnew = ccs_ops.rsupdate(eris, r, r0, Rinter, Em,
+                                    force_alpha=force_alpha)
+            rov = ccs_ops.get_ov(l, l0, r, r0, (o, v))
+            rnew = rnew.at[o, v].set(rov)
+            r0new = ccs_ops.r0_fromE(eris, Em, ts, r, v0n, fsp=fspn)
+
+            Linter = ccs_ops.es_L1inter(eris, ts, fspn, vn0)
+            if use_ov:
+                o2, v2 = ov[0], ov[1]
+                Em_l, o2, v2 = ccs_ops.Extract_Em_l(eris, l, l0, Linter,
+                                                    ov=(o2, v2))
+            else:
+                Em_l, o2, v2 = ccs_ops.Extract_Em_l(eris, l, l0, Linter)
+            lnew = ccs_ops.es_lsupdate(eris, l, l0, Em_l, Linter,
+                                       force_alpha=force_alpha)
+            lov = ccs_ops.get_ov(r, r0, l, l0, (o2, v2))
+            lnew = lnew.at[o2, v2].set(lov)
+            l0new = ccs_ops.l0_fromE(eris, Em_l, ts, l, vn0, fsp=fspn)
+            return rnew, lnew, r0new, l0new, Em, Em_l
+
+        def body(carry):
+            (ts, ls, rn, ln, r0n, l0n, ov, dstate, conv, Dconv, ite, k,
+             status, Ep_h, Delta_h, Lflat) = carry
+            conv_old = conv
+
+            rdm1_gs = ccs_ops.gamma_CCS(ts, ls)
+            rdm1_es = jax.vmap(
+                lambda l_, r_, r0_, l0_: ccs_ops.gamma_es_CCS(ts, l_, r_, r0_, l0_)
+            )(ln, rn, r0n, l0n)
+            tr_r = jax.vmap(
+                lambda l_, l0_: ccs_ops.gamma_tr_CCS(
+                    ts, l_, jnp.zeros_like(ts), 1.0, l0_))(ln, l0n)
+            tr_l = jax.vmap(
+                lambda r_, r0_: ccs_ops.gamma_tr_CCS(ts, ls, r_, r0_, 1.0)
+            )(rn, r0n)
+
+            V00, Vnn, V0n, Vn0, Delta = vexp_fn(rdm1_gs, rdm1_es, tr_r, tr_l,
+                                                Lflat)
+            fsp0 = eris.fock - V00
+            fspn = eris.fock[None] - Vnn
+
+            T1i = ccs_ops.T1inter(eris, ts, fsp0)
+            ts = ccs_ops.tsupdate(eris, ts, T1i, rsn=rn, r0n=r0n, vn=V0n)
+            L1i = ccs_ops.L1inter(eris, ts, fsp0)
+            ls = ccs_ops.lsupdate(eris, ts, ls, L1i, rsn=rn, lsn=ln, r0n=r0n,
+                                  l0n=l0n, vn=Vn0)
+
+            rnew, lnew, r0new, l0new, Em_r, Em_l = jax.vmap(
+                lambda f_, v0_, vn_, r_, l_, r0_, l0_, ov_: state_update(
+                    ts, f_, v0_, vn_, r_, l_, r0_, l0_, ov_)
+            )(fspn, V0n, Vn0, rn, ln, r0n, l0n, ov)
+
+            if diis in ("ES", "all", "GS"):
+                if diis == "GS":
+                    vec = jnp.concatenate([ls.ravel(), ts.ravel()])
+                elif diis == "ES":
+                    vec = jnp.concatenate([rnew.ravel(), lnew.ravel(),
+                                           r0new, l0new])
+                else:
+                    vec = jnp.concatenate([ts.ravel(), ls.ravel(),
+                                           rnew.ravel(), lnew.ravel(),
+                                           r0new, l0new])
+                dstate, vec = diis_ops.diis_update(dstate, vec, mindiis)
+                if diis == "GS":
+                    ls = vec[:nov].reshape(nocc, nvir)
+                    ts = vec[nov:].reshape(nocc, nvir)
+                elif diis == "ES":
+                    rnew = vec[:n_es * nov].reshape(n_es, nocc, nvir)
+                    lnew = vec[n_es * nov:2 * n_es * nov].reshape(n_es, nocc, nvir)
+                    r0new = vec[2 * n_es * nov:2 * n_es * nov + n_es]
+                    l0new = vec[-n_es:]
+                else:
+                    ts = vec[:nov].reshape(nocc, nvir)
+                    ls = vec[nov:2 * nov].reshape(nocc, nvir)
+                    rnew = vec[2 * nov:2 * nov + n_es * nov].reshape(n_es, nocc, nvir)
+                    lnew = vec[2 * nov + n_es * nov:2 * nov + 2 * n_es * nov
+                               ].reshape(n_es, nocc, nvir)
+                    r0new = vec[-2 * n_es:-n_es]
+                    l0new = vec[-n_es:]
+
+            rn, ln, r0n, l0n = rnew, lnew, r0new, l0new
+            Ep0 = ccs_ops.energy_ccs(eris, ts, fsp0, rsn=rn, r0n=r0n, vn=V0n)
+            Ep = jnp.zeros((n_states, 2), ts.dtype)
+            Ep = Ep.at[0, 0].set(Ep0)
+            Ep = Ep.at[1:, 0].set(Em_r)
+            Ep = Ep.at[1:, 1].set(Em_l)
+
+            conv = conv_vec(ts, ls, rn, ln, Ep)
+            Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old), Dconv)
+            Ep_h = Ep_h.at[k].set(Ep)
+            Delta_h = Delta_h.at[k].set(Delta)
+            status = jnp.where(ite >= maxiter, 2,
+                               jnp.where(Dconv > 10.0, 3, status))
+            ite = jnp.where(status == 0, ite + 1, ite)
+            return (ts, ls, rn, ln, r0n, l0n, ov, dstate, conv, Dconv, ite,
+                    k + 1, status, Ep_h, Delta_h, Lflat)
+
+        def cond(carry):
+            Dconv, status = carry[9], carry[12]
+            return (Dconv > thres) & (status == 0)
+
+        @jax.jit
+        def run(ts0, ls0, rn0, ln0, r0n0, l0n0, ov0, Lflat):
+            if diis == "GS":
+                nvec = 2 * nov
+            elif diis == "ES":
+                nvec = 2 * n_es * nov + 2 * n_es
+            elif diis == "all":
+                nvec = 2 * nov + 2 * n_es * nov + 2 * n_es
+            else:
+                nvec = 1
+            dstate = diis_ops.diis_init(nvec, s.maxdiis, dtype=ts0.dtype)
+            conv0 = jnp.zeros_like(conv_vec(
+                ts0, ls0, rn0, ln0, jnp.zeros((n_states, 2), ts0.dtype)))
+            carry = (ts0, ls0, rn0, ln0, r0n0, l0n0, ov0, dstate, conv0,
+                     jnp.asarray(1.0, ts0.dtype), jnp.asarray(0, jnp.int32),
+                     jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                     jnp.zeros((hist, n_states, 2), ts0.dtype),
+                     jnp.zeros((hist, n_states, n_states), ts0.dtype), Lflat)
+            out = jax.lax.while_loop(cond, body, carry)
+            (ts, ls, rn, ln, r0n, l0n, _, _, _, Dconv, ite, k, status,
+             Ep_h, Delta_h, _) = out
+            status = jnp.where(status == 0, 1, status)
+            rdm1_gs = ccs_ops.gamma_CCS(ts, ls)
+            return (ts, ls, rn, ln, r0n, l0n, rdm1_gs, ite, k, status,
+                    Ep_h, Delta_h)
+
+        return run
+
+    def SCF(self, L=None, dic_amp_ini=None, diis=None, force_alpha=True,
+            print_ite=False):
+        s = self.s
+        Vexp_class = s.Vexp_class
+        L = Vexp_class.L if L is None else Vexp_class.L_check(L)
+        Lflat = jnp.asarray(np.concatenate([np.atleast_1d(x) for x in
+                                            [np.asarray(st, float) for st in L]]))
+        diis = s.diis if diis is None else diis
+
+        if dic_amp_ini is None:
+            ts = jnp.asarray(s.tsini)
+            ls = jnp.asarray(s.lsini)
+            rn = jnp.stack([jnp.asarray(r) for r in s.rn_ini])
+            ln = jnp.stack([jnp.asarray(l) for l in s.ln_ini])
+            r0n = jnp.asarray(s.r0_ini)
+            l0n = jnp.asarray(s.l0_ini)
+            ov = np.zeros((s.nbr_states - 1, 2), dtype=np.int32)
+            for i, r in enumerate(s.rn_ini):
+                w = np.argwhere(np.asarray(r) == 1)
+                ov[i] = w[0] if len(w) else (0, 0)
+            use_ov = True
+        else:
+            ts = jnp.asarray(dic_amp_ini["ts"])
+            ls = jnp.asarray(dic_amp_ini["ls"])
+            rn = jnp.stack([jnp.asarray(r) for r in dic_amp_ini["rn"]])
+            ln = jnp.stack([jnp.asarray(l) for l in dic_amp_ini["ln"]])
+            r0n = jnp.asarray(dic_amp_ini["r0n"])
+            l0n = jnp.asarray(dic_amp_ini["l0n"])
+            ov = np.zeros((s.nbr_states - 1, 2), dtype=np.int32)
+            use_ov = False
+
+        key = (use_ov, force_alpha, diis)
+        if key not in self._runs:
+            self._runs[key] = self._build(use_ov, force_alpha, diis)
+        out = self._runs[key](ts, ls, rn, ln, r0n, l0n, jnp.asarray(ov), Lflat)
+        (ts, ls, rn, ln, r0n, l0n, rdm1_gs, ite, k, status,
+         Ep_h, Delta_h) = [np.asarray(x) for x in out]
+        n = int(k)
+        if status == 1:
+            text = f"Convergence reached for lambda= {L}, after {int(ite)} iteration"
+        elif status == 2:
+            text = "Max iteration reached"
+        else:
+            text = f"Diverges for lambda = {L} after {int(ite)} iterations"
+        dic_amp = {"ts": ts, "ls": ls, "rn": list(rn), "ln": list(ln),
+                   "r0n": list(r0n), "l0n": list(l0n)}
+        Ep = Ep_h[n - 1] if n else Ep_h[0]
+        Delta = Delta_h[n - 1] if n else Delta_h[0]
+        return text, dic_amp, Delta, Ep, rdm1_gs

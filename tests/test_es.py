@@ -135,3 +135,30 @@ def test_scf_diag_davidson_matches_exact():
     w = np.linalg.eigvals(A).real
     assert np.min(np.abs(w - out_d[3][1, 0])) < 1e-6
     assert np.min(np.abs(w - out_e[3][1, 0])) < 1e-6
+
+
+def test_device_es_solver_matches_host(ecw_es):
+    """The fully-jitted while_loop ES solver reproduces the host-loop solver
+    (same Vexp math, same update order) on the reference example."""
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES, SolverES_Device
+    from ecw_cc_tpu.ops.ccs import Gccs
+
+    ecw = ecw_es
+    Vh = Exp(0.15, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    host = Solver_ES(Gccs(ecw.eris), Vh, rn_ini=ecw.r_ini, conv_var="rl",
+                     conv_thres=1e-6, maxiter=60, diis="all")
+    out_h = host.SCF(0.15, print_ite=False)
+
+    Vd = Exp(0.15, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    dev_s = Solver_ES(Gccs(ecw.eris), Vd, rn_ini=ecw.r_ini, conv_var="rl",
+                      conv_thres=1e-6, maxiter=60, diis="all")
+    dev = SolverES_Device(dev_s)
+    out_d = dev.SCF(0.15)
+
+    assert "Convergence reached" in out_h[0]
+    assert "Convergence reached" in out_d[0]
+    # same converged energies (independent implementations of one math)
+    assert np.max(np.abs(out_h[3] - out_d[3])) < 1e-5
+    assert np.max(np.abs(out_h[1]["ts"] - out_d[1]["ts"])) < 1e-5
+    assert abs(np.trace(out_d[4]) - ecw.nocc) < 1e-8
