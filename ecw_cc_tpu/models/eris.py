@@ -54,7 +54,7 @@ class ErisHost:
     """Host-side ERI builder + container mirroring the reference `geris` API
     (attributes .fock .oooo ... .nocc .mo_occ .EHF)."""
 
-    def __init__(self, mol, ghf, int_thresh=1e-13):
+    def __init__(self, mol, ghf, int_thresh=1e-13, dir_cont=False):
         self.mol = mol
         self.ghf = ghf
         self.orbspin = ghf.orbspin
@@ -62,20 +62,35 @@ class ErisHost:
         nao = mol.nao
         nocc = int(np.sum(ghf.mo_occ > 0))
 
-        # AO ERI (chemists (ij|kl)) -> G-format MO (mo = mo_a + mo_b summed rows,
-        # with spin-forbidden elements zeroed; reference Eris.py:108-120).
         eri_ao = mol.intor("int2e")
         mo_a = ghf.mo_coeff[:nao]
         mo_b = ghf.mo_coeff[nao:]
-        mo = mo_a + mo_b
-        eri = np.einsum("pqrs,pi->iqrs", eri_ao, mo, optimize=True)
-        eri = np.einsum("iqrs,qj->ijrs", eri, mo, optimize=True)
-        eri = np.einsum("ijrs,rk->ijks", eri, mo, optimize=True)
-        eri = np.einsum("ijks,sl->ijkl", eri, mo, optimize=True)
-        spin = self.orbspin
-        forbid = spin[:, None] != spin[None, :]
-        eri[forbid, :, :] = 0.0
-        eri[:, :, forbid] = 0.0
+        if dir_cont:
+            # direct contraction against the spin-blocked AO ERI with the
+            # full G mo_coeff (reference Eris.py:58-94, dir_cont path)
+            eri_g = np.zeros((2 * nao,) * 4)
+            for sa in (0, 1):
+                for sb in (0, 1):
+                    eri_g[sa * nao:(sa + 1) * nao, sa * nao:(sa + 1) * nao,
+                          sb * nao:(sb + 1) * nao, sb * nao:(sb + 1) * nao] = eri_ao
+            mo = ghf.mo_coeff
+            eri = np.einsum("pqrs,pi->iqrs", eri_g, mo, optimize=True)
+            eri = np.einsum("iqrs,qj->ijrs", eri, mo, optimize=True)
+            eri = np.einsum("ijrs,rk->ijks", eri, mo, optimize=True)
+            eri = np.einsum("ijks,sl->ijkl", eri, mo, optimize=True)
+        else:
+            # AO ERI (chemists (ij|kl)) -> G-format MO (mo = mo_a + mo_b
+            # summed rows, spin-forbidden elements zeroed; reference
+            # Eris.py:108-120)
+            mo = mo_a + mo_b
+            eri = np.einsum("pqrs,pi->iqrs", eri_ao, mo, optimize=True)
+            eri = np.einsum("iqrs,qj->ijrs", eri, mo, optimize=True)
+            eri = np.einsum("ijrs,rk->ijks", eri, mo, optimize=True)
+            eri = np.einsum("ijks,sl->ijkl", eri, mo, optimize=True)
+            spin = self.orbspin
+            forbid = spin[:, None] != spin[None, :]
+            eri[forbid, :, :] = 0.0
+            eri[:, :, forbid] = 0.0
         # chemists (pq|rs) -> physicists <pr|qs>, antisymmetrize
         eri = eri.transpose(0, 2, 1, 3) - eri.transpose(0, 2, 3, 1)
         if int_thresh:
@@ -122,5 +137,5 @@ class ErisHost:
         return GEris(**fields)
 
 
-def build_eris(mol, ghf, int_thresh=1e-13):
-    return ErisHost(mol, ghf, int_thresh=int_thresh)
+def build_eris(mol, ghf, int_thresh=1e-13, dir_cont=False):
+    return ErisHost(mol, ghf, int_thresh=int_thresh, dir_cont=dir_cont)

@@ -172,3 +172,47 @@ def test_mixed_precision_polish(ecw_h2o):
     assert abs(Ep - r64[1][-1]) < 1e-8
     for a, b in zip(amps, r64[5]):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-6
+
+
+def test_l1_grad_solver():
+    """Ivanov-style L1 proximal-gradient solver runs and sparsifies
+    (reference Solver_GS.L1_grad :375-514)."""
+    ecw = ECW("h2", "6-31g")
+    ecw.Build_GS_exp("mat", "HF", field=[0.03, 0.0, 0.0])
+    res = ecw.CCS_GS([0.1], method="L1_grad", alpha=0.001, beta=0.5,
+                     conv_thres=1e-7, maxiter=300)
+    assert len(res[1]) > 1
+    ts = res[5][0]
+    assert np.all(np.isfinite(ts))
+
+
+def test_printNO_molden(tmp_path, ecw_h2o):
+    """Natural-orbital molden output (reference utilities.printNO)."""
+    from ecw_cc_tpu.utils import output
+
+    ecw = ecw_h2o
+    res = ecw.CCS_GS([0.1], conv_thres=1e-6, maxiter=60)
+    f = output.printNO(res[4], ecw.mf, ecw.mol, str(tmp_path / "no"))
+    text = open(f).read()
+    assert "[Molden Format]" in text
+    assert "Occup=" in text
+
+
+def test_diff_cube(tmp_path):
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.utils import output
+    from ecw_cc_tpu.models.scf import RHF
+
+    mol = Molecule("h2", "sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    dm = mf.make_rdm1()
+    f1 = output.cube_density(mol, str(tmp_path / "a"), dm, nx=12, ny=12, nz=12)
+    f2 = output.cube_density(mol, str(tmp_path / "b"), 0.5 * dm, nx=12, ny=12, nz=12)
+    fd = output.diff_cube(f1, f2, str(tmp_path / "d"))
+    # difference of densities = half the original density at every point
+    la = open(f1).readlines()
+    ld = open(fd).readlines()
+    va = np.array([float(x) for x in "".join(la[8:]).split()])
+    vd = np.array([float(x) for x in "".join(ld[8:]).split()])
+    assert np.allclose(vd, 0.5 * va, atol=1e-10)

@@ -102,3 +102,28 @@ def test_dipole_integrals():
     assert d.shape == (3, mol.nao, mol.nao)
     for c in range(3):
         assert np.allclose(d[c], d[c].T, atol=1e-11)
+
+
+def test_eris_dir_cont_path(h2o_sto3g):
+    """The direct-contraction ERI route equals the default spin-summed route
+    (reference Eris.py __main__, :186-213)."""
+    mol, ghf, eris, _ = h2o_sto3g
+    eris2 = build_eris(mol, ghf, dir_cont=True)
+    for name in ("oooo", "oovv", "vvvv", "ovvo", "voov"):
+        assert np.allclose(getattr(eris, name), getattr(eris2, name), atol=1e-11)
+
+
+def test_gexp_deform_and_underfit():
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.gamma_exp import Gexp
+
+    mol = Molecule("h2", "sto-3g")
+    g = Gexp(mol, "HF")
+    coords0 = g.mol_def.coords.copy()
+    g.deform(0.05, rng=np.random.default_rng(0))
+    assert not np.allclose(g.mol_def.coords, coords0)
+    assert np.max(np.abs(g.mol_def.coords - coords0)) <= 0.05 + 1e-12
+    g.build()
+    n0 = np.sum(np.abs(g.gamma_ao) > 0)
+    g.underfit(0.3, rng=np.random.default_rng(1))
+    assert np.sum(np.abs(g.gamma_ao) > 0) < n0
