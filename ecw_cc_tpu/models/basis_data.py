@@ -145,6 +145,43 @@ CC_PVDZ = {
     ],
 }
 
+
+# cc-pVTZ-EQUIVALENT for H and C (enables the C2H2/cc-pVTZ stress config,
+# BASELINE.md).  H: published parameters (validated: H2 at 1.4 a0 gives
+# -1.132961 vs published -1.13295).  C: regenerated in-house like N/O
+# cc-pVDZ — 4 tightest s primitives published, valence s/p exponents
+# re-optimized for the HF atom (decontracted UHF E = -37.69164), contractions
+# = atomic HF orbitals; d/f polarization exponents from the published set.
+CC_PVTZ = {
+    'H': [
+        (0, [(33.87, 0.0060680), (5.095, 0.0453080), (1.159, 0.2028220)]),
+        (0, [(0.3258, 1.0)]),
+        (0, [(0.1027, 1.0)]),
+        (1, [(1.407, 1.0)]),
+        (1, [(0.388, 1.0)]),
+        (2, [(1.057, 1.0)]),
+    ],
+    'C': [
+        (0, [(8236.0, 0.0005305), (1235.0, 0.0041039), (280.8, 0.0210434),
+             (79.27, 0.0818864), (25.4653, 0.236947), (8.8885, 0.4382519),
+             (3.2488, 0.3431543), (0.8158, 0.0379453), (0.3289, -0.0095945),
+             (0.118, 0.0028872)]),
+        (0, [(8236.0, -0.0001167), (1235.0, -0.0009078), (280.8, -0.0046732),
+             (79.27, -0.0187902), (25.4653, -0.0579215), (8.8885, -0.1333544),
+             (3.2488, -0.1738975), (0.8158, 0.199081), (0.3289, 0.6444371),
+             (0.118, 0.2918126)]),
+        (0, [(0.3289, 1.0)]),
+        (0, [(0.118, 1.0)]),
+        (1, [(18.8755, 0.0132315), (4.163, 0.0821409), (1.2073, 0.2762857),
+             (0.3859, 0.4777589), (0.1222, 0.322225)]),
+        (1, [(0.3859, 1.0)]),
+        (1, [(0.1222, 1.0)]),
+        (2, [(1.097, 1.0)]),
+        (2, [(0.318, 1.0)]),
+        (3, [(0.761, 1.0)]),
+    ],
+}
+
 # fmt: on
 
 BASIS = {
@@ -159,6 +196,8 @@ BASIS = {
     '6-31++g**': _with_pol(_631G, p_h=True, diffuse_heavy=True, diffuse_h=True),
     'cc-pvdz': CC_PVDZ,
     'ccpvdz': CC_PVDZ,
+    'cc-pvtz': CC_PVTZ,
+    'ccpvtz': CC_PVTZ,
 }
 
 
