@@ -49,10 +49,15 @@ def set_config(**kwargs) -> Config:
 
 
 def setup_jax():
-    """Apply the x64 setting to JAX. Call before building device arrays."""
+    """Apply the x64 setting to JAX. Call before building device arrays.
+
+    Also forces full-precision f32 matmuls: the TPU default lowers f32
+    dot/einsum to bf16 passes, which costs ~2 digits on chained CC
+    contractions (observed: O(1) absolute errors in the MO transform)."""
     import jax
 
     jax.config.update("jax_enable_x64", bool(_config.x64))
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def np_dtype():

@@ -81,12 +81,20 @@ class ErisHost:
         else:
             # AO ERI (chemists (ij|kl)) -> G-format MO (mo = mo_a + mo_b
             # summed rows, spin-forbidden elements zeroed; reference
-            # Eris.py:108-120)
-            mo = mo_a + mo_b
-            eri = np.einsum("pqrs,pi->iqrs", eri_ao, mo, optimize=True)
-            eri = np.einsum("iqrs,qj->ijrs", eri, mo, optimize=True)
-            eri = np.einsum("ijrs,rk->ijks", eri, mo, optimize=True)
-            eri = np.einsum("ijks,sl->ijkl", eri, mo, optimize=True)
+            # Eris.py:108-120).  Quarter transforms run as explicit GEMMs
+            # (contract the leading axis, cycle it to the back): ~300 GFLOP
+            # in four dgemms instead of minutes of generic einsum.
+            mo = np.ascontiguousarray(mo_a + mo_b)
+
+            def quarter(t):
+                n0 = t.shape[0]
+                out = mo.T @ t.reshape(n0, -1)
+                out = out.reshape((nmo,) + t.shape[1:])
+                return np.ascontiguousarray(np.moveaxis(out, 0, -1))
+
+            eri = eri_ao
+            for _ in range(4):
+                eri = quarter(eri)
             spin = self.orbspin
             forbid = spin[:, None] != spin[None, :]
             eri[forbid, :, :] = 0.0
@@ -139,3 +147,101 @@ class ErisHost:
 
 def build_eris(mol, ghf, int_thresh=1e-13, dir_cont=False):
     return ErisHost(mol, ghf, int_thresh=int_thresh, dir_cont=dir_cont)
+
+
+def build_eris_device(mol, ghf, dtype="float32"):
+    """Build the G-format antisymmetrized ERI blocks ON the device.
+
+    The AO ERI tensor is staged once; the four quarter transforms
+    (~nmo^5 FLOPs), spin masking, antisymmetrization and block slicing all
+    run as one jitted XLA program on the accelerator.  For C2H2/cc-pVTZ this
+    replaces minutes of host-bandwidth-bound NumPy with a sub-second device
+    computation — the production path for large bases (the f64 host path in
+    ErisHost remains the parity oracle).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ecw_cc_tpu.config import setup_jax
+
+    setup_jax()
+    nao = mol.nao
+    nmo = ghf.mo_coeff.shape[1]
+    nocc = int(np.sum(ghf.mo_occ > 0))
+    eri_ao = jnp.asarray(mol.intor("int2e"), dtype=dtype)
+    mo = jnp.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:], dtype=dtype)
+    spin = np.asarray(ghf.orbspin)
+    allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype=dtype)
+    fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
+
+    # Memory-lean staging: each quarter transform is its own program (peak =
+    # in + out, freed between stages), and physicists' antisymmetrized blocks
+    # are sliced straight from the chemists MO tensor without materializing
+    # the full <pq||rs> tensor:  <pq||rs> = (pr|qs) - (ps|qr).
+    @jax.jit
+    def quarter(t):
+        return jnp.moveaxis(
+            (mo.T @ t.reshape(t.shape[0], -1)).reshape((nmo,) + t.shape[1:]),
+            0, 3)
+
+    t = eri_ao
+    del eri_ao
+    for _ in range(4):
+        t = quarter(t)
+        t.block_until_ready()
+
+    @jax.jit
+    def mask(t):
+        return t * allow[:, :, None, None] * allow[None, None, :, :]
+
+    C = mask(t)  # chemists (pq|rs), MO G basis
+    del t
+
+    o, v = slice(0, nocc), slice(nocc, nmo)
+    sl = {"o": o, "v": v}
+
+    def block(name):
+        p, q, r, s = name
+
+        # <pq||rs> = (pr|qs) - (ps|qr):  slice both chemists pieces and
+        # permute to physicists order per block
+        @jax.jit
+        def h(C):
+            t1 = C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]  # (p,r,q,s)
+            t2 = C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]  # (p,s,q,r)
+            return jnp.transpose(t1, (0, 2, 1, 3)) - jnp.transpose(
+                t2, (0, 2, 3, 1))
+
+        return h(C)
+
+    nvir = nmo - nocc
+
+    def block_vvvv_chunked(n_chunks=8):
+        """vvvv in slabs over the first virtual index: bounds the transient
+        slice/transpose buffers to ~1/n_chunks of the block."""
+        bounds = np.linspace(0, nvir, n_chunks + 1).astype(int)
+
+        def slab(lo, hi):
+            @jax.jit
+            def f(C):
+                t1 = C[nocc + lo:nocc + hi, v][:, :, v][:, :, :, v]  # (a,e,b,f)
+                t2 = C[nocc + lo:nocc + hi, v][:, :, v][:, :, :, v]
+                return (jnp.transpose(t1, (0, 2, 1, 3))
+                        - jnp.transpose(t2, (0, 2, 3, 1)))
+            out = f(C)
+            out.block_until_ready()
+            return out
+
+        parts = [slab(int(lo), int(hi)) for lo, hi in zip(bounds[:-1], bounds[1:])]
+        return jnp.concatenate(parts, axis=0)
+
+    names = ["oooo", "ooov", "oovo", "oovv", "ovov", "ovvo", "ovvv", "ovoo",
+             "vooo", "vovo", "voov", "vovv", "vvoo", "vvvo"]
+    blocks = {}
+    for nm in names:
+        blocks[nm] = block(nm)
+        blocks[nm].block_until_ready()
+    blocks["vvvv"] = block_vvvv_chunked()
+    blocks["vvvv"].block_until_ready()
+    blocks["fock"] = fock
+    return GEris(**blocks)

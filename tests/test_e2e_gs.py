@@ -216,3 +216,21 @@ def test_diff_cube(tmp_path):
     va = np.array([float(x) for x in "".join(la[8:]).split()])
     vd = np.array([float(x) for x in "".join(ld[8:]).split()])
     assert np.allclose(vd, 0.5 * va, atol=1e-10)
+
+
+def test_ccsd_l1_alpha_scan(ecw_h2o):
+    """BASELINE config 3: L1-regularized ECW-CCSD (SLEP prox) — alpha=0
+    degenerates to the plain update, larger alpha sparsifies t2."""
+    ecw = ecw_h2o
+    # alpha=None and alpha=0 agree at L=0 (the reference's own anchor,
+    # Solver_GS.py:851-855).  At L>0 they differ slightly BY DESIGN of the
+    # reference: setting alpha switches lupdate to the E=0 branch
+    # (CCSD.py:449-456), changing lambda and hence the Vexp feedback.
+    r_plain = ecw.CCSD_GS([0.0], conv_thres=1e-8, maxiter=120)
+    r_a0 = ecw.CCSD_GS([0.0], alpha=0.0, conv_thres=1e-8, maxiter=120)
+    assert abs(r_plain[1][-1] - r_a0[1][-1]) < 1e-7
+    nz = []
+    for alpha in (0.0, 0.01):
+        r = ecw.CCSD_GS([0.05], alpha=alpha, conv_thres=1e-7, maxiter=80)
+        nz.append(int(np.sum(np.abs(r[5][2]) > 1e-10)))  # t2 sparsity
+    assert nz[1] < nz[0]
