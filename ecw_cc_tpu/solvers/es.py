@@ -15,7 +15,6 @@ system sizes there are tiny) instead of the power-iteration rsupdate.
 
 from __future__ import annotations
 
-import copy
 
 import numpy as np
 import jax

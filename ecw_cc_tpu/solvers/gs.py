@@ -18,8 +18,6 @@ Both paths produce the reference's return tuple:
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
 
 import numpy as np
 import jax
