@@ -579,8 +579,12 @@ def l0_fromE(eris, En, t1, l1, v0m, fsp=None):
 
 
 def Extract_r0(eris, r1, ts, fsp, vm):
-    """r0 from the quadratic R0/R1 consistency. Reference CCS.py:1036-1079.
-    Host-side helper (uses python control flow); not jitted."""
+    """r0 from the quadratic R0/R1 consistency (eliminate Em between the R1
+    and R0 equations: a r0^2 + b r0 + c = 0 with a = Zia/r, b = R1/r - Z,
+    c = -(r.Fjb + P)).  Reference CCS.py:1036-1079; NOTE the reference
+    divides the quadratic roots by c instead of 2a (and Extract_l0 by
+    (x/2)*c, CCS.py:1356-1357) — the intended standard formula is used here.
+    Host-side helper (python control flow); not jitted."""
     import numpy as np
 
     f = eris.fock if fsp is None else fsp
@@ -589,21 +593,49 @@ def Extract_r0(eris, r1, ts, fsp, vm):
     Fab, Fji, W, F, Zia, Pia = Rinter
     R1 = (einsum("ab,ib->ia", Fab, r1) - einsum("ji,ja->ia", Fji, r1)
           + einsum("kc,akic->ia", r1, W) + r1 * F + Pia)
-    c = -einsum("jb,jb", r1, Fjb) - P
-    c = float(c)
+    c = -float(einsum("jb,jb", r1, Fjb)) - float(P)
     if c == 0.0:
         return 0.0
     i, j = np.unravel_index(int(np.argmax(np.abs(np.asarray(r1)))), r1.shape)
     a = float(Zia[i, j] / r1[i, j])
     b = float(R1[i, j] / r1[i, j]) - float(Z)
     disc = b * b - 4 * a * c
-    r0_1 = (-b + np.sqrt(disc)) / c
-    r0_2 = (-b - np.sqrt(disc)) / c
+    r0_1 = (-b + np.sqrt(disc)) / (2 * a)
+    r0_2 = (-b - np.sqrt(disc)) / (2 * a)
     if r0_1 > 0:
         return r0_1
     if r0_2 > 0:
         return r0_2
     raise ValueError("Both solutions for r0 are negative")
+
+
+def Extract_l0(eris, l1, ts, fsp, vm):
+    """l0 from the quadratic L0/L1 consistency (mirror of Extract_r0 on the
+    left-hand side).  Reference CCS.py:1321-1364 (with its `/ 2*c`
+    precedence bug corrected to the standard quadratic formula)."""
+    import numpy as np
+
+    f = eris.fock if fsp is None else fsp
+    Fba, Fij, W, F, Zia, P1 = es_L1inter(eris, ts, f,
+                                         jnp.zeros_like(f) if vm is None else vm)
+    Fbj, Wjb, Z, P0 = L0inter(eris, ts, f,
+                              jnp.zeros_like(f) if vm is None else vm)
+    L1 = (einsum("ba,ib->ia", Fba, l1) - einsum("ij,ja->ia", Fij, l1)
+          + einsum("jb,bija->ia", l1, W) + l1 * F + P1)
+    c = -float(einsum("jb,bj", l1, Fbj) + einsum("jb,jb", l1, Wjb)) - float(P0)
+    if c == 0.0:
+        return 0.0
+    i, j = np.unravel_index(int(np.argmax(np.abs(np.asarray(l1)))), l1.shape)
+    a = float(Zia[i, j] / l1[i, j])
+    b = float(L1[i, j] / l1[i, j]) - float(Z)
+    disc = b * b - 4 * a * c
+    l0_1 = (-b + np.sqrt(disc)) / (2 * a)
+    l0_2 = (-b - np.sqrt(disc)) / (2 * a)
+    if l0_1 > 0:
+        return l0_1
+    if l0_2 > 0:
+        return l0_2
+    raise ValueError("Both solutions for l0 are negative")
 
 
 class Gccs:
@@ -714,6 +746,9 @@ class Gccs:
 
     def Extract_r0(self, r1, ts, fsp, vm):
         return Extract_r0(self.eris, r1, ts, fsp, vm)
+
+    def Extract_l0(self, l1, ts, fsp, vm):
+        return Extract_l0(self.eris, l1, ts, fsp, vm)
 
 
 # ---------------------------------------------------------------------------

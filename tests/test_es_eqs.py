@@ -76,3 +76,27 @@ def test_R0eq_L0eq_values(system):
     assert abs(val - (float(jnp.einsum("jb,bj", ls, Fbj))
                       + float(jnp.einsum("jb,jb", ls, Wjb))
                       + 0.2 * float(Z) + float(P2))) < 1e-12
+
+
+def test_extract_r0_l0_quadratic(system):
+    """Extract_r0/Extract_l0 solve the Em-eliminated quadratic: the returned
+    amplitude must satisfy BOTH the R1(L1)-derived and R0(L0)-derived
+    energies simultaneously."""
+    eris, ts, rs, ls, vm = system
+    r0 = ccs.Extract_r0(eris, rs, ts, None, vm)
+    # Em from R0 with this r0 must equal Em from R1 at the largest element
+    R0i = ccs.R0inter(eris, ts, None, vm)
+    Fjb, E, P = R0i
+    Em_r0 = (float(jnp.einsum("jb,jb", rs, Fjb)) + float(P)) / r0 + float(E)
+    Rinter = ccs.R1inter(eris, ts, None, vm)
+    Em_r1, o, v = ccs.Extract_Em_r(eris, rs, r0, Rinter)
+    assert abs(Em_r0 - float(Em_r1)) < 1e-8
+
+    l0 = ccs.Extract_l0(eris, ls, ts, None, vm)
+    L0i = ccs.L0inter(eris, ts, None, vm)
+    Fbj, Wjb, Z, P0 = L0i
+    Em_l0 = (float(jnp.einsum("jb,bj", ls, Fbj))
+             + float(jnp.einsum("jb,jb", ls, Wjb)) + float(P0)) / l0 + float(Z)
+    Li = ccs.es_L1inter(eris, ts, None, vm)
+    Em_l1, o, v = ccs.Extract_Em_l(eris, ls, l0, Li)
+    assert abs(Em_l0 - float(Em_l1)) < 1e-8
