@@ -3,6 +3,10 @@
 lambda loop over 15 points).
 
 Run:  python examples/es_solver.py
+
+NOTE (axon TPU environments): the axon plugin force-selects the TPU backend;
+for a CPU run do jax.config.update("jax_platforms", "cpu") after importing
+jax (see CLAUDE.md).
 """
 
 import numpy as np

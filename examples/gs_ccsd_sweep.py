@@ -3,6 +3,10 @@ test/Test_ECW_GS.py: C2H2/6-31+g** CCSD sweep against a CCSD(T) 'mat'
 target, cube files + result table).
 
 Run:  python examples/gs_ccsd_sweep.py [basis] [out_dir]
+
+NOTE (axon TPU environments): the axon plugin force-selects the TPU backend;
+for a CPU run do jax.config.update("jax_platforms", "cpu") after importing
+jax (see CLAUDE.md).
 """
 
 import sys

@@ -5,6 +5,10 @@ device computation instead of a double Python loop — and the SCF solver's
 trajectory is plotted on top.
 
 Run:  python examples/landscape_scan.py [out.png]
+
+NOTE (axon TPU environments): the axon plugin force-selects the TPU backend;
+for a CPU run do jax.config.update("jax_platforms", "cpu") after importing
+jax (see CLAUDE.md).
 """
 
 import sys

@@ -3,6 +3,10 @@ test/Tram_test.py): builds the exact coupled (T1, Lambda1) Jacobian by
 autodiff and takes Newton steps on H2O/STO-3G.
 
 Run:  python examples/newton_smoke.py
+
+NOTE (axon TPU environments): the axon plugin force-selects the TPU backend;
+for a CPU run do jax.config.update("jax_platforms", "cpu") after importing
+jax (see CLAUDE.md).
 """
 
 import numpy as np
