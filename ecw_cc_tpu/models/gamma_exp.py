@@ -7,9 +7,9 @@ Re-implements reference gamma_exp.py:
   - ESexp: excited-state targets via the MOM (delta-SCF) approach with
     SVD-biorthogonalized Slater transition density matrices.
 
-CCSD(T) targets (reference gamma_exp.py:228-248) require the (T) lambda
-response density; implemented in ecw_cc_tpu.models.ccsd_t (round 2 TODO) —
-currently raises NotImplementedError with a clear message.
+CCSD(T) targets (reference gamma_exp.py:228-248) use the (T) lambda response
+density implemented in ecw_cc_tpu.ops.ccsd_t (tested against finite-difference
+derivatives in tests/test_ccsd_t.py).
 """
 
 from __future__ import annotations

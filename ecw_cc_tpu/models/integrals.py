@@ -7,8 +7,8 @@ exp_pot.py:98-110, utilities.py:1009-1082) with an embedded engine providing:
   - analytic Fourier-transform integrals <mu|exp(i k.r)|nu> for structure factors
 
 Spherical-harmonic AOs (PySCF ordering: p = x,y,z ; d = xy,yz,z2,xz,x2-y2),
-contracted functions renormalized numerically.  Supports l <= 2 per shell
-(s, p, d) — covers STO-3G through cc-pVDZ for H/C/N/O.
+contracted functions renormalized numerically.  Supports l <= 3 per shell
+(s, p, d, f) — covers STO-3G through cc-pVTZ.
 
 This is deliberately host/NumPy: integrals are computed once per molecule and
 staged to the device; the hot path of the framework is the CC iteration, not

@@ -9,6 +9,7 @@ NumPy engine transparently if no C++ toolchain is available
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,14 +17,24 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "mdint.cpp")
-_LIB = os.path.join(_HERE, "libmdint.so")
 _lib = None
 _build_error = None
 
 
-def _build():
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", _SRC, "-o", _LIB]
+def _lib_path():
+    """Binary name keyed on the source CONTENT hash (not mtimes): a stale
+    binary from a different source or a different machine (-march=native!)
+    is never loaded — a fresh clone rebuilds on first use."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(_HERE, f"libmdint-{h}.so")
+
+
+def _build(lib_path):
+    tmp = lib_path + ".tmp"
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", _SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, lib_path)
 
 
 def _load():
@@ -33,10 +44,10 @@ def _load():
     if _build_error is not None:
         return None
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-            _build()
-        lib = ctypes.CDLL(_LIB)
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.compute_eri.argtypes = [
             ctypes.c_int,
             np.ctypeslib.ndpointer(np.int32, flags="C"),

@@ -365,6 +365,9 @@ class Solver_ES:
         if print_ite and tabulate is not None:
             print(tabulate(table, headers, tablefmt=self.tablefmt))
 
+        from ecw_cc_tpu.solvers.gs import _record_metrics
+        _record_metrics(self, "ES", L if np.isscalar(L) else 0.0,
+                        [e[0, 0] for e in Ep_ite], Delta_ite, conv_ite)
         return Conv_text, dic_amp, Delta, Ep, np.asarray(rdm1[0])
 
     # ------------------------------------------------------------------
@@ -740,4 +743,7 @@ class SolverES_Device:
                    "r0n": list(r0n), "l0n": list(l0n)}
         Ep = Ep_h[n - 1] if n else Ep_h[0]
         Delta = Delta_h[n - 1] if n else Delta_h[0]
+        from ecw_cc_tpu.solvers.gs import _record_metrics
+        _record_metrics(self, "ES_device", L if np.isscalar(L) else 0.0,
+                        Ep_h[:n, 0, 0], Delta_h[:n, 0, 0], [])
         return text, dic_amp, Delta, Ep, rdm1_gs

@@ -23,13 +23,38 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ecw_cc_tpu.ops import ccs as ccs_ops
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.ops import diis as diis_ops
 from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
 from ecw_cc_tpu.models.scf import HostDIIS
+from ecw_cc_tpu.utils.metrics import IterationMetrics
 
 _DEVICE_PROPS = ("mat", "Ek", "v1e", "dip")
+
+
+def _record_metrics(solver_obj, name, L, Ep_it, Delta_it, conv_it):
+    """Populate solver.last_metrics from the per-iteration histories
+    (structured replacement for the reference's print-based tables; emits
+    JSON lines to $ECW_CC_TPU_METRICS when set)."""
+    m = IterationMetrics(solver=name, L=float(L) if np.isscalar(L) else None)
+    for i, Ep in enumerate(np.atleast_1d(Ep_it)):
+        row = {"Ep": float(Ep)}
+        if i < len(conv_it):
+            row["conv"] = float(conv_it[i])
+        if i < len(Delta_it):
+            d = np.ravel(Delta_it[i])
+            row["Delta"] = float(d[0])
+            if d.size == 2:
+                row["vmax"] = float(d[1])
+        m.record(i, **row)
+    solver_obj.last_metrics = m
+    path = os.environ.get("ECW_CC_TPU_METRICS")
+    if path:
+        m.write(path)
+    return m
 
 
 def _conv_text(status, L, n_ite, alpha=None, ccsd=False):
@@ -143,6 +168,7 @@ class Solver_CCS:
         else:
             Conv_text = f"Convergence reached for lambda= {L}, after {ite} iteration"
 
+        _record_metrics(self, "CCS", L, Ep_ite, Delta_ite, conv_ite)
         if store_ite:
             return (Conv_text, np.asarray(Ep_ite), np.asarray(Delta_ite),
                     np.asarray(conv_ite), np.asarray(rdm1),
@@ -256,6 +282,7 @@ class Solver_CCS:
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
         # keep host Vexp state consistent for downstream property queries
         self.myVexp.Vexp_update(rdm1, rdm1, (0, 0), L=L)
+        _record_metrics(self, "CCS_device", L, Ep_h[:n], Delta_it, conv_h[:n])
         return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1, (ts_f, ls_f))
 
     # -- gradient-based variants (reference Solver_GS.py:245-514) --------
@@ -473,6 +500,7 @@ class Solver_CCSD:
         else:
             Conv_text = (f"Convergence reached for lambda= {L} and "
                          f"alpha={alpha}, after {ite} iteration")
+        _record_metrics(self, "CCSD", L, Ep_ite, Delta_ite, conv_ite)
         return (Conv_text, np.asarray(Ep_ite), np.asarray(Delta_ite),
                 np.asarray(conv_ite), np.asarray(rdm1),
                 [np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)])
@@ -580,6 +608,7 @@ class Solver_CCSD:
         text = _conv_text(int(status), L, int(ite), alpha=alpha, ccsd=True)
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
         self.myVexp.Vexp_update(rdm1, rdm1, (0, 0), L=L)
+        _record_metrics(self, "CCSD_device", L, Ep_h[:n], Delta_it, conv_h[:n])
         return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1,
                 [ts_f, ls_f, td_f, ld_f])
 

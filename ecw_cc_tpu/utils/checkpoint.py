@@ -29,10 +29,15 @@ def save_amplitudes(ckpt_dir, L, amps: dict, meta: dict | None = None):
     if os.path.exists(idx_path):
         with open(idx_path) as f:
             index = json.load(f)
+    index.pop(_key(L), None)  # re-append so insertion order == save order
     index[_key(L)] = {"L": float(L), "file": os.path.basename(path),
                       **(meta or {})}
-    with open(idx_path, "w") as f:
+    # atomic replace: a crash mid-write must not corrupt the index this
+    # module exists to protect
+    tmp = idx_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(index, f, indent=1)
+    os.replace(tmp, idx_path)
     return path
 
 
@@ -46,7 +51,8 @@ def load_amplitudes(ckpt_dir, L):
 
 
 def last_checkpoint(ckpt_dir):
-    """(L, amps) of the largest checkpointed lambda, or (None, None)."""
+    """(L, amps) of the most recently saved lambda (insertion order, so a
+    descending or re-visited sweep resumes correctly), or (None, None)."""
     idx_path = os.path.join(ckpt_dir, "index.json")
     if not os.path.exists(idx_path):
         return None, None
@@ -54,5 +60,5 @@ def last_checkpoint(ckpt_dir):
         index = json.load(f)
     if not index:
         return None, None
-    L = max(v["L"] for v in index.values())
+    L = index[list(index)[-1]]["L"]
     return L, load_amplitudes(ckpt_dir, L)

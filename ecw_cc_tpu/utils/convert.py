@@ -141,7 +141,13 @@ def convert_aoint(int_ao, mo_coeff, g=True):
 
 
 def cis_rdm1(c1):
-    """CIS rdm1 blocks from CIS/TDA coefficients. Reference utilities.py:347-358."""
-    doo = 2 - np.einsum("ia,ka->ik", c1.conj(), c1)
+    """CIS rdm1 blocks from CIS/TDA coefficients. Reference utilities.py:347-358.
+
+    The reference computes ``doo = 2 - einsum(...)`` — an elementwise
+    subtraction from 2 that also adds 2 to every OFF-diagonal element; the
+    intended closed-shell expression is ``2*I - einsum(...)`` (corrected
+    here, like the other documented reference bugs)."""
+    nocc = c1.shape[0]
+    doo = 2.0 * np.eye(nocc) - np.einsum("ia,ka->ik", c1.conj(), c1)
     dvv = np.einsum("ia,ic->ac", c1, c1.conj())
     return doo, dvv
