@@ -1,16 +1,34 @@
-"""Benchmark: ECW-CCSD iteration on C2H2/cc-pVDZ (the BASELINE.md headline).
+"""Benchmark: FULL ECW-CCSD production iteration on C2H2 (BASELINE.md headline).
 
-Measures the wall-clock of one fully-fused ECW-CCSD iteration (rdm1 -> Vexp
--> effective Fock -> T1/T2 update -> Lambda1/Lambda2 update -> energy) on the
-default JAX device (TPU under the driver; f32 with f32 accumulation), and
-compares against the reference's computational engine: the identical
-iteration evaluated with NumPy f64 einsum (the reference is pure
-NumPy/pyscf-lib.einsum per SURVEY.md section 0; it publishes no numbers, so
-the baseline is measured here, as BASELINE.md prescribes).
+Measures the wall-clock of the full production iteration — the body of
+Solver_CCSD.SCF_device: rdm1 -> Vexp -> effective Fock -> energy -> T1/T2
+update -> Lambda1/Lambda2 update -> convergence norm — by running the REAL
+while_loop solver on the default JAX device (TPU under the driver, f32) for a
+fixed iteration count and dividing wall time by iterations executed.  Success
+is detected by fetching a scalar VALUE from the result (the axon backend can
+return from block_until_ready without executing; CLAUDE.md gotcha).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": <tpu ms/iter>, "unit": "ms",
-   "vs_baseline": <numpy_ms / tpu_ms>}
+Two configs:
+  - C2H2/cc-pVDZ (nocc=14, nvir=62 spin orbitals)  — the BASELINE.json config
+  - C2H2/cc-pVTZ (nocc=14, nvir=162 spin orbitals) — the vvvv stress config
+
+The baseline is the reference's computational engine: the identical full
+iteration in NumPy f64 einsum (the reference is pure NumPy/pyscf-lib.einsum,
+SURVEY.md section 0; it publishes no numbers, so the baseline is measured
+here, warm-up + best-of-2, and cached keyed on the step definition version).
+The pVTZ NumPy baseline would take ~15 min/iteration, so its vs_baseline is
+estimated by scaling the measured pVDZ NumPy throughput (FLOP/s) to the pVTZ
+FLOP count — flagged as an estimate in the output.
+
+Integrals/SCF run on the host (in-house engine, ~10 s at pVTZ); the MO
+transform + block slicing run ON DEVICE via build_eris_device (no cache
+files).  Effective TFLOP/s uses the XLA cost analysis of the one-iteration
+step compiled for CPU (FLOP count is backend-independent).
+
+Prints ONE JSON line, headline = pVDZ full iteration:
+  {"metric": "ecw_ccsd_full_iteration_c2h2_ccpvdz", "value": <ms>,
+   "unit": "ms", "vs_baseline": <numpy_ms/tpu_ms>, "tflops": <eff>,
+   "pvtz": {...}}
 """
 
 import json
@@ -22,44 +40,30 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache.npz")
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASE_FILE = os.path.join(HERE, ".bench_baseline.json")
+# Bump when the measured step definition changes: the cached NumPy baseline
+# is only comparable to the device number for the same step (ADVICE r1).
+STEP_VERSION = 2
+LW = 0.01
 
 
-def build_system():
-    """C2H2/cc-pVDZ ERIs (host), cached across bench runs."""
-    from ecw_cc_tpu.models.eris import GEris
+# ---------------------------------------------------------------------------
+# Reference engine: the identical FULL iteration in NumPy f64 einsum
+# ---------------------------------------------------------------------------
 
-    if os.path.exists(CACHE):
-        data = np.load(CACHE)
-        blocks = {k: data[k] for k in GEris._fields}
-        aux = {k: data[k] for k in ("mo_energy", "target")}
-        return blocks, aux
-
-    from ecw_cc_tpu.models.molecule import Molecule
-    from ecw_cc_tpu.models.scf import RHF, GHF
-    from ecw_cc_tpu.models.eris import build_eris
-
-    mol = Molecule("c2h2", "cc-pvdz")
-    mf = RHF(mol)
-    mf.kernel()
-    ghf = GHF(mf)
-    eris = build_eris(mol, ghf)
-    blocks = {k: np.asarray(getattr(eris, k)) for k in GEris._fields}
-    # 'mat' target: HF density (L=0.01-scale constraint, representative)
-    target = np.diag(ghf.mo_occ)
-    aux = {"mo_energy": ghf.mo_energy, "target": target}
-    np.savez_compressed(CACHE, **blocks, **aux)
-    return blocks, aux
-
-
-def numpy_step(blocks, t1, t2, l1, l2, target, Lw):
-    """Reference-engine iteration: identical math in NumPy f64 einsum."""
+def numpy_full_step(blocks, t1, t2, l1, l2, target, Lw):
+    """rdm1 -> Vexp('mat') -> fsp -> Ep -> t-update -> lambda-update, all in
+    NumPy f64 (np.einsum optimize=True / dgemm for the ladder, i.e. what
+    pyscf lib.einsum does for the reference)."""
     e = np.einsum
     opt = dict(optimize=True)
     fock = blocks["fock"]
     oovv, ovvv, ooov = blocks["oovv"], blocks["ovvv"], blocks["ooov"]
-    ovov, oooo, vvvv, vovv = blocks["ovov"], blocks["oooo"], blocks["vvvv"], blocks["vovv"]
+    ovov, oooo, vvvv = blocks["ovov"], blocks["oooo"], blocks["vvvv"]
+    vovv, ovvo = blocks["vovv"], blocks["ovvo"]
     nocc, nvir = t1.shape
+    no2, nv2 = nocc * nocc, nvir * nvir
 
     # rdm1 (gamma_CCSD)
     doo = -e("ie,je->ij", l1, t1) - 0.5 * e("imef,jmef->ij", l2, t2, **opt)
@@ -78,6 +82,10 @@ def numpy_step(blocks, t1, t2, l1, l2, target, Lw):
     eia = diag[:nocc, None] - diag[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]
 
+    Ep = (e("ia,ia", fov, t1) + 0.25 * e("ijab,ijab", t2, oovv, **opt)
+          + 0.5 * e("ia,jb,ijab", t1, t1, oovv, **opt))
+
+    # ---- T update (Stanton factorization, as reference CCSD.py:248-338) ---
     t1t1 = e("ia,jb->ijab", 0.5 * t1, t1)
     t1t1 = t1t1 - t1t1.transpose(1, 0, 2, 3)
     tau = t2 + t1t1 - t1t1.transpose(0, 1, 3, 2)
@@ -117,7 +125,6 @@ def numpy_step(blocks, t1, t2, l1, l2, target, Lw):
     t2new += oovv
     t2new += 0.5 * e("mnab,mnij->ijab", tau, Woooo, **opt)
     # vvvv ladder through a dgemm, like pyscf lib.einsum would
-    no2, nv2 = nocc * nocc, nvir * nvir
     Wv = vvvv.reshape(nv2, nv2)
     tmpb = e("mb,mafe->bafe", t1, ovvv, **opt)
     Wv = Wv - tmpb.reshape(nv2, nv2) + tmpb.transpose(1, 0, 2, 3).reshape(nv2, nv2)
@@ -134,94 +141,277 @@ def numpy_step(blocks, t1, t2, l1, l2, target, Lw):
     t2new -= tmp - tmp.transpose(0, 1, 3, 2)
     t1new = t1new / eia
     t2new = t2new / eijab
-    Ep = (e("ia,ia", fov, t1new) + 0.25 * e("ijab,ijab", t2new, oovv, **opt)
-          + 0.5 * e("ia,jb,ijab", t1new, t1new, oovv, **opt))
-    return t1new, t2new, Ep
+
+    # ---- Lambda update (as reference CCSD.py:419-623) ----------------------
+    foo_s, fvo = fsp[:nocc, :nocc], fsp[nocc:, :nocc]
+    fvv_s = fsp[nocc:, nocc:]
+    t1n, t2n = t1new, t2new
+    tau_l = t2n + 2.0 * e("ia,jb->ijab", t1n, t1n)
+    v1 = (fvv_s - e("ja,jb->ba", fov, t1n)
+          - e("jbac,jc->ba", ovvv, t1n, **opt)
+          + 0.5 * e("jkca,jkbc->ba", oovv, tau_l, **opt))
+    v2 = (foo_s + e("ib,jb->ij", fov, t1n)
+          - e("kijb,kb->ij", ooov, t1n, **opt)
+          + 0.5 * e("ikbc,jkbc->ij", oovv, tau_l, **opt))
+    v3 = e("ijcd,klcd->ijkl", oovv, tau_l, **opt)
+    v4 = e("ljdb,klcd->jcbk", oovv, t2n, **opt) + ovvo
+    v5 = fvo + e("kc,jkbc->bj", fov, t2n, **opt)
+    tmp = fov - e("kldc,ld->kc", oovv, t1n, **opt)
+    v5 = v5 + e("kc,kb,jc->bj", tmp, t1n, t1n, **opt)
+    v5 = v5 - 0.5 * e("kljc,klbc->bj", ooov, t2n, **opt)
+    v5 = v5 + 0.5 * e("kbdc,jkcd->bj", ovvv, t2n, **opt)
+    w3 = (v5 + e("jcbk,jb->ck", v4, t1n, **opt)
+          + e("cb,jb->cj", v1, t1n) - e("jk,jb->bk", v2, t1n))
+    woooo = 0.5 * oooo + 0.25 * v3 + e("jilc,kc->jilk", ooov, t1n, **opt)
+    wovvo = (v4 - e("ljdb,lc,kd->jcbk", oovv, t1n, t1n, **opt)
+             - e("ljkb,lc->jcbk", ooov, t1n, **opt)
+             + e("jcbd,kd->jcbk", ovvv, t1n, **opt))
+    wovoo = (0.25 * e("icdb,jkdb->icjk", ovvv, tau_l, **opt)
+             + 0.5 * ooov.transpose(2, 3, 0, 1)
+             + e("icbk,jb->icjk", v4, t1n, **opt)
+             - e("lijb,klcb->icjk", ooov, t2n, **opt))
+    wvvvo = (e("jcak,jb->bcak", v4, t1n, **opt)
+             + 0.25 * e("jlka,jlbc->bcak", ooov, tau_l, **opt)
+             - 0.5 * ovvv.transpose(3, 1, 2, 0)
+             + e("kbad,jkcd->bcaj", ovvv, t2n, **opt))
+    E = (e("ia,ia", fov, t1n) + 0.25 * e("ijab,ijab", t2n, oovv, **opt)
+         + 0.5 * e("ia,jb,ijab", t1n, t1n, oovv, **opt))
+    v1d = v1 - np.diag(diag[nocc:])
+    v2d = v2 - np.diag(diag[:nocc])
+
+    mba = 0.5 * e("klca,klcb->ba", l2, t2n, **opt)
+    mij = 0.5 * e("kicd,kjcd->ij", l2, t2n, **opt)
+    m3 = e("klab,ijkl->ijab", l2, woooo, **opt)
+    tmp = e("ijcd,klcd->ijkl", l2, tau_l, **opt)
+    m3 = m3 + 0.25 * e("klab,ijkl->ijab", oovv, tmp, **opt)
+    tmp = e("ijcd,kd->ijck", l2, t1n, **opt)
+    m3 = m3 - e("kcba,ijck->ijab", ovvv, tmp, **opt)
+    # lambda vvvv ladder as a dgemm
+    m3 = m3 + 0.5 * (l2.reshape(no2, nv2) @ vvvv.reshape(nv2, nv2)).reshape(
+        nocc, nocc, nvir, nvir)
+
+    l2new = oovv + m3
+    fov1 = fov + e("kjcb,kc->jb", oovv, t1n, **opt)
+    tmp = e("ia,jb->ijab", l1, fov1)
+    tmp = tmp + e("kica,jcbk->ijab", l2, wovvo, **opt)
+    tmp = tmp - tmp.transpose(1, 0, 2, 3)
+    l2new = l2new + tmp - tmp.transpose(0, 1, 3, 2)
+    tmp = e("ka,ijkb->ijab", l1, ooov, **opt)
+    tmp = tmp + e("ijca,cb->ijab", l2, v1d, **opt)
+    tmp1vv = mba + e("ka,kb->ba", l1, t1n)
+    tmp = tmp + e("ca,ijcb->ijab", tmp1vv, oovv, **opt)
+    l2new = l2new - (tmp - tmp.transpose(0, 1, 3, 2))
+    tmp = e("ic,jcba->jiba", l1, ovvv, **opt)
+    tmp = tmp + e("kiab,jk->ijab", l2, v2d, **opt)
+    tmp1oo = mij + e("ic,kc->ik", l1, t1n)
+    tmp = tmp - e("ik,kjab->ijab", tmp1oo, oovv, **opt)
+    l2new = l2new + (tmp - tmp.transpose(1, 0, 2, 3))
+
+    l1new = (fov + e("jb,ibaj->ia", l1, ovvo, **opt)
+             + e("ib,ba->ia", l1, v1d)
+             - e("ja,ij->ia", l1, v2d)
+             - e("kjca,icjk->ia", l2, wovoo, **opt)
+             - e("ikbc,bcak->ia", l2, wvvvo, **opt)
+             + e("ijab,jb->ia", m3, t1n, **opt)
+             + e("jiba,bj->ia", l2, w3, **opt))
+    tmp = (t1n + e("kc,kjcb->jb", l1, t2n, **opt)
+           - e("bd,jd->jb", tmp1vv, t1n)
+           - e("lj,lb->jb", mij, t1n))
+    l1new = l1new + e("jiba,jb->ia", oovv, tmp, **opt)
+    l1new = l1new + e("icab,bc->ia", ovvv, tmp1vv, **opt)
+    l1new = l1new - e("jika,kj->ia", ooov, tmp1oo, **opt)
+    tmp = fov - e("kjba,jb->ka", oovv, t1n, **opt)
+    l1new = l1new - e("ik,ka->ia", mij, tmp)
+    l1new = l1new - e("ca,ic->ia", mba, tmp)
+    l1new = l1new - l1new * E
+    l2new = l2new - l2new * E
+    l1new = l1new / eia
+    l2new = l2new / eijab
+
+    return t1new, t2new, l1new, l2new, Ep
 
 
-def main():
-    blocks, aux = build_system()
-    nocc = int(np.sum(aux["mo_energy"] < 0))  # occupied spin orbitals
+# ---------------------------------------------------------------------------
+# Helpers
+# ---------------------------------------------------------------------------
+
+def build_host(basis):
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.scf import RHF, GHF
+
+    mol = Molecule("c2h2", basis)
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    return mol, ghf
+
+
+def device_full_step(target, Lw):
+    """The production iteration body (same ops the while_loop solver runs)."""
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+
+    def step(er, sect, t1, t2, l1, l2):
+        rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
+        fsp = er.fock - Lw * (target - rdm1)
+        Ep = ccsd_ops.energy(er, t1, t2, fsp)
+        t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_sectors=sect)
+        l1n, l2n = ccsd_ops.lupdate(er, t1n, t2n, l1, l2, fsp=fsp,
+                                    vvvv_sectors=sect)
+        return t1n, t2n, l1n, l2n, Ep
+
+    return step
+
+
+def count_flops(step, eris, amps):
+    """Backend-independent FLOP count of one full iteration via the XLA cost
+    model (compiled for CPU; the contraction set is identical)."""
+    import jax
+
+    try:
+        lowered = jax.jit(step, backend="cpu").lower(eris, *amps)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as exc:
+        print(f"count_flops failed: {exc!r}", file=sys.stderr)
+        return float("nan")
+
+
+def mp2_amps(blocks):
     nocc = blocks["oooo"].shape[0]
-    nvir = blocks["vvvv"].shape[0]
-
-    # initial amplitudes: MP2
     diag = np.diag(blocks["fock"])
     eia = diag[:nocc, None] - diag[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]
-    t2_0 = blocks["oovv"] / eijab
-    t1_0 = np.zeros((nocc, nvir))
-    target = aux["target"]
-    Lw = 0.01
+    t2 = blocks["oovv"] / eijab
+    t1 = np.zeros_like(eia)
+    return t1, t2, 0.5 * t1, 0.5 * t2
 
-    # ---- NumPy f64 baseline (reference engine) -------------------------
-    # Note: the numpy step covers the t-update + rdm1 + Vexp (the lambda
-    # update costs the same order; measuring the same subset on both sides).
-    # The measurement (~25 s/iteration) is cached alongside the integrals.
-    base_file = CACHE + ".baseline.json"
-    if os.path.exists(base_file):
-        with open(base_file) as f:
-            numpy_ms = json.load(f)["numpy_ms"]
-    else:
-        t1, t2 = t1_0.copy(), t2_0.copy()
-        t0 = time.perf_counter()
-        numpy_step(blocks, t1, t2, 0.5 * t1, 0.5 * t2, target, Lw)
-        numpy_ms = (time.perf_counter() - t0) * 1e3
-        with open(base_file, "w") as f:
-            json.dump({"numpy_ms": numpy_ms}, f)
 
-    # ---- JAX/TPU f32 fused step ----------------------------------------
-    import ecw_cc_tpu.config as config
-
-    config.set_config(x64=False, dtype="float32")
+def bench_config(basis, n_iters, numpy_baseline):
+    """Returns dict with value_ms, tflops, (optionally) vs_baseline."""
     import jax
     import jax.numpy as jnp
-    from ecw_cc_tpu.models.eris import GEris
-    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.models.eris import GEris, build_eris_device
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
 
+    mol, ghf = build_host(basis)
+    eris = build_eris_device(mol, ghf, dtype="float32")
     dtype = jnp.float32
-    eris = GEris(**{k: jnp.asarray(blocks[k], dtype=dtype) for k in GEris._fields})
-    tgt = jnp.asarray(target, dtype=dtype)
+    nmo = eris.fock.shape[0]
+    target_np = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    target = jnp.asarray(target_np, dtype=dtype)
 
-    def step(er, t1, t2, l1, l2):
-        rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
-        fsp = er.fock - Lw * (tgt - rdm1)
-        t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp)
-        Ep = ccsd_ops.energy(er, t1n, t2n, fsp)
-        return t1n, t2n, Ep
+    # production solver, fixed iteration count (conv_thres=0 -> maxiter path)
+    mycc = GCC(eris)
+    exp = Exp(LW, [[["mat", target_np]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    solver = Solver_CCSD(mycc, exp, conv="tl", conv_thres=0.0, diis="",
+                         maxiter=n_iters)
+    run = solver._build_device_solver("", False)
+    Lw = jnp.asarray(solver.myVexp.L_check(LW)[0], dtype=dtype)
+    alpha_v = jnp.asarray(0.0, dtype=dtype)
+    args = (solver.tsini, solver.lsini, solver.tdini, solver.ldini)
 
-    # time K chained iterations inside ONE jitted fori_loop (a single device
-    # dispatch: excludes host<->device round-trip latency from the number).
-    # eris is an ARGUMENT (not a captured constant): keeps the lowered
-    # program small for the remote compile service.
-    K = 50
+    vvsect_dev = solver._get_vvvv_sectors()
+    out = run(eris, vvsect_dev, Lw, *args, alpha_v)   # compile + first run
+    k = int(out[6])                        # iterations executed
+    _ = float(out[8][k - 1])               # scalar VALUE fetch (axon gotcha)
+    assert k >= n_iters, f"expected >= {n_iters} iterations, got {k}"
 
-    @jax.jit
-    def run_k(er, t1, t2):
-        def body(_, carry):
-            a, b, _ = carry
-            return step(er, a, b, 0.5 * a, 0.5 * b)
-        return jax.lax.fori_loop(0, K, body,
-                                 (t1, t2, jnp.asarray(0.0, t1.dtype)))
-
-    t1j = jnp.asarray(t1_0, dtype=dtype)
-    t2j = jnp.asarray(t2_0, dtype=dtype)
-    out = run_k(eris, t1j, t2j)
-    jax.block_until_ready(out)
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
-        out = run_k(eris, t1j, t2j)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / K * 1e3)
+        out = run(eris, vvsect_dev, Lw, *args, alpha_v)
+        ep = float(out[8][k - 1])          # forces execution, scalar only
+        best = min(best, (time.perf_counter() - t0) / k * 1e3)
+    assert np.isfinite(ep)
     tpu_ms = best
 
-    print(json.dumps({
-        "metric": "ecw_ccsd_iteration_c2h2_ccpvdz",
-        "value": round(tpu_ms, 3),
+    # FLOPs of one iteration (XLA cost model on CPU shapes), counting the
+    # SAME path the solver ran (sectored vvvv when auto-enabled); step
+    # signature is (eris, sect, t1, t2, l1, l2) while args is (ts,ls,td,ld)
+    vvsect = vvsect_dev
+    sect_shapes = (None if vvsect is None else
+                   tuple(jax.ShapeDtypeStruct(s.shape, dtype) for s in vvsect))
+    step = device_full_step(target_np.astype(np.float32), np.float32(LW))
+    shapes = [jax.ShapeDtypeStruct(a.shape, dtype)
+              for a in (args[0], args[2], args[1], args[3])]
+    eris_shapes = GEris(**{f: jax.ShapeDtypeStruct(getattr(eris, f).shape, dtype)
+                           for f in GEris._fields})
+    flops = count_flops(step, eris_shapes, (sect_shapes,) + tuple(shapes))
+    tflops = flops / (tpu_ms * 1e-3) / 1e12 if np.isfinite(flops) else None
+
+    result = {"value_ms": round(tpu_ms, 3),
+              "tflops": round(tflops, 2) if tflops else None,
+              "flops_per_iter": None if not np.isfinite(flops) else int(flops),
+              "iters_timed": k}
+
+    if numpy_baseline:
+        blocks = {f: np.asarray(getattr(eris, f), dtype=np.float64)
+                  for f in GEris._fields}
+        # exact f64 blocks from the host builder would differ at 1e-7; for
+        # TIMING the f32->f64 cast is irrelevant and avoids a second build
+        key = f"{basis}_v{STEP_VERSION}"
+        cache = {}
+        if os.path.exists(BASE_FILE):
+            with open(BASE_FILE) as f:
+                cache = json.load(f)
+        if key in cache:
+            numpy_ms = cache[key]
+        else:
+            amps = mp2_amps(blocks)
+            numpy_full_step(blocks, *amps, target_np, LW)   # warm-up
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                numpy_full_step(blocks, *amps, target_np, LW)
+                times.append((time.perf_counter() - t0) * 1e3)
+            numpy_ms = min(times)
+            cache[key] = numpy_ms
+            tmp = BASE_FILE + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cache, f)
+            os.replace(tmp, BASE_FILE)
+        result["numpy_ms"] = round(numpy_ms, 1)
+        result["vs_baseline"] = round(numpy_ms / tpu_ms, 2)
+    return result
+
+
+def main():
+    import ecw_cc_tpu.config as config
+
+    config.set_config(x64=False, dtype="float32")
+    config.setup_jax()
+
+    which = os.environ.get("ECW_CC_TPU_BENCH", "both")
+
+    pvdz = bench_config("cc-pvdz", n_iters=40, numpy_baseline=True)
+
+    pvtz = None
+    if which != "pvdz":
+        pvtz = bench_config("cc-pvtz", n_iters=10, numpy_baseline=False)
+        # pVTZ NumPy baseline estimated from measured pVDZ NumPy throughput
+        # (FLOP/s) scaled to the pVTZ FLOP count (a direct measurement is
+        # ~15 min/iter); flagged as an estimate.
+        if pvdz.get("flops_per_iter") and pvtz.get("flops_per_iter"):
+            np_flops_per_s = pvdz["flops_per_iter"] / (pvdz["numpy_ms"] * 1e-3)
+            est_ms = pvtz["flops_per_iter"] / np_flops_per_s * 1e3
+            pvtz["numpy_ms_est"] = round(est_ms, 1)
+            pvtz["vs_baseline_est"] = round(est_ms / pvtz["value_ms"], 2)
+
+    line = {
+        "metric": "ecw_ccsd_full_iteration_c2h2_ccpvdz",
+        "value": pvdz["value_ms"],
         "unit": "ms",
-        "vs_baseline": round(numpy_ms / tpu_ms, 2),
-    }))
+        "vs_baseline": pvdz.get("vs_baseline"),
+        "tflops": pvdz.get("tflops"),
+        "flops_per_iter": pvdz.get("flops_per_iter"),
+    }
+    if pvtz is not None:
+        line["pvtz"] = pvtz
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -199,49 +199,45 @@ def build_eris_device(mol, ghf, dtype="float32"):
 
     o, v = slice(0, nocc), slice(nocc, nmo)
     sl = {"o": o, "v": v}
-
-    def block(name):
-        p, q, r, s = name
-
-        # <pq||rs> = (pr|qs) - (ps|qr):  slice both chemists pieces and
-        # permute to physicists order per block
-        @jax.jit
-        def h(C):
-            t1 = C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]  # (p,r,q,s)
-            t2 = C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]  # (p,s,q,r)
-            return jnp.transpose(t1, (0, 2, 1, 3)) - jnp.transpose(
-                t2, (0, 2, 3, 1))
-
-        return h(C)
-
     nvir = nmo - nocc
-
-    def block_vvvv_chunked(n_chunks=8):
-        """vvvv in slabs over the first virtual index: bounds the transient
-        slice/transpose buffers to ~1/n_chunks of the block."""
-        bounds = np.linspace(0, nvir, n_chunks + 1).astype(int)
-
-        def slab(lo, hi):
-            @jax.jit
-            def f(C):
-                t1 = C[nocc + lo:nocc + hi, v][:, :, v][:, :, :, v]  # (a,e,b,f)
-                t2 = C[nocc + lo:nocc + hi, v][:, :, v][:, :, :, v]
-                return (jnp.transpose(t1, (0, 2, 1, 3))
-                        - jnp.transpose(t2, (0, 2, 3, 1)))
-            out = f(C)
-            out.block_until_ready()
-            return out
-
-        parts = [slab(int(lo), int(hi)) for lo, hi in zip(bounds[:-1], bounds[1:])]
-        return jnp.concatenate(parts, axis=0)
-
     names = ["oooo", "ooov", "oovo", "oovv", "ovov", "ovvo", "ovvv", "ovoo",
              "vooo", "vovo", "voov", "vovv", "vvoo", "vvvo"]
-    blocks = {}
-    for nm in names:
-        blocks[nm] = block(nm)
-        blocks[nm].block_until_ready()
-    blocks["vvvv"] = block_vvvv_chunked()
+
+    # ONE program for all 14 small blocks (each remote compile costs seconds
+    # on the axon backend; per-block jits made the build compile-bound)
+    @jax.jit
+    def small_blocks(C):
+        out = {}
+        for name in names:
+            p, q, r, s = name
+            # <pq||rs> = (pr|qs) - (ps|qr): slice both chemists pieces and
+            # permute to physicists order per block
+            t1 = C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]  # (p,r,q,s)
+            t2 = C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]  # (p,s,q,r)
+            out[name] = (jnp.transpose(t1, (0, 2, 1, 3))
+                         - jnp.transpose(t2, (0, 2, 3, 1)))
+        return out
+
+    blocks = small_blocks(C)
+    jax.block_until_ready(blocks)
+
+    # vvvv in equal-width slabs over the first virtual index: bounds the
+    # transient slice/transpose buffers AND compiles one slab program reused
+    # for every chunk (unequal chunks would each recompile).
+    width = next((nvir // c for c in range(6, nvir + 1) if nvir % c == 0), nvir)
+
+    @jax.jit
+    def slab(C, lo):
+        piece = jax.lax.dynamic_slice_in_dim(C, nocc + lo, width, axis=0)
+        t1 = piece[:, v][:, :, v][:, :, :, v]  # (a,e,b,f)
+        return (jnp.transpose(t1, (0, 2, 1, 3))
+                - jnp.transpose(t1, (0, 2, 3, 1)))
+
+    parts = []
+    for lo in range(0, nvir, width):
+        parts.append(slab(C, lo))
+        parts[-1].block_until_ready()
+    blocks["vvvv"] = jnp.concatenate(parts, axis=0)
     blocks["vvvv"].block_until_ready()
     blocks["fock"] = fock
     return GEris(**blocks)

@@ -178,9 +178,14 @@ def cc_Wovvo(eris, t1, t2):
 # t update (reference CCSD.py:248-338)
 # ---------------------------------------------------------------------------
 
-def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False):
+def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
+            vvvv_sectors=None):
     """T1/T2 SCF update (or equation values) with optional L1 regularization
-    on the doubles. Reference CCSD.py:248-338."""
+    on the doubles. Reference CCSD.py:248-338.
+
+    vvvv_sectors: optional (aa, bb, ab) spin sectors of <ab||ef>
+    (ops/ladder.py) — exact 5.3x-fewer-FLOPs route for spin-block-sparse
+    integrals (auto-enabled by Solver_CCSD)."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
@@ -218,7 +223,8 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False):
     t2new = t2new + eris.oovv
     t2new = t2new + 0.5 * einsum("mnab,mnij->ijab", tau, Woooo)
     # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections)
-    t2new = t2new + ladder_contract(eris, t1, t2, tau)
+    t2new = t2new + ladder_contract(eris, t1, t2, tau,
+                                    vvvv_sectors=vvvv_sectors)
     tmp = einsum("imae,mbej->ijab", t2, Wovvo)
     tmp = tmp + einsum("ie,ma,mbje->ijab", t1, t1, eris.ovov)
     tmp = tmp - tmp.transpose(1, 0, 2, 3)
@@ -249,8 +255,13 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False):
 # Lambda intermediates + update (reference CCSD.py:419-623; PySCF gccsd_lambda)
 # ---------------------------------------------------------------------------
 
-def Linter(eris, t1, t2, fsp=None):
-    """Lambda intermediates. Reference CCSD.py:543-623."""
+def Linter(eris, t1, t2, fsp=None, cheap=False):
+    """Lambda intermediates. Reference CCSD.py:543-623.
+
+    cheap=True omits the O(o^2 v^4) einsum('kbad,jkcd->bcaj') piece of wvvvo
+    (as costly as the vvvv ladder itself); lupdate folds that contribution
+    into l1new directly with a reassociated O(o^3 v^3) contraction instead —
+    identical result, ~v/o times cheaper."""
     nocc = t1.shape[0]
     fsp = eris.fock if fsp is None else fsp
     foo, fov = fsp[:nocc, :nocc], fsp[:nocc, nocc:]
@@ -286,8 +297,9 @@ def Linter(eris, t1, t2, fsp=None):
              - einsum("lijb,klcb->icjk", eris.ooov, t2))
     wvvvo = (einsum("jcak,jb->bcak", v4, t1)
              + 0.25 * einsum("jlka,jlbc->bcak", eris.ooov, tau)
-             - 0.5 * einsum("jacb->bcaj", eris.ovvv)
-             + einsum("kbad,jkcd->bcaj", eris.ovvv, t2))
+             - 0.5 * einsum("jacb->bcaj", eris.ovvv))
+    if not cheap:
+        wvvvo = wvvvo + einsum("kbad,jkcd->bcaj", eris.ovvv, t2)
 
     E = (einsum("ia,ia", fsp[:nocc, nocc:], t1)
          + 0.25 * einsum("ijab,ijab", t2, eris.oovv)
@@ -297,16 +309,20 @@ def Linter(eris, t1, t2, fsp=None):
 
 
 def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
-            energy_term="ref"):
+            energy_term="ref", vvvv_sectors=None):
     """Lambda1/Lambda2 SCF update. Reference CCSD.py:419-535.
 
     energy_term: 'ref' reproduces the reference's `l1new += -l1new * E`
     (CCSD.py:509-510); 'off' gives the textbook equations (matches the
-    raw-equation oracle and PySCF)."""
+    raw-equation oracle and PySCF).
+
+    vvvv_sectors: optional spin sectors (ops/ladder.py) for the lambda
+    ladder 'ijcd,cdab->ijab'; also switches wvvvo to the reassociated
+    O(o^3 v^3) form (exact in both cases)."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
-    imds = Linter(eris, t1, t2, fsp=fsp)
+    imds = Linter(eris, t1, t2, fsp=fsp, cheap=True)
     fov = fsp[:nocc, nocc:]
     diag_vv = jnp.diag(fock)[nocc:]
     diag_oo = jnp.diag(fock)[:nocc]
@@ -331,7 +347,13 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     m3 = m3 + 0.25 * einsum("klab,ijkl->ijab", oovv, tmp)
     tmp = einsum("ijcd,kd->ijck", l2, t1)
     m3 = m3 - einsum("kcba,ijck->ijab", eris.ovvv, tmp)
-    m3 = m3 + 0.5 * einsum("ijcd,cdab->ijab", l2, eris.vvvv)
+    if vvvv_sectors is not None:
+        # lambda ladder via spin sectors ((ab)<->(cd) pair-swap symmetry
+        # makes it the same contraction as the t2 ladder)
+        from ecw_cc_tpu.ops.ladder import sector_vvvv_contract
+        m3 = m3 + sector_vvvv_contract(vvvv_sectors, l2)
+    else:
+        m3 = m3 + 0.5 * einsum("ijcd,cdab->ijab", l2, eris.vvvv)
 
     l2new = oovv + m3
     fov1 = fov + einsum("kjcb,kc->jb", oovv, t1)
@@ -358,6 +380,11 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
              - einsum("ikbc,bcak->ia", l2, imds["wvvvo"])
              + einsum("ijab,jb->ia", m3, t1)
              + einsum("jiba,bj->ia", l2, imds["w3"]))
+    # the O(o^2 v^4) wvvvo piece einsum('kbad,jkcd->bcaj') folded in with a
+    # reassociated O(o^3 v^3) chain (Linter cheap=True omitted it):
+    #   -sum_{kbc} l2[ikbc] sum_{md} ovvv[mbad] t2[kmcd]
+    Zl = einsum("ikbc,kmcd->ibmd", l2, t2)
+    l1new = l1new - einsum("ibmd,mbad->ia", Zl, eris.ovvv)
     tmp = (t1 + einsum("kc,kjcb->jb", l1, t2)
            - einsum("bd,jd->jb", tmp1vv, t1)
            - einsum("lj,lb->jb", mij, t1))
@@ -412,9 +439,11 @@ class GCC:
     def energy(self, t1, t2, fsp):
         return energy(self.eris, t1, t2, fsp)
 
-    def tupdate(self, t1, t2, fsp=None, alpha=None, equation=False):
-        return tupdate(self.eris, t1, t2, fsp, alpha, equation)
+    def tupdate(self, t1, t2, fsp=None, alpha=None, equation=False,
+                vvvv_sectors=None):
+        return tupdate(self.eris, t1, t2, fsp, alpha, equation, vvvv_sectors)
 
     def lupdate(self, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
-                energy_term="ref"):
-        return lupdate(self.eris, t1, t2, l1, l2, fsp, alpha, equation, energy_term)
+                energy_term="ref", vvvv_sectors=None):
+        return lupdate(self.eris, t1, t2, l1, l2, fsp, alpha, equation,
+                       energy_term, vvvv_sectors)

@@ -94,19 +94,99 @@ def _ladder_mm_pallas(tau_r, vvvv_r, tile_m=128, tile_n=128, tile_k=512):
     return out[:M, :N]
 
 
-def ladder_contract(eris, t1, t2, tau):
+# ---------------------------------------------------------------------------
+# Spin-sector decomposition (exact, TPU-first)
+#
+# In the G spin-orbital basis with alternating orbspin [0,1,0,1,...] (the
+# GHF construction, reference Eris.py:57), a spin-free Hamiltonian makes
+# <ab||ef> block-sparse in spin: it vanishes unless the spin multiset of
+# (a,b) equals that of (e,f).  Only three independent sectors exist —
+# (aa|aa), (bb|bb), (ab|ab) — the (ab|ba)/(ba|..) sectors follow by
+# antisymmetry.  For an x antisymmetric in its last two indices (tau, t2,
+# l2 all are), the v^4 ladder becomes 3 sector matmuls: 6/32 of the dense
+# FLOPs and no reads of structurally-zero blocks.
+# ---------------------------------------------------------------------------
+
+def vvvv_spin_sectors(vvvv):
+    """(aa, bb, ab) sectors of <ab||ef>, each (m,m,m,m) with m = nvir//2."""
+    return (vvvv[0::2, 0::2, 0::2, 0::2],
+            vvvv[1::2, 1::2, 1::2, 1::2],
+            vvvv[0::2, 1::2, 0::2, 1::2])
+
+
+def has_spin_structure(vvvv, rtol=1e-12):
+    """True if vvvv carries the alternating-spin block sparsity: every
+    spin-forbidden block (spin multiset of (a,b) != that of (e,f)) is zero.
+    Exact max-abs test — works in f32 too (both ERI builders mask the
+    forbidden elements to exact zeros)."""
+    if vvvv.shape[0] % 2:
+        return False
+    import itertools
+
+    @jax.jit
+    def _check(v):
+        mx = jnp.asarray(0.0, v.dtype)
+        for sa, sb, sc, sd in itertools.product((0, 1), repeat=4):
+            allowed = (sa == sc and sb == sd) or (sa == sd and sb == sc)
+            if allowed:
+                continue
+            blk = v[sa::2, sb::2, sc::2, sd::2]
+            mx = jnp.maximum(mx, jnp.max(jnp.abs(blk)))
+        return mx, jnp.max(jnp.abs(v))
+
+    mx, scale = _check(vvvv)
+    return float(mx) <= rtol * max(float(scale), 1e-30)
+
+
+def sector_vvvv_contract(sectors, x):
+    """0.5 * einsum('ijef,abef->ijab', x, vvvv) via spin sectors.
+
+    Requires x antisymmetric in (e,f) and vvvv spin-block sparse (checked at
+    solver setup by has_spin_structure).  Also computes the lambda ladder
+    0.5*einsum('ijcd,cdab->ijab', l2, vvvv) — identical by the (ab)<->(ef)
+    pair-swap symmetry of <ab||ef>."""
+    aa, bb, ab = sectors
+    o = x.shape[0]
+    m = aa.shape[0]
+    m2 = m * m
+
+    def mm(xs, w, scale):
+        return scale * jax.lax.dot_general(
+            xs.reshape(o * o, m2), w.reshape(m2, m2),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype).reshape(o, o, m, m)
+
+    y_aa = mm(x[:, :, 0::2, 0::2], aa, 0.5)
+    y_bb = mm(x[:, :, 1::2, 1::2], bb, 0.5)
+    # ab rows: ef in {ab, ba} both contribute; antisymmetry of x and W makes
+    # them equal -> single matmul, factor 1.0 (= 0.5 * 2)
+    y_ab = mm(x[:, :, 0::2, 1::2], ab, 1.0)
+
+    out = jnp.zeros(x.shape, x.dtype)
+    out = out.at[:, :, 0::2, 0::2].set(y_aa)
+    out = out.at[:, :, 1::2, 1::2].set(y_bb)
+    out = out.at[:, :, 0::2, 1::2].set(y_ab)
+    # ba rows by antisymmetry in (a,b)
+    out = out.at[:, :, 1::2, 0::2].set(-jnp.transpose(y_ab, (0, 1, 3, 2)))
+    return out
+
+
+def ladder_contract(eris, t1, t2, tau, vvvv_sectors=None):
     """0.5 * einsum('ijef,abef->ijab', tau, Wvvvv) without materializing Wvvvv."""
     nocc, nvir = t1.shape
-    tau_r = tau.reshape(nocc * nocc, nvir * nvir)
-    vvvv_r = eris.vvvv.reshape(nvir * nvir, nvir * nvir)
 
-    cfg = get_config()
-    use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
-    if use_pallas:
-        L1 = 0.5 * _ladder_mm_pallas(tau_r, vvvv_r)
+    if vvvv_sectors is not None:
+        L1 = sector_vvvv_contract(vvvv_sectors, tau)
     else:
-        L1 = 0.5 * _ladder_mm_xla(tau_r, vvvv_r)
-    L1 = L1.reshape(nocc, nocc, nvir, nvir)
+        tau_r = tau.reshape(nocc * nocc, nvir * nvir)
+        vvvv_r = eris.vvvv.reshape(nvir * nvir, nvir * nvir)
+        cfg = get_config()
+        use_pallas = cfg.use_pallas and jax.default_backend() == "tpu"
+        if use_pallas:
+            L1 = 0.5 * _ladder_mm_pallas(tau_r, vvvv_r)
+        else:
+            L1 = 0.5 * _ladder_mm_xla(tau_r, vvvv_r)
+        L1 = L1.reshape(nocc, nocc, nvir, nvir)
 
     # - P_(ab) part from the t1.ovvv correction to Wvvvv
     Y = einsum("ijef,mbef->ijmb", tau, eris.ovvv)

@@ -181,7 +181,6 @@ class Solver_CCS:
     # fully-jitted path
     # ------------------------------------------------------------------
     def _build_device_solver(self, diis, alpha):
-        eris = self.mycc.eris
         vexp_fn = make_gs_vexp_device(self.myVexp)
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
@@ -192,57 +191,62 @@ class Solver_CCS:
         use_l1 = alpha is not None
         hist_len = maxiter + 2
 
-        def conv_vec(ts, ls, fsp):
-            if conv_kind == "tl":
-                return (ts + ls).ravel()
-            if conv_kind == "l":
-                return ls.ravel()
-            return ccs_ops.energy_ccs(eris, ts, fsp).reshape(1)
-
-        def body(carry):
-            (ts, ls, rdm1, dstate, conv, Dconv, ite, k, status,
-             Ep_h, Delta_h, vmax_h, conv_h, Lw, alpha_v) = carry
-            conv_old = conv
-            V, Delta, vmax = vexp_fn(rdm1, Lw)
-            fsp = eris.fock - V
-            T1i = ccs_ops.T1inter(eris, ts, fsp)
-            if use_l1:
-                ts = ccs_ops.tsupdate_L1(eris, ts, T1i, alpha_v)
-            else:
-                ts = ccs_ops.tsupdate(eris, ts, T1i)
-            L1i = ccs_ops.L1inter(eris, ts, fsp)
-            if use_l1:
-                ls = ccs_ops.lsupdate_L1(eris, ls, L1i, alpha_v)
-            else:
-                ls = ccs_ops.lsupdate(eris, ts, ls, L1i)
-            if diis == "tl":
-                dstate, vec = diis_ops.diis_update(
-                    dstate, jnp.concatenate([ls.ravel(), ts.ravel()]), mindiis)
-                ls = vec[: nocc * nvir].reshape(nocc, nvir)
-                ts = vec[nocc * nvir:].reshape(nocc, nvir)
-            rdm1 = ccs_ops.gamma_CCS(ts, ls)
-            if diis == "rdm1":
-                dstate, vec = diis_ops.diis_update(dstate, rdm1.ravel(), mindiis)
-                rdm1 = vec.reshape(dim, dim)
-            Ep = ccs_ops.energy_ccs(eris, ts, fsp)
-            conv = conv_vec(ts, ls, fsp)
-            Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old), Dconv)
-            Ep_h = Ep_h.at[k].set(Ep)
-            Delta_h = Delta_h.at[k].set(Delta)
-            vmax_h = vmax_h.at[k].set(vmax)
-            conv_h = conv_h.at[k].set(Dconv)
-            status = jnp.where(ite >= maxiter, 2,
-                               jnp.where(Dconv > 10.0, 3, status))
-            ite = jnp.where(status == 0, ite + 1, ite)
-            return (ts, ls, rdm1, dstate, conv, Dconv, ite, k + 1, status,
-                    Ep_h, Delta_h, vmax_h, conv_h, Lw, alpha_v)
-
-        def cond(carry):
-            Dconv, status = carry[5], carry[8]
-            return (Dconv > thres) & (status == 0)
-
+        # eris is a jit ARGUMENT, not a closure constant (axon remote-compile
+        # gotcha: closure-captured device arrays ship with the program)
         @jax.jit
-        def run(L, ts0, ls0, alpha_v):
+        def run(eris, L, ts0, ls0, alpha_v):
+            def conv_vec(ts, ls, fsp):
+                if conv_kind == "tl":
+                    return (ts + ls).ravel()
+                if conv_kind == "l":
+                    return ls.ravel()
+                return ccs_ops.energy_ccs(eris, ts, fsp).reshape(1)
+
+            def body(carry):
+                (ts, ls, rdm1, dstate, conv, Dconv, ite, k, status,
+                 Ep_h, Delta_h, vmax_h, conv_h, Lw, alpha_v) = carry
+                conv_old = conv
+                V, Delta, vmax = vexp_fn(rdm1, Lw)
+                fsp = eris.fock - V
+                T1i = ccs_ops.T1inter(eris, ts, fsp)
+                if use_l1:
+                    ts = ccs_ops.tsupdate_L1(eris, ts, T1i, alpha_v)
+                else:
+                    ts = ccs_ops.tsupdate(eris, ts, T1i)
+                L1i = ccs_ops.L1inter(eris, ts, fsp)
+                if use_l1:
+                    ls = ccs_ops.lsupdate_L1(eris, ls, L1i, alpha_v)
+                else:
+                    ls = ccs_ops.lsupdate(eris, ts, ls, L1i)
+                if diis == "tl":
+                    dstate, vec = diis_ops.diis_update(
+                        dstate, jnp.concatenate([ls.ravel(), ts.ravel()]),
+                        mindiis)
+                    ls = vec[: nocc * nvir].reshape(nocc, nvir)
+                    ts = vec[nocc * nvir:].reshape(nocc, nvir)
+                rdm1 = ccs_ops.gamma_CCS(ts, ls)
+                if diis == "rdm1":
+                    dstate, vec = diis_ops.diis_update(dstate, rdm1.ravel(),
+                                                       mindiis)
+                    rdm1 = vec.reshape(dim, dim)
+                Ep = ccs_ops.energy_ccs(eris, ts, fsp)
+                conv = conv_vec(ts, ls, fsp)
+                Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old),
+                                  Dconv)
+                Ep_h = Ep_h.at[k].set(Ep)
+                Delta_h = Delta_h.at[k].set(Delta)
+                vmax_h = vmax_h.at[k].set(vmax)
+                conv_h = conv_h.at[k].set(Dconv)
+                status = jnp.where(ite >= maxiter, 2,
+                                   jnp.where(Dconv > 10.0, 3, status))
+                ite = jnp.where(status == 0, ite + 1, ite)
+                return (ts, ls, rdm1, dstate, conv, Dconv, ite, k + 1, status,
+                        Ep_h, Delta_h, vmax_h, conv_h, Lw, alpha_v)
+
+            def cond(carry):
+                Dconv, status = carry[5], carry[8]
+                return (Dconv > thres) & (status == 0)
+
             rdm1 = ccs_ops.gamma_CCS(ts0, ls0)
             nvec = 2 * nocc * nvir if diis == "tl" else dim * dim
             dstate = diis_ops.diis_init(nvec, self.maxdiis, dtype=ts0.dtype)
@@ -274,7 +278,7 @@ class Solver_CCS:
         run = self._device_solvers[key]
         Lw = jnp.asarray(self.myVexp.L_check(L)[0], dtype=ts.dtype)
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
-        out = run(Lw, ts, ls, alpha_v)
+        out = run(self.mycc.eris, Lw, ts, ls, alpha_v)
         ts_f, ls_f, rdm1, ite, k, status, Ep_h, Delta_h, vmax_h, conv_h = \
             [np.asarray(x) for x in out]
         n = int(k)
@@ -506,7 +510,6 @@ class Solver_CCSD:
                 [np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)])
 
     def _build_device_solver(self, diis, use_l1):
-        eris = self.mycc.eris
         vexp_fn = make_gs_vexp_device(self.myVexp)
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
@@ -519,56 +522,67 @@ class Solver_CCSD:
         nov = nocc * nvir
         nood = nocc * nocc * nvir * nvir
 
-        def conv_vec(ts, ls, td, ld, fsp):
-            if conv_kind == "tl":
-                return jnp.concatenate([(jnp.abs(ls) + jnp.abs(ts)).ravel(),
-                                        (jnp.abs(ld) + jnp.abs(td)).ravel()])
-            if conv_kind == "l":
-                return jnp.concatenate([ls.ravel(), ld.ravel()])
-            return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
-
-        def body(carry):
-            (ts, ls, td, ld, dstate, conv, Dconv, ite, k, status,
-             Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw, alpha_v) = carry
-            conv_old = conv
-            rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
-            if diis == "rdm1":
-                dstate, vec = diis_ops.diis_update(dstate, rdm1.ravel(), mindiis)
-                rdm1 = vec.reshape(dim, dim)
-            V, Delta, vmax = vexp_fn(rdm1, Lw)
-            fsp = eris.fock - V
-            Ep = ccsd_ops.energy(eris, ts, td, fsp)
-            alpha = alpha_v if use_l1 else None
-            ts, td = ccsd_ops.tupdate(eris, ts, td, fsp=fsp, alpha=alpha)
-            ls, ld = ccsd_ops.lupdate(eris, ts, td, ls, ld, fsp=fsp, alpha=alpha,
-                                      energy_term=energy_term)
-            if diis == "tl":
-                dstate, vec = diis_ops.diis_update(
-                    dstate,
-                    jnp.concatenate([ls.ravel(), ts.ravel(), ld.ravel(), td.ravel()]),
-                    mindiis)
-                ls = vec[:nov].reshape(nocc, nvir)
-                ts = vec[nov:2 * nov].reshape(nocc, nvir)
-                ld = vec[2 * nov:2 * nov + nood].reshape(nocc, nocc, nvir, nvir)
-                td = vec[2 * nov + nood:].reshape(nocc, nocc, nvir, nvir)
-            conv = conv_vec(ts, ls, td, ld, fsp)
-            Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old), Dconv)
-            Ep_h = Ep_h.at[k].set(Ep)
-            Delta_h = Delta_h.at[k].set(Delta)
-            vmax_h = vmax_h.at[k].set(vmax)
-            conv_h = conv_h.at[k].set(Dconv)
-            status = jnp.where(ite >= maxiter, 2,
-                               jnp.where(Dconv > 1.0, 3, status))
-            ite = jnp.where(status == 0, ite + 1, ite)
-            return (ts, ls, td, ld, dstate, conv, Dconv, ite, k + 1, status,
-                    Ep_h, Delta_h, vmax_h, conv_h, rdm1, Lw, alpha_v)
-
-        def cond(carry):
-            Dconv, status = carry[6], carry[9]
-            return (Dconv > thres) & (status == 0)
-
+        # eris/vvsect are jit ARGUMENTS (device buffers stay out of the
+        # lowered program — a multi-GB closure constant would be shipped to
+        # the remote compile service on the axon backend)
         @jax.jit
-        def run(L, ts0, ls0, td0, ld0, alpha_v):
+        def run(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
+            def conv_vec(ts, ls, td, ld, fsp):
+                if conv_kind == "tl":
+                    return jnp.concatenate(
+                        [(jnp.abs(ls) + jnp.abs(ts)).ravel(),
+                         (jnp.abs(ld) + jnp.abs(td)).ravel()])
+                if conv_kind == "l":
+                    return jnp.concatenate([ls.ravel(), ld.ravel()])
+                return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
+
+            def body(carry):
+                (ts, ls, td, ld, dstate, conv, Dconv, ite, k, status,
+                 Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw, alpha_v) = carry
+                conv_old = conv
+                rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
+                if diis == "rdm1":
+                    dstate, vec = diis_ops.diis_update(dstate, rdm1.ravel(),
+                                                       mindiis)
+                    rdm1 = vec.reshape(dim, dim)
+                V, Delta, vmax = vexp_fn(rdm1, Lw)
+                fsp = eris.fock - V
+                Ep = ccsd_ops.energy(eris, ts, td, fsp)
+                alpha = alpha_v if use_l1 else None
+                ts, td = ccsd_ops.tupdate(eris, ts, td, fsp=fsp, alpha=alpha,
+                                          vvvv_sectors=vvsect)
+                ls, ld = ccsd_ops.lupdate(eris, ts, td, ls, ld, fsp=fsp,
+                                          alpha=alpha, energy_term=energy_term,
+                                          vvvv_sectors=vvsect)
+                if diis == "tl":
+                    dstate, vec = diis_ops.diis_update(
+                        dstate,
+                        jnp.concatenate([ls.ravel(), ts.ravel(),
+                                         ld.ravel(), td.ravel()]),
+                        mindiis)
+                    ls = vec[:nov].reshape(nocc, nvir)
+                    ts = vec[nov:2 * nov].reshape(nocc, nvir)
+                    ld = vec[2 * nov:2 * nov + nood].reshape(
+                        nocc, nocc, nvir, nvir)
+                    td = vec[2 * nov + nood:].reshape(nocc, nocc, nvir, nvir)
+                conv = conv_vec(ts, ls, td, ld, fsp)
+                Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old),
+                                  Dconv)
+                Ep_h = Ep_h.at[k].set(Ep)
+                Delta_h = Delta_h.at[k].set(Delta)
+                vmax_h = vmax_h.at[k].set(vmax)
+                conv_h = conv_h.at[k].set(Dconv)
+                status = jnp.where(ite >= maxiter, 2,
+                                   jnp.where(Dconv > 1.0, 3, status))
+                ite = jnp.where(status == 0, ite + 1, ite)
+                return (ts, ls, td, ld, dstate, conv, Dconv, ite, k + 1,
+                        status, Ep_h, Delta_h, vmax_h, conv_h, rdm1, Lw,
+                        alpha_v)
+
+            def cond(carry):
+                Dconv, status = carry[6], carry[9]
+                return (Dconv > thres) & (status == 0)
+
             nvec = (2 * nov + 2 * nood) if diis == "tl" else dim * dim
             dstate = diis_ops.diis_init(nvec, self.maxdiis, dtype=ts0.dtype)
             conv0 = jnp.zeros_like(conv_vec(ts0, ls0, td0, ld0, eris.fock))
@@ -586,6 +600,20 @@ class Solver_CCSD:
 
         return run
 
+    def _get_vvvv_sectors(self):
+        """Spin sectors of vvvv for the exact block-sparse ladder (None when
+        disabled or the integrals lack alternating-spin structure, e.g.
+        synthetic tensors)."""
+        if not hasattr(self, "_vvsect"):
+            from ecw_cc_tpu.ops import ladder
+            from ecw_cc_tpu.config import get_config
+            self._vvsect = None
+            if get_config().spin_block and ladder.has_spin_structure(
+                    self.mycc.eris.vvvv):
+                self._vvsect = jax.jit(ladder.vvvv_spin_sectors)(
+                    self.mycc.eris.vvvv)
+        return self._vvsect
+
     def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis=""):
         dt = self.fock.dtype
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
@@ -601,7 +629,8 @@ class Solver_CCSD:
         run = self._device_solvers[key]
         Lw = jnp.asarray(self.myVexp.L_check(L)[0], dtype=ts.dtype)
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
-        out = run(Lw, ts, ls, td, ld, alpha_v)
+        out = run(self.mycc.eris, self._get_vvvv_sectors(), Lw,
+                  ts, ls, td, ld, alpha_v)
         (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
          Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
         n = int(k)

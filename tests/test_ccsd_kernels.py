@@ -121,3 +121,62 @@ def test_tr_rdm1_gs_limit(system):
     assert abs(np.trace(g)) < 1e-9
     # and its ov block reduces to l1 (r0=1, r=0)
     assert np.allclose(g[:nocc, nocc:], l1, atol=1e-12)
+
+
+def test_spin_sector_ladder_exact(h2o_631g):
+    """The spin-sector vvvv contraction equals the dense ladder bit-for-bit
+    semantics (exact block sparsity, not an approximation)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ladder
+
+    _, _, _, eris = h2o_631g
+    assert ladder.has_spin_structure(eris.vvvv)
+    nocc, nvir = eris.nocc, eris.nvir
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((nocc, nocc, nvir, nvir))
+    x = x - x.transpose(0, 1, 3, 2)   # antisymmetric in (e,f) as t2/l2/tau are
+    x = jnp.asarray(x)
+    dense = 0.5 * jnp.einsum("ijef,abef->ijab", x, eris.vvvv)
+    sect = ladder.sector_vvvv_contract(ladder.vvvv_spin_sectors(eris.vvvv), x)
+    assert np.allclose(np.asarray(dense), np.asarray(sect), atol=1e-12)
+    # lambda-ladder orientation via pair-swap symmetry
+    dense_l = 0.5 * jnp.einsum("ijcd,cdab->ijab", x, eris.vvvv)
+    assert np.allclose(np.asarray(dense_l), np.asarray(sect), atol=1e-12)
+
+
+def test_spin_structure_detection_rejects_synthetic():
+    """Random dense tensors must NOT take the sector path."""
+    import __graft_entry__ as g
+    from ecw_cc_tpu.ops import ladder
+
+    eris = g._synthetic_eris(4, 8, np.float64)
+    assert not ladder.has_spin_structure(eris.vvvv)
+
+
+def test_tupdate_lupdate_sector_path_matches_dense(h2o_631g):
+    """Full t/lambda updates with vvvv_sectors equal the dense-path updates."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops import ladder
+
+    _, ghf, _, eris = h2o_631g
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t2 = np.asarray(eris.oovv) / eijab
+    rng = np.random.default_rng(3)
+    t1 = jnp.asarray(rng.standard_normal((nocc, nvir)) * 0.01)
+    t2 = jnp.asarray(t2)
+    l1, l2 = t1 * 0.5, t2 * 0.5
+    sect = ladder.vvvv_spin_sectors(eris.vvvv)
+
+    t1d, t2d = ccsd_ops.tupdate(eris, t1, t2)
+    t1s, t2s = ccsd_ops.tupdate(eris, t1, t2, vvvv_sectors=sect)
+    assert np.allclose(np.asarray(t1d), np.asarray(t1s), atol=1e-12)
+    assert np.allclose(np.asarray(t2d), np.asarray(t2s), atol=1e-12)
+
+    l1d, l2d = ccsd_ops.lupdate(eris, t1, t2, l1, l2)
+    l1s, l2s = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_sectors=sect)
+    assert np.allclose(np.asarray(l1d), np.asarray(l1s), atol=1e-12)
+    assert np.allclose(np.asarray(l2d), np.asarray(l2s), atol=1e-12)

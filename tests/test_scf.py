@@ -127,3 +127,16 @@ def test_gexp_deform_and_underfit():
     n0 = np.sum(np.abs(g.gamma_ao) > 0)
     g.underfit(0.3, rng=np.random.default_rng(1))
     assert np.sum(np.abs(g.gamma_ao) > 0) < n0
+
+
+def test_build_eris_device_matches_host(h2o_631g):
+    """The on-device ERI transform (bench production path) must reproduce the
+    host f64 builder block for block."""
+    from ecw_cc_tpu.models.eris import build_eris_device, GEris
+
+    mol, ghf, eris_host, _ = h2o_631g
+    dev = build_eris_device(mol, ghf, dtype="float64")
+    for f in GEris._fields:
+        a = np.asarray(getattr(dev, f))
+        b = np.asarray(getattr(eris_host, f))
+        assert np.allclose(a, b, atol=1e-10), f
