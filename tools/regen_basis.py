@@ -1,0 +1,342 @@
+"""Basis-set regeneration machinery (in-house equivalents of published sets).
+
+Published Gaussian basis parameters (EMSL digits) are not available offline,
+so sets beyond the exactly-remembered ones are REGENERATED with Dunning's
+construction (round-1 precedent: N/O cc-pVDZ, C cc-pVTZ):
+
+  1. optimize primitive exponents variationally for the HF ground-state atom
+     (UHF on the decontracted set; even-tempered warm start, then free
+     refinement, Nelder-Mead in log space);
+  2. contraction coefficients = atomic-HF orbital coefficients of the
+     optimized decontracted atom (segmented extraction);
+  3. polarization/diffuse exponents use the documented Pople/Dunning
+     conventions (single-d values, 2d = {2x, x/2} splits, shared diffuse sp).
+
+Round 1 ran this machinery from the working tree; this file commits it.
+
+Usage:
+    python tools/regen_basis.py 6-311g          # optimize C/N/O (11s,5p) cores
+    python tools/regen_basis.py cc-pvtz-no      # optimize N/O cc-pVTZ sp cores
+
+Emits Python dict literals ready to paste into models/basis_data.py, plus
+the atomic energies (decontracted vs contracted) for the record.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from ecw_cc_tpu.models.molecule import Molecule
+from ecw_cc_tpu.models.scf import UHF
+
+ATOM_SPIN = {"H": 1, "C": 2, "N": 3, "O": 2}
+
+
+def atom_energy(el, shells):
+    """UHF energy of the isolated atom in the given basis (large = failed)."""
+    try:
+        mol = Molecule(f"{el} 0 0 0", {el: shells}, spin=ATOM_SPIN[el])
+        mf = UHF(mol)
+        e = mf.kernel()
+        if not np.isfinite(e):
+            return 1e3, None
+        return e, mf
+    except Exception:
+        return 1e3, None
+
+
+def decontracted(exps_by_l):
+    """[(l, exps)] -> one single-primitive shell per exponent."""
+    shells = []
+    for l, exps in exps_by_l:
+        for a in exps:
+            shells.append((l, [(float(a), 1.0)]))
+    return shells
+
+
+def _exps_from_x(x, structure):
+    """Unpack flat log-params into [(l, exps)] following `structure`:
+    each entry (l, kind, n) with kind 'et' (2 params: log a0, log ratio)
+    or 'free' (n params)."""
+    out = []
+    i = 0
+    for l, kind, n in structure:
+        if kind == "et":
+            a0, r = np.exp(x[i]), np.exp(x[i + 1])
+            exps = [a0 * r ** k for k in range(n)]
+            i += 2
+        else:
+            exps = list(np.exp(x[i:i + n]))
+            i += n
+        out.append((l, exps))
+    return out
+
+
+def _merge_l(exps_by_l):
+    """Merge same-l entries preserving order (for shell grouping info)."""
+    return exps_by_l
+
+
+def optimize_atom(el, structure, x0, maxiter_et=400, maxiter_free=800,
+                  verbose=True):
+    """Two-stage exponent optimization: structured (even-tempered) warm start,
+    then free refinement of every exponent."""
+    from scipy.optimize import minimize
+
+    n_eval = [0]
+
+    def f_struct(x):
+        n_eval[0] += 1
+        e, _ = atom_energy(el, decontracted(_exps_from_x(x, structure)))
+        return e
+
+    t0 = time.time()
+    res = minimize(f_struct, x0, method="Nelder-Mead",
+                   options=dict(maxiter=maxiter_et, xatol=1e-4, fatol=1e-7))
+    exps_by_l = _exps_from_x(res.x, structure)
+    if verbose:
+        print(f"  [{el}] stage 1 (even-tempered): E = {res.fun:.6f} "
+              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)")
+
+    # stage 2: every exponent free
+    free_struct = [(l, "free", len(exps)) for l, exps in exps_by_l]
+    xf = np.concatenate([np.log(exps) for _, exps in exps_by_l])
+    n_eval[0] = 0
+
+    def f_free(x):
+        n_eval[0] += 1
+        e, _ = atom_energy(el, decontracted(_exps_from_x(x, free_struct)))
+        return e
+
+    t0 = time.time()
+    res2 = minimize(f_free, xf, method="Nelder-Mead",
+                    options=dict(maxiter=maxiter_free, xatol=1e-5, fatol=1e-8))
+    exps_by_l = _exps_from_x(res2.x, free_struct)
+    if verbose:
+        print(f"  [{el}] stage 2 (free):          E = {res2.fun:.6f} "
+              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)")
+    return exps_by_l, res2.fun
+
+
+def extract_contractions(el, exps_by_l, pattern):
+    """Segmented contraction from atomic-HF orbital coefficients.
+
+    pattern: {l: [n1, n2, ...]} — how many (sorted, descending) primitives go
+    into each contracted function; primitives beyond sum(pattern[l]) become
+    single free functions; a pattern entry of 1 is a free function.
+    Returns the shell list in models/basis_data.py layout.
+    """
+    # merge all same-l groups, sort descending
+    merged = {}
+    for l, exps in exps_by_l:
+        merged.setdefault(l, []).extend(exps)
+    exps_srt = [(l, sorted(v, reverse=True)) for l, v in sorted(merged.items())]
+    e_dec, mf = atom_energy(el, decontracted(exps_srt))
+    assert mf is not None, "decontracted atom failed"
+    C = mf.mo_coeff[0]  # alpha orbitals
+    occ = mf.mo_occ[0]
+
+    # AO row offsets: shells in insertion order, each l contributes (2l+1)
+    rows_by_l = {}
+    row = 0
+    for l, exps in exps_srt:
+        lst = rows_by_l.setdefault(l, [])
+        for _ in exps:
+            lst.append(row)  # row of the first component of this shell
+            row += 2 * l + 1
+
+    # orbital character: an MO belongs to l if its largest |coeff| row is
+    # one of that l's rows (+ component)
+    def mo_l_and_component(mo):
+        r = int(np.argmax(np.abs(C[:, mo])))
+        for l, rlist in rows_by_l.items():
+            for r0 in rlist:
+                if r0 <= r < r0 + 2 * l + 1:
+                    return l, r - r0
+        raise RuntimeError("row mapping failed")
+
+    # pick, per l, the occupied MOs of that character (ascending energy)
+    mos_by_l = {l: [] for l, _ in exps_srt}
+    for mo in range(C.shape[1]):
+        if occ[mo] <= 0:
+            continue
+        l, comp = mo_l_and_component(mo)
+        # degenerate p components: keep one representative per energy level
+        key = round(float(mf.mo_energy[0][mo]), 6)
+        if not any(k == key for k, _, _ in mos_by_l[l]):
+            mos_by_l[l].append((key, mo, comp))
+
+    shells = []
+    for l, exps in exps_srt:
+        pat = pattern.get(l, [1] * len(exps))
+        mo_iter = iter(sorted(mos_by_l.get(l, [])))
+        if isinstance(pat, dict):
+            # GENERAL contraction (cc-pVXZ style): pat = {"gen": (n_fn,
+            # n_prims), "free": n_free} — n_fn contracted functions each
+            # spanning the n_prims tightest primitives (coefficients from
+            # the lowest occupied l-type MOs), plus the n_free smallest
+            # primitives as additional single functions.
+            n_fn, n_prims = pat["gen"]
+            for _ in range(n_fn):
+                _, mo, comp = next(mo_iter)
+                block = exps[:n_prims]
+                coefs = [float(C[rows_by_l[l][k] + comp, mo])
+                         for k in range(n_prims)]
+                if coefs[0] < 0:
+                    coefs = [-c for c in coefs]
+                shells.append((l, [(a, c) for a, c in zip(block, coefs)]))
+            for a in exps[len(exps) - pat["free"]:]:
+                shells.append((l, [(a, 1.0)]))
+            continue
+        start = 0
+        for n in pat:
+            block = exps[start:start + n]
+            if n == 1:
+                shells.append((l, [(block[0], 1.0)]))
+            else:
+                try:
+                    _, mo, comp = next(mo_iter)
+                except StopIteration:
+                    raise RuntimeError(
+                        f"not enough occupied {l}-type atomic orbitals for "
+                        f"the contraction pattern of {el}")
+                coefs = [float(C[rows_by_l[l][exps.index(a)] + comp, mo])
+                         for a in block]
+                # sign convention: leading coefficient positive
+                if coefs[0] < 0:
+                    coefs = [-c for c in coefs]
+                shells.append((l, [(a, c) for a, c in zip(block, coefs)]))
+            start += n
+    e_con, _ = atom_energy(el, shells)
+    print(f"  [{el}] decontracted E = {e_dec:.6f}, "
+          f"segmented-contracted E = {e_con:.6f} (dE = {e_con - e_dec:.2e})")
+    return shells
+
+
+def optimize_contracted(el, shells0, maxiter=3000, verbose=True):
+    """Joint variational refinement of the CONTRACTED basis: all exponents
+    (log space) and all contraction coefficients of multi-primitive shells
+    are free parameters; minimizes the contracted-atom UHF energy (this is
+    Pople's construction — segmented AO extraction alone loses ~0.1 Ha)."""
+    from scipy.optimize import minimize
+
+    # flatten
+    x0, slots = [], []
+    for si, (l, prims) in enumerate(shells0):
+        for pi, (a, c) in enumerate(prims):
+            slots.append((si, pi, "e"))
+            x0.append(np.log(a))
+            if len(prims) > 1:
+                slots.append((si, pi, "c"))
+                x0.append(c)
+
+    def build(x):
+        shells = [(l, [list(p) for p in prims]) for l, prims in shells0]
+        for val, (si, pi, kind) in zip(x, slots):
+            if kind == "e":
+                shells[si][1][pi][0] = float(np.exp(val))
+            else:
+                shells[si][1][pi][1] = float(val)
+        return [(l, [tuple(p) for p in prims]) for l, prims in shells]
+
+    n_eval = [0]
+
+    def f(x):
+        n_eval[0] += 1
+        e, _ = atom_energy(el, build(x))
+        return e
+
+    t0 = time.time()
+    res = minimize(f, np.asarray(x0), method="Nelder-Mead",
+                   options=dict(maxiter=maxiter, xatol=1e-5, fatol=1e-9))
+    if verbose:
+        print(f"  [{el}] stage 3 (contracted joint): E = {res.fun:.6f} "
+              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)")
+    return build(res.x), res.fun
+
+
+def emit(el, shells, per_line=3):
+    print(f"    '{el}': [")
+    for l, prims in shells:
+        body = ", ".join(f"({a:.7g}, {c:.7g})" for a, c in prims)
+        print(f"        ({l}, [{body}]),")
+    print("    ],")
+
+
+# ---------------------------------------------------------------------------
+# Targets
+# ---------------------------------------------------------------------------
+
+def run_6311g():
+    """(11s,5p)/[4s,3p] cores for C, N, O (H uses the exact published set)."""
+    # structure: s = 6 core (ET) + 3 mid (ET) + 2 free ; p = 3 (ET) + 2 free
+    structure = [(0, "et", 6), (0, "et", 3), (0, "free", 2),
+                 (1, "et", 3), (1, "free", 2)]
+    starts = {
+        "C": [np.log(4500.0), np.log(0.205), np.log(11.0), np.log(0.27),
+              np.log(0.46), np.log(0.145),
+              np.log(19.0), np.log(0.23), np.log(0.40), np.log(0.125)],
+        "N": [np.log(6300.0), np.log(0.205), np.log(15.0), np.log(0.27),
+              np.log(0.65), np.log(0.20),
+              np.log(27.0), np.log(0.23), np.log(0.55), np.log(0.17)],
+        "O": [np.log(8500.0), np.log(0.205), np.log(20.0), np.log(0.27),
+              np.log(0.90), np.log(0.26),
+              np.log(35.0), np.log(0.23), np.log(0.72), np.log(0.21)],
+    }
+    pattern = {0: [6, 3, 1, 1], 1: [3, 1, 1]}
+    out = {}
+    for el in ("C", "N", "O"):
+        print(f"== {el} (11s,5p) ==")
+        exps_by_l, e = optimize_atom(el, structure, np.asarray(starts[el]))
+        shells = extract_contractions(el, exps_by_l, pattern)
+        shells, _ = optimize_contracted(el, shells)
+        out[el] = shells
+    print("\n# ---- paste into basis_data.py: _6311G cores ----")
+    for el, shells in out.items():
+        emit(el, shells)
+
+
+def run_ccpvtz_no():
+    """(10s,5p)/[4s,3p] sp cores for N, O cc-pVTZ (d/f exponents use the
+    documented Dunning values; general contraction = two shells sharing all
+    10 s primitives, like the embedded C set)."""
+    structure = [(0, "et", 6), (0, "et", 2), (0, "free", 2),
+                 (1, "et", 3), (1, "free", 2)]
+    starts = {
+        "N": [np.log(11000.0), np.log(0.20), np.log(3.9), np.log(0.28),
+              np.log(0.45), np.log(0.16),
+              np.log(26.0), np.log(0.225), np.log(0.52), np.log(0.16)],
+        "O": [np.log(15000.0), np.log(0.20), np.log(5.2), np.log(0.28),
+              np.log(0.60), np.log(0.21),
+              np.log(34.0), np.log(0.225), np.log(0.70), np.log(0.21)],
+    }
+    out = {}
+    for el in ("N", "O"):
+        print(f"== {el} (10s,5p) ==")
+        exps_by_l, e = optimize_atom(el, structure, np.asarray(starts[el]))
+        # cc-pVTZ style (matches the embedded C set): two general s
+        # contractions (1s, 2s atomic orbitals) spanning all 10 primitives +
+        # 2 free s; one general p contraction over all 5 + 2 free p.
+        shells = extract_contractions(
+            el, exps_by_l,
+            {0: {"gen": (2, 10), "free": 2}, 1: {"gen": (1, 5), "free": 2}})
+        shells, _ = optimize_contracted(el, shells)
+        out[el] = shells
+    print("\n# ---- paste into basis_data.py: cc-pVTZ N/O sp cores ----")
+    for el, shells in out.items():
+        emit(el, shells)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "6-311g"
+    if which == "6-311g":
+        run_6311g()
+    elif which == "cc-pvtz-no":
+        run_ccpvtz_no()
+    else:
+        raise SystemExit(f"unknown target {which}")
