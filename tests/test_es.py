@@ -162,3 +162,37 @@ def test_device_es_solver_matches_host(ecw_es):
     assert np.max(np.abs(out_h[3] - out_d[3])) < 1e-5
     assert np.max(np.abs(out_h[1]["ts"] - out_d[1]["ts"])) < 1e-5
     assert abs(np.trace(out_d[4]) - ecw.nocc) < 1e-8
+
+
+def test_scf_diag_left_vectors_differ_from_right():
+    """The similarity-transformed singles map is non-symmetric once ts != 0:
+    SCF_diag must deliver DISTINCT left eigenvectors (the reference runs a
+    separate non-symmetric Davidson for L, Solver_ES.py:746-761; r1 VERDICT
+    missing #2) with the same eigenvalue as the right solve."""
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES
+    from ecw_cc_tpu.ops.ccs import Gccs
+
+    ecw = ECW("h2o", "sto-3g")
+    # GS 'mat' target makes ts converge away from zero -> the singles map
+    # becomes genuinely non-symmetric (with ts=0 it is symmetric and l=r is
+    # correct); the trdip target threads transition Vexp into the maps
+    ecw.Build_GS_exp("mat", "HF", field=[0.05, 0.01, 0.0])
+    es_prop = [[["trdip", (0.5, 0.0, 0.0)]]]
+    ecw.Build_ES_exp_input(es_prop)
+    Vexp = Exp(0.05, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    solver = Solver_ES(Gccs(ecw.eris), Vexp, rn_ini=ecw.r_ini, conv_var="rl",
+                       conv_thres=1e-7, maxiter=80)
+    text, dic, Delta, Ep, rdm1 = solver.SCF_diag(0.05)
+    assert "Convergence reached" in text
+    rn = np.ravel(dic["rn"][0])
+    ln = np.ravel(dic["ln"][0])
+    # unit-normalized; compare up to sign
+    ov = abs(float(rn @ ln))
+    # the non-symmetry is O(ts^2) — small for this field, but an aliased
+    # (ln = rn) implementation returns |<l|r>| = 1.0 exactly
+    assert ov < 1.0 - 1e-8, f"left vector aliases the right one (|<l|r>|={ov})"
+    assert ov > 0.5  # same physical root
+    # the transition Vexp must have been built (threaded into the maps)
+    assert Vexp.Vexp[1, 0] is not None and np.any(np.asarray(Vexp.Vexp[1, 0]))
+    assert Vexp.Vexp[0, 1] is not None
