@@ -25,8 +25,12 @@ class Config:
     # Pallas kernels on/off (falls back to XLA einsum when off or unsupported).
     use_pallas: bool = False
     # Exact spin-sector decomposition of the vvvv ladder (5.3x fewer FLOPs,
-    # auto-detected per ERI set; see ops/ladder.py).
+    # auto-detected per ERI set; see ops/ladder.py).  Below ~96 spin-orbital
+    # virtuals the strided sector slicing costs more than the saved matmul
+    # work (measured: C2H2/cc-pVDZ 6.2 -> 9.3 ms with sectors, cc-pVTZ
+    # 79.3 -> 66.1 ms), so the path engages only at spin_block_min_nvir.
     spin_block: bool = True
+    spin_block_min_nvir: int = 96
     # Degenerate-threshold used when dividing by orbital-energy gaps.
     # (The reference divides without protection; 0.0 reproduces that.)
     eia_shift: float = 0.0

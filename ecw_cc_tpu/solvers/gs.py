@@ -400,12 +400,13 @@ class Solver_CCSD:
 
     def __init__(self, mycc, VX_exp, conv="tl", conv_thres=1e-6, tsini=None,
                  lsini=None, tdini=None, ldini=None, diis="", maxiter=40,
-                 maxdiis=15, mindiis=2, energy_term="ref"):
+                 maxdiis=15, mindiis=2, energy_term="ref", eris_host=None):
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.fock = mycc.fock
         self.mycc = mycc
         self.myVexp = VX_exp
+        self.eris_host = eris_host  # enables refine=True (f64 polish)
         self.diis = diis
         self.maxdiis = maxdiis
         self.mindiis = mindiis
@@ -607,14 +608,21 @@ class Solver_CCSD:
         if not hasattr(self, "_vvsect"):
             from ecw_cc_tpu.ops import ladder
             from ecw_cc_tpu.config import get_config
+            cfg = get_config()
             self._vvsect = None
-            if get_config().spin_block and ladder.has_spin_structure(
-                    self.mycc.eris.vvvv):
+            if (cfg.spin_block and self.nvir >= cfg.spin_block_min_nvir
+                    and ladder.has_spin_structure(self.mycc.eris.vvvv)):
                 self._vvsect = jax.jit(ladder.vvvv_spin_sectors)(
                     self.mycc.eris.vvvv)
         return self._vvsect
 
-    def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis=""):
+    def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None,
+                   diis="", refine=False, refine_iter=6):
+        """Fully-jitted while_loop solve; refine=True follows the f32 device
+        solve with `refine_iter` f64 polish iterations on the CPU backend
+        (mixed-precision scheme, SURVEY.md section 7 'f64 on TPU' — requires
+        eris_host passed at construction), recovering 1e-8 parity from an
+        f32 solve."""
         dt = self.fock.dtype
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
         ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
@@ -636,10 +644,26 @@ class Solver_CCSD:
         n = int(k)
         text = _conv_text(int(status), L, int(ite), alpha=alpha, ccsd=True)
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
+        amps = [ts_f, ls_f, td_f, ld_f]
+        if refine:
+            if self.eris_host is None:
+                raise ValueError("refine=True requires eris_host at "
+                                 "Solver_CCSD construction")
+            (ts64, ls64, td64, ld64), Ep64 = polish_f64(
+                self.eris_host, self.myVexp, L,
+                (ts_f, ls_f, td_f, ld_f), n_iter=refine_iter, alpha=alpha,
+                energy_term=self.energy_term)
+            amps = [ts64, ls64, td64, ld64]
+            rdm1 = np.asarray(ccsd_ops.gamma_CCSD(
+                jnp.asarray(ts64), jnp.asarray(td64),
+                jnp.asarray(ls64), jnp.asarray(ld64)))
+            Ep_h = np.concatenate([Ep_h[:n], [Ep64]])
+            n += 1
+            conv_h = np.concatenate([conv_h[:n - 1], [conv_h[n - 2]]])
+            Delta_it = np.concatenate([Delta_it, Delta_it[-1:]], axis=0)
         self.myVexp.Vexp_update(rdm1, rdm1, (0, 0), L=L)
         _record_metrics(self, "CCSD_device", L, Ep_h[:n], Delta_it, conv_h[:n])
-        return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1,
-                [ts_f, ls_f, td_f, ld_f])
+        return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1, amps)
 
 
 # ---------------------------------------------------------------------------
@@ -663,19 +687,29 @@ def polish_f64(eris_host, VXexp, L, amps, n_iter=6, alpha=None,
     """
     import jax
 
-    cpu = jax.devices("cpu")[0]
-    eris64 = eris_host.to_device(dtype="float64")
-    eris64 = jax.tree.map(lambda x: jax.device_put(np.asarray(x), cpu), eris64)
-    ts, ls, td, ld = [jax.device_put(np.asarray(a, dtype=np.float64), cpu)
-                      for a in amps]
-    fock = np.asarray(eris_host.fock)
-    Ep = None
-    for _ in range(n_iter):
-        rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
-        VXexp.Vexp_update(np.asarray(rdm1), np.asarray(rdm1), (0, 0), L=L)
-        fsp = jax.device_put(fock - VXexp.Vexp[0, 0], cpu)
-        Ep = float(ccsd_ops.energy(eris64, ts, td, fsp))
-        ts, td = ccsd_ops.tupdate(eris64, ts, td, fsp=fsp, alpha=alpha)
-        ls, ld = ccsd_ops.lupdate(eris64, ts, td, ls, ld, fsp=fsp, alpha=alpha,
-                                  energy_term=energy_term)
-    return (np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)), Ep
+    x64_was = jax.config.jax_enable_x64
+    if not x64_was:
+        # production f32 runs disable x64 globally; the polish needs true f64
+        jax.config.update("jax_enable_x64", True)
+    try:
+        cpu = jax.devices("cpu")[0]
+        eris64 = eris_host.to_device(dtype="float64")
+        eris64 = jax.tree.map(lambda x: jax.device_put(np.asarray(x), cpu),
+                              eris64)
+        ts, ls, td, ld = [jax.device_put(np.asarray(a, dtype=np.float64), cpu)
+                          for a in amps]
+        fock = np.asarray(eris_host.fock)
+        Ep = None
+        for _ in range(n_iter):
+            rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
+            VXexp.Vexp_update(np.asarray(rdm1), np.asarray(rdm1), (0, 0), L=L)
+            fsp = jax.device_put(fock - VXexp.Vexp[0, 0], cpu)
+            Ep = float(ccsd_ops.energy(eris64, ts, td, fsp))
+            ts, td = ccsd_ops.tupdate(eris64, ts, td, fsp=fsp, alpha=alpha)
+            ls, ld = ccsd_ops.lupdate(eris64, ts, td, ls, ld, fsp=fsp,
+                                      alpha=alpha, energy_term=energy_term)
+        return (np.asarray(ts), np.asarray(ls), np.asarray(td),
+                np.asarray(ld)), Ep
+    finally:
+        if not x64_was:
+            jax.config.update("jax_enable_x64", False)

@@ -266,3 +266,65 @@ def test_solver_populates_iteration_metrics(h2o_631g, tmp_path):
     lines = [json.loads(l) for l in sink.read_text().splitlines() if l.strip()]
     assert len(lines) == len(Ep_it)
     assert lines[0]["solver"] == "CCS_device"
+
+
+def test_ccsd_solve_sector_path_matches_dense(h2o_631g):
+    """Full SCF_device solve with the spin-sector ladder force-enabled equals
+    the dense solve (the size gate normally keeps small systems dense)."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve():
+        mycc = GCC(eris)
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        s = Solver_CCSD(mycc, exp, conv="tl", conv_thres=1e-9, diis="tl",
+                        maxiter=60)
+        return s.SCF_device(0.05)
+
+    old = cfg.get_config().spin_block_min_nvir
+    try:
+        cfg.set_config(spin_block_min_nvir=1)
+        out_s = solve()
+    finally:
+        cfg.set_config(spin_block_min_nvir=old)
+    out_d = solve()
+    assert "Convergence reached" in out_s[0]
+    assert len(out_s[1]) == len(out_d[1])          # same iteration count
+    assert abs(out_s[1][-1] - out_d[1][-1]) < 1e-10
+    for a, b in zip(out_s[5], out_d[5]):
+        assert np.allclose(a, b, atol=1e-8)
+
+
+def test_scf_device_refine_recovers_f64_parity(h2o_631g):
+    """SCF_device(refine=True): an f32 device solve + 6 f64 polish
+    iterations must match the full-f64 solve to 1e-8 (mixed-precision
+    scheme; r1 VERDICT item 9)."""
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris64 = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def make(er, host=None):
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        return Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-7,
+                           diis="tl", maxiter=60, eris_host=host)
+
+    # full f64 reference solve
+    out64 = make(eris64).SCF_device(0.05)
+    # f32 solve + f64 polish
+    eris32 = eris_host.to_device(dtype="float32")
+    out32 = make(eris32, host=eris_host).SCF_device(0.05, refine=True)
+    assert abs(out32[1][-1] - out64[1][-1]) < 1e-8
+    for a, b in zip(out32[5], out64[5]):
+        assert a.dtype == np.float64
+        assert np.max(np.abs(a - b)) < 1e-7
+    # without refine the f32 solve is NOT at f64 parity (sanity of the test)
+    out32_raw = make(eris32, host=eris_host).SCF_device(0.05)
+    assert abs(out32_raw[1][-1] - out64[1][-1]) > 1e-8

@@ -140,3 +140,34 @@ def test_build_eris_device_matches_host(h2o_631g):
         a = np.asarray(getattr(dev, f))
         b = np.asarray(getattr(eris_host, f))
         assert np.allclose(a, b, atol=1e-10), f
+
+
+def test_6311_and_pvtz_basis_registry():
+    """The 6-311G family and N/O cc-pVTZ resolve and give sane atomic AO
+    counts (flagship reference configs, r1 VERDICT missing #1)."""
+    from ecw_cc_tpu.models.basis_data import get_basis, BASIS
+
+    for name in ("6-311g", "6-311g*", "6-311+g**", "6-311++g**",
+                 "6-311++g(2d,2p)"):
+        assert name in BASIS
+        for el in ("H", "C", "N", "O"):
+            get_basis(name, el)
+    # AO counts: 6-311++G(2d,2p): H 4s+2p=10, C/N/O 5s+4p+2d=27 spherical
+    def nao(name, el):
+        return sum(2 * l + 1 for l, _ in get_basis(name, el))
+    assert nao("6-311++g(2d,2p)", "H") == 10
+    for el in ("C", "N", "O"):
+        assert nao("6-311++g(2d,2p)", el) == 27
+    # cc-pVTZ now covers N and O: 4s+3p+2d+1f = 30 spherical AOs
+    for el in ("N", "O"):
+        assert nao("cc-pvtz", el) == 30
+
+
+def test_nh3_ccpvtz_rhf_converges():
+    """N cc-pVTZ set works in a molecule (NH3 at near-equilibrium)."""
+    geom = "N 0 0 0.117; H 0 0.937 -0.273; H 0.811 -0.468 -0.273; H -0.811 -0.468 -0.273"
+    mol = Molecule(geom, "cc-pvtz")
+    mf = RHF(mol)
+    e = mf.kernel()
+    assert mf.converged
+    assert -56.3 < e < -56.1  # HF/cc-pVTZ NH3 ~ -56.22
