@@ -190,6 +190,21 @@ class ECW:
             self.r_ini.append(convert.convert_r_to_g_amp(rini))
         print("*** ES data stored ***")
 
+    def Build_ES_exp_EOM(self, nbr_of_es=1):
+        """ES targets from EOM-EE-CCSD: excitation energies + genuinely
+        distinct left/right transition rdm1s (the reference's EOM path is an
+        unimplemented stub, gamma_exp.py:464-470; see ops/eom.py)."""
+        es_exp = gamma_exp.ESexp(self.mol)
+        es_exp.EOM(nbr_of_es)
+        self.Eexp_ES.append(es_exp.DE_exp)
+        if self.r_ini is None:
+            self.r_ini = []
+        for (tr_l, tr_r), rini in zip(es_exp.gamma_tr_mo, es_exp.ini_r):
+            self.exp_data.append([["trmat", [tr_l, tr_r]]])
+            self.HF_prop.append([None])
+            self.r_ini.append(np.asarray(rini))
+        print("*** EOM-CCSD ES data stored ***")
+
     def Build_ES_exp_input(self, es_prop, rini_list=None, val_core=None,
                            rini_koop_idx=None):
         """ES targets from given property values. Reference Main.py:437-488."""

@@ -210,7 +210,50 @@ class ESexp:
         for c in range(self.nbr_of_states[1]):
             run_state(0, lumo + c, "core", self.nbr_of_states[0] + c)
 
-    def EOM(self, nbr_ES):
-        raise NotImplementedError(
-            "EOM-CCSD targets are not implemented (the reference's EOM stub "
-            "also raises, gamma_exp.py:464-470)")
+    def EOM(self, nbr_ES, tol=1e-7):
+        """EOM-EE-CCSD excited-state targets (the reference's EOM stub raises,
+        gamma_exp.py:464-470; this supplies the intended capability).
+
+        Solves plain CCSD + Lambda, then the lowest nbr_ES EOM-EE roots via
+        Davidson on the autodiff sigma (ops/eom.py), and builds the MO-G
+        left/right transition rdm1s:
+          (0,n): <Psi_0(t,Lambda)| ap+ aq |R_k>   (tr_rdm1 with GS left)
+          (n,0): <L_k| ap+ aq |Psi_0(t)>          (tr_rdm1 with GS right)
+        Results: DE_exp (omegas), gamma_tr_mo [(tr_l_mo, tr_r_mo), ...],
+        ini_r (G-format R1 guesses for the ECW ES solver)."""
+        from ecw_cc_tpu.ops import ccsd_t
+        from ecw_cc_tpu.ops import eom as eom_ops
+
+        ghf = GHF(self.mf)
+        eris = build_eris(self.mol, ghf).to_device()
+        t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+        # GS Lambda (textbook equations; plain-CCSD target generation)
+        l1, l2 = t1, t2
+        l_old = None
+        for _ in range(200):
+            l1, l2 = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None,
+                                      energy_term="off")
+            nrm = float(jnp.linalg.norm(l1) + jnp.linalg.norm(l2))
+            if l_old is not None and abs(nrm - l_old) < 1e-10:
+                break
+            l_old = nrm
+
+        omegas, Rs, Ls = eom_ops.eom_ccsd(eris, t1, t2, nroots=nbr_ES,
+                                          tol=tol, left=True)
+        self.ECCSD = float(e_cc)
+        self.gamma_tr_mo = []
+        self.ini_r = []
+        for k in range(nbr_ES):
+            r1, r2 = Rs[k]
+            lk1, lk2 = Ls[k]
+            r0 = eom_ops.eom_r0(eris, t1, t2, r1, r2, omegas[k])
+            zero1 = jnp.zeros_like(t1)
+            zero2 = jnp.zeros_like(t2)
+            tr_l = np.asarray(ccsd_ops.tr_rdm1(
+                t1, t2, l1, l2, jnp.asarray(r1), jnp.asarray(r2), r0))
+            tr_r = np.asarray(ccsd_ops.tr_rdm1(
+                t1, t2, jnp.asarray(lk1), jnp.asarray(lk2), zero1, zero2, 1.0))
+            self.DE_exp.append(float(omegas[k]))
+            self.gamma_tr_mo.append((tr_l, tr_r))
+            self.ini_r.append(np.asarray(r1))
+        return omegas

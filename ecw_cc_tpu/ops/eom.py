@@ -1,0 +1,152 @@
+"""EOM-EE-CCSD via autodiff (TPU-native, no hand-derived sigma equations).
+
+At a converged CCSD point the Jacobian of the residual equations,
+A_{mu nu} = dR_mu/dt_nu = <mu| e^-T [H, tau_nu] e^T |0>, IS the EOM-EE-CCSD
+matrix: its right/left eigenpairs are the EOM excitation energies and R/L
+amplitudes (linear-response CC eigenvalues coincide with EOM-CC for
+stationary T).  The sigma vector is therefore exactly
+
+    sigma(r) = jvp(residual, t, r)        (right)
+    sigma_L(l) = vjp(residual, t)(l)      (left)
+
+with residual = ops.ccsd.tupdate(..., equation=True), which is zero at the
+solution.  Davidson (utils.linalg.davidson_nosym) runs in the antisymmetric
+doubles subspace (the JVP preserves antisymmetry, so iterates stay physical
+despite the raw-storage redundancy flagged in CLAUDE.md).
+
+The reference's EOM target generator is an unimplemented stub
+(gamma_exp.py:464-470); this module supplies the intended capability.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ecw_cc_tpu.ops import ccsd as ccsd_ops
+from ecw_cc_tpu.utils.linalg import davidson_nosym
+
+
+def _residual(eris, fsp):
+    def res(t1, t2):
+        return ccsd_ops.tupdate(eris, t1, t2, fsp=fsp, equation=True)
+    return res
+
+
+def make_sigma(eris, t1, t2, fsp=None):
+    """(sigma_right, sigma_left) closures over the converged amplitudes."""
+    res = _residual(eris, fsp)
+
+    @jax.jit
+    def sigma(r1, r2):
+        _, s = jax.jvp(res, (t1, t2), (r1, r2))
+        return s
+
+    @jax.jit
+    def sigma_left(l1, l2):
+        _, vjp = jax.vjp(res, t1, t2)
+        return vjp((l1, l2))
+
+    return sigma, sigma_left
+
+
+def koopman_guesses(eris, nroots, alpha_only=True):
+    """Unit r1 vectors on the smallest orbital-energy gaps (Koopman);
+    with alpha_only, only alpha->alpha (even->even index) excitations are
+    seeded so degenerate spin pairs resolve deterministically."""
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    gaps = mo_e[None, nocc:] - mo_e[:nocc, None]
+    if alpha_only:
+        mask = np.ones_like(gaps) * np.inf
+        mask[0::2, 0::2] = 0.0  # orbspin alternates [0,1,0,1,...]
+        gaps = gaps + mask
+    order = np.argsort(gaps.ravel())
+    guesses = []
+    for k in range(nroots):
+        g = np.zeros(nocc * nvir)
+        g[order[k]] = 1.0
+        guesses.append(g)
+    return guesses
+
+
+def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
+             max_space=30, max_cycle=120, left=False):
+    """EOM-EE-CCSD roots by Davidson on the autodiff sigma.
+
+    :return: (omegas, list of (r1, r2)) — or (omegas, Rs, Ls) with left=True,
+        each L biorthonormalized so <L_k|R_k> = 1 (Euclidean on raw storage).
+    """
+    nocc, nvir = t1.shape
+    nov = nocc * nvir
+    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp)
+    mo_e = np.diag(np.asarray(eris.fock))
+    d1 = (mo_e[None, nocc:] - mo_e[:nocc, None]).ravel()
+    eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+    d2 = -(eia[:, None, :, None] + eia[None, :, None, :]).ravel()
+    diag = np.concatenate([d1, d2])
+
+    def _asym(r2):
+        return 0.25 * (r2 - r2.transpose(1, 0, 2, 3)
+                       - r2.transpose(0, 1, 3, 2) + r2.transpose(1, 0, 3, 2))
+
+    def unpack(v, asym=True):
+        r1 = jnp.asarray(v[:nov].reshape(nocc, nvir), dtype=t1.dtype)
+        r2 = v[nov:].reshape(nocc, nocc, nvir, nvir)
+        if asym:
+            r2 = _asym(r2)
+        return r1, jnp.asarray(r2, dtype=t1.dtype)
+
+    def mv_right(v):
+        s1, s2 = sigma(*unpack(v))
+        return np.concatenate([np.asarray(s1).ravel(), np.asarray(s2).ravel()])
+
+    if guess is None:
+        guess = koopman_guesses(eris, nroots)
+    x0 = [np.concatenate([g, np.zeros(nocc * nocc * nvir * nvir)])
+          for g in guess]
+    conv, w, xs = davidson_nosym(mv_right, x0, diag, nroots=nroots, tol=tol,
+                                 max_cycle=max_cycle, max_space=max_space)
+    omegas = [float(x) for x in w[:nroots]]
+    Rs = []
+    for k in range(nroots):
+        v = np.asarray(xs[k])
+        v = v / np.linalg.norm(v)
+        Rs.append(tuple(np.asarray(a) for a in unpack(v)))
+    if not left:
+        return omegas, Rs
+
+    def mv_left(v):
+        # transpose of (A . P) is P . A^T: the raw cotangent goes into the
+        # vjp unprojected, and the OUTPUT doubles part is antisymmetrized
+        # (the left map restricted to the physical subspace)
+        s1, s2 = sigma_left(*unpack(v, asym=False))
+        s2 = _asym(np.asarray(s2))
+        return np.concatenate([np.asarray(s1).ravel(), np.asarray(s2).ravel()])
+
+    Ls = []
+    for k in range(nroots):
+        xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
+                               np.asarray(Rs[k][1]).ravel()])]
+        conv_l, wl, xls = davidson_nosym(mv_left, xl0, diag, nroots=1,
+                                         tol=tol, max_cycle=max_cycle,
+                                         max_space=max_space, follow=True)
+        lv = np.asarray(xls[0])
+        l1, l2 = unpack(lv)
+        # biorthonormalize: <L|R> = 1 (raw-storage Euclidean product)
+        ov = (np.vdot(np.asarray(l1), Rs[k][0])
+              + np.vdot(np.asarray(l2), Rs[k][1]))
+        Ls.append((np.asarray(l1) / ov, np.asarray(l2) / ov))
+    return omegas, Rs, Ls
+
+
+def eom_r0(eris, t1, t2, r1, r2, omega, fsp=None):
+    """r0 = <0|Hbar R|0> / omega, with <0|Hbar R|0> = dE/dt . R obtained by
+    autodiff of the CCSD energy functional."""
+    def efn(a, b):
+        return ccsd_ops.energy(eris, a, b, fsp)
+
+    _, dE = jax.jvp(efn, (t1, t2), (jnp.asarray(r1, dtype=t1.dtype),
+                                    jnp.asarray(r2, dtype=t1.dtype)))
+    return float(dE) / omega

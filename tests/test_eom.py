@@ -1,0 +1,68 @@
+"""EOM-EE-CCSD (autodiff sigma) tests.
+
+The reference's EOM target generator is an unimplemented stub
+(gamma_exp.py:464-470); ops/eom.py supplies the intended capability.
+Oracle: for a 2-electron system CCSD is FCI, so EOM-CCSD excitation
+energies must equal exact FCI excitation energies (determinant-space H)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ecw_cc_tpu.oracle import CCOracle
+from ecw_cc_tpu.ops import ccsd_t
+from ecw_cc_tpu.ops import eom
+from tests.test_ccs_kernels import _assemble_full_eri
+
+
+def test_eom_ccsd_equals_fci_for_two_electrons(h2_631g):
+    mol, ghf, eris_host, eris = h2_631g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+
+    omegas, Rs = eom.eom_ccsd(eris, t1, t2, nroots=3, tol=1e-9)
+
+    eri_full = _assemble_full_eri(eris_host)
+    oracle = CCOracle(np.asarray(eris_host.fock), eri_full, eris.nocc)
+    w = np.sort(np.linalg.eigvalsh(oracle.H))
+    exc = w[1:] - w[0]
+    for om in omegas:
+        assert om > 0
+        assert np.min(np.abs(exc - om)) < 1e-7, (om, exc[:6])
+
+
+def test_eom_left_right_biorthogonal(h2o_sto3g):
+    mol, ghf, eris_host, eris = h2o_sto3g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+    omegas, Rs, Ls = eom.eom_ccsd(eris, t1, t2, nroots=2, tol=1e-8, left=True)
+    assert omegas[0] > 0 and omegas[1] >= omegas[0] - 1e-10
+    for k in range(2):
+        ov = (np.vdot(Ls[k][0], Rs[k][0]) + np.vdot(Ls[k][1], Rs[k][1]))
+        assert abs(ov - 1.0) < 1e-6  # biorthonormalized
+        # left really solves the transposed problem (restricted to the
+        # antisymmetric subspace): P A^T L = w L
+        sigma, sigma_left = eom.make_sigma(eris, t1, t2)
+        s1, s2 = sigma_left(jnp.asarray(Ls[k][0]), jnp.asarray(Ls[k][1]))
+        s2 = np.asarray(s2)
+        s2 = 0.25 * (s2 - s2.transpose(1, 0, 2, 3)
+                     - s2.transpose(0, 1, 3, 2) + s2.transpose(1, 0, 3, 2))
+        r = np.concatenate([np.asarray(s1).ravel(), s2.ravel()])
+        l = np.concatenate([Ls[k][0].ravel(), Ls[k][1].ravel()])
+        assert np.linalg.norm(r - omegas[k] * l) < 1e-5 * np.linalg.norm(l)
+
+
+def test_build_es_exp_eom(h2o_sto3g):
+    from ecw_cc_tpu import ECW
+
+    ecw = ECW("h2o", "sto-3g")
+    ecw.Build_ES_exp_EOM(1)
+    assert len(ecw.exp_data) == 2
+    assert ecw.exp_data[1][0][0] == "trmat"
+    tr_l, tr_r = ecw.exp_data[1][0][1]
+    dim = 2 * ecw.mol.nao
+    assert tr_l.shape == (dim, dim) and tr_r.shape == (dim, dim)
+    # left and right transition densities genuinely differ (non-symmetric)
+    assert not np.allclose(tr_l, tr_r)
+    de = ecw.Eexp_ES[0][0]
+    assert 0.2 < de < 1.0  # H2O/STO-3G lowest excitation ~ 0.3-0.5 au
+    nocc = int(np.sum(ecw.mo_occ > 0))
+    assert len(ecw.r_ini) == 1
+    assert ecw.r_ini[0].shape == (nocc, dim - nocc)
