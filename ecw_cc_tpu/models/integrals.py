@@ -383,21 +383,41 @@ def _one_electron(bs: BasisSet, kind="overlap", renorm=True, **kw):
     return out
 
 
+def _native_int1e(bs, kind, **kw):
+    """C++ one-electron path (None -> fall back to NumPy)."""
+    import os as _os
+
+    if _os.environ.get("ECW_CC_TPU_NO_NATIVE", "0") == "1":
+        return None
+    from ecw_cc_tpu import native as _native
+
+    if not _native.available():
+        return None
+    return _native.compute_int1e(bs, kind, **kw)
+
+
 def overlap(bs):
-    return _one_electron(bs, "overlap")
+    out = _native_int1e(bs, "overlap")
+    return out if out is not None else _one_electron(bs, "overlap")
 
 
 def kinetic(bs):
-    return _one_electron(bs, "kinetic")
+    out = _native_int1e(bs, "kinetic")
+    return out if out is not None else _one_electron(bs, "kinetic")
 
 
 def nuclear(bs, charges, coords):
-    return _one_electron(bs, "nuclear", charges=charges, coords=np.asarray(coords, float))
+    coords = np.asarray(coords, float)
+    out = _native_int1e(bs, "nuclear", charges=charges, coords=coords)
+    return out if out is not None else _one_electron(
+        bs, "nuclear", charges=charges, coords=coords)
 
 
 def dipole(bs, center):
     """<mu| r - center |nu>, 3 components (matches PySCF int1e_r with common origin)."""
-    return _one_electron(bs, "dipole", center=np.asarray(center, float))
+    center = np.asarray(center, float)
+    out = _native_int1e(bs, "dipole", origin=center)
+    return out if out is not None else _one_electron(bs, "dipole", center=center)
 
 
 # ----------------------------------------------------------------------------

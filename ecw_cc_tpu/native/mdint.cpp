@@ -449,3 +449,200 @@ void compute_eri(int nshell, const int* l, const int* nprim,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// One-electron integrals (overlap / kinetic / nuclear attraction / dipole)
+//
+// Same McMurchie-Davidson machinery as the ERI engine above; replaces the
+// role of PySCF's int1e_* (reference exp_pot.py:98-110, utilities.py:
+// 1009-1082).  The NumPy implementations in models/integrals.py remain the
+// cross-check oracle.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// E table with extended j bound (kinetic needs lb+2)
+struct ETab1 {
+    double e[LMAX+1][LMAX+3][2*LMAX+5];
+};
+
+static void etable1(int la, int lb, double A, double B, double a, double b,
+                    ETab1& E) {
+    const double p = a + b, mu = a * b / p, Q = A - B;
+    std::memset(&E, 0, sizeof(E));
+    E.e[0][0][0] = std::exp(-mu * Q * Q);
+    for (int i = 1; i <= la; ++i)
+        for (int t = 0; t <= i; ++t) {
+            double v = 0.0;
+            if (t >= 1) v += E.e[i-1][0][t-1] / (2 * p);
+            v -= (b / p) * Q * E.e[i-1][0][t];
+            if (t + 1 <= i - 1) v += (t + 1) * E.e[i-1][0][t+1];
+            E.e[i][0][t] = v;
+        }
+    for (int j = 1; j <= lb; ++j)
+        for (int i = 0; i <= la; ++i)
+            for (int t = 0; t <= i + j; ++t) {
+                double v = 0.0;
+                if (t >= 1) v += E.e[i][j-1][t-1] / (2 * p);
+                v += (a / p) * Q * E.e[i][j-1][t];
+                if (t + 1 <= i + j - 1) v += (t + 1) * E.e[i][j-1][t+1];
+                E.e[i][j][t] = v;
+            }
+}
+
+}  // namespace
+
+extern "C" {
+
+// kind: 0 = overlap, 1 = kinetic, 2 = nuclear attraction, 3 = dipole
+// (3 components about `origin`).  out: (nao,nao) for kinds 0-2, (3,nao,nao)
+// for dipole; zero-initialized by the caller.
+void compute_int1e(int kind, int nshell, const int* l, const int* nprim,
+                   const int* prim_off, const double* exps,
+                   const double* coefs, const double* centers,
+                   const int* sph_off, int nao, const double* norms,
+                   int natm, const double* charges, const double* atm_coords,
+                   const double* origin, double* out) {
+    double c2s[LMAX+1][7*10];
+    for (int ll = 0; ll <= LMAX; ++ll) c2s_matrix(ll, c2s[ll]);
+    const int ncomp = (kind == 3) ? 3 : 1;
+    std::vector<double> cart, R, sph, tmp;
+
+    for (int i = 0; i < nshell; ++i) {
+        const int la = l[i];
+        for (int j = 0; j <= i; ++j) {
+            const int lb = l[j];
+            const int nca = NCART[la], ncb = NCART[lb];
+            cart.assign((size_t)ncomp * nca * ncb, 0.0);
+
+            for (int ia = 0; ia < nprim[i]; ++ia)
+                for (int ib = 0; ib < nprim[j]; ++ib) {
+                    const double a = exps[prim_off[i] + ia];
+                    const double b = exps[prim_off[j] + ib];
+                    const double cc = coefs[prim_off[i] + ia]
+                                    * coefs[prim_off[j] + ib];
+                    const double p = a + b;
+                    const double* A = centers + 3*i;
+                    const double* B = centers + 3*j;
+                    double P[3];
+                    for (int d = 0; d < 3; ++d)
+                        P[d] = (a * A[d] + b * B[d]) / p;
+                    const int lb2 = lb + ((kind == 1) ? 2 : 0);
+                    ETab1 E[3];
+                    for (int d = 0; d < 3; ++d)
+                        etable1(la, lb2, A[d], B[d], a, b, E[d]);
+                    const double pref = std::pow(PI / p, 1.5);
+
+                    if (kind == 2) {
+                        const int Lt = la + lb;
+                        R.resize(ntuv(Lt));
+                        for (int at = 0; at < natm; ++at) {
+                            const double PC[3] = {P[0]-atm_coords[3*at],
+                                                  P[1]-atm_coords[3*at+1],
+                                                  P[2]-atm_coords[3*at+2]};
+                            rtable(Lt, p, PC, R.data());
+                            const double zpref = -charges[at] * 2.0 * PI / p * cc;
+                            for (int ca = 0; ca < nca; ++ca) {
+                                const Cart Ac = CARTS[la][ca];
+                                for (int cb = 0; cb < ncb; ++cb) {
+                                    const Cart Bc = CARTS[lb][cb];
+                                    double acc = 0.0;
+                                    for (int t = 0; t <= Ac.x + Bc.x; ++t)
+                                    for (int u = 0; u <= Ac.y + Bc.y; ++u)
+                                    for (int v = 0; v <= Ac.z + Bc.z; ++v)
+                                        acc += E[0].e[Ac.x][Bc.x][t]
+                                             * E[1].e[Ac.y][Bc.y][u]
+                                             * E[2].e[Ac.z][Bc.z][v]
+                                             * R[tuv_index(t, u, v, Lt)];
+                                    cart[(size_t)ca * ncb + cb] += zpref * acc;
+                                }
+                            }
+                        }
+                        continue;
+                    }
+
+                    for (int ca = 0; ca < nca; ++ca) {
+                        const Cart Ac = CARTS[la][ca];
+                        const int ax[3] = {Ac.x, Ac.y, Ac.z};
+                        for (int cb = 0; cb < ncb; ++cb) {
+                            const Cart Bc = CARTS[lb][cb];
+                            const int bx[3] = {Bc.x, Bc.y, Bc.z};
+                            double s0[3];
+                            for (int d = 0; d < 3; ++d)
+                                s0[d] = E[d].e[ax[d]][bx[d]][0];
+                            if (kind == 0) {
+                                cart[(size_t)ca * ncb + cb]
+                                    += cc * pref * s0[0] * s0[1] * s0[2];
+                            } else if (kind == 1) {
+                                double K[3];
+                                for (int d = 0; d < 3; ++d) {
+                                    const int jj = bx[d];
+                                    double v = -2.0 * b * b
+                                        * E[d].e[ax[d]][jj + 2][0]
+                                        + b * (2 * jj + 1) * s0[d];
+                                    if (jj >= 2)
+                                        v -= 0.5 * jj * (jj - 1)
+                                            * E[d].e[ax[d]][jj - 2][0];
+                                    K[d] = v;
+                                }
+                                cart[(size_t)ca * ncb + cb] += cc * pref
+                                    * (K[0] * s0[1] * s0[2]
+                                       + s0[0] * K[1] * s0[2]
+                                       + s0[0] * s0[1] * K[2]);
+                            } else {  // dipole: <a| r - origin |b>
+                                double s1[3];
+                                for (int d = 0; d < 3; ++d) {
+                                    const double e1 =
+                                        (ax[d] + bx[d] >= 1)
+                                            ? E[d].e[ax[d]][bx[d]][1] : 0.0;
+                                    s1[d] = e1 + (P[d] - origin[d]) * s0[d];
+                                }
+                                cart[(size_t)0 * nca * ncb + ca * ncb + cb]
+                                    += cc * pref * s1[0] * s0[1] * s0[2];
+                                cart[(size_t)1 * nca * ncb + ca * ncb + cb]
+                                    += cc * pref * s0[0] * s1[1] * s0[2];
+                                cart[(size_t)2 * nca * ncb + ca * ncb + cb]
+                                    += cc * pref * s0[0] * s0[1] * s1[2];
+                            }
+                        }
+                    }
+                }
+
+            // cartesian -> spherical, normalize, symmetric scatter
+            const int nsa = NSPH[la], nsb = NSPH[lb];
+            const int oa = sph_off[i], ob = sph_off[j];
+            sph.resize((size_t)nsa * nsb);
+            tmp.resize((size_t)nsa * ncb);
+            for (int comp = 0; comp < ncomp; ++comp) {
+                const double* blk = &cart[(size_t)comp * nca * ncb];
+                for (int sa = 0; sa < nsa; ++sa)
+                    for (int cb = 0; cb < ncb; ++cb) {
+                        double v = 0.0;
+                        for (int ca = 0; ca < nca; ++ca)
+                            v += c2s[la][sa * NCART[la] + ca]
+                               * blk[(size_t)ca * ncb + cb];
+                        tmp[(size_t)sa * ncb + cb] = v;
+                    }
+                for (int sa = 0; sa < nsa; ++sa)
+                    for (int sb = 0; sb < nsb; ++sb) {
+                        double v = 0.0;
+                        for (int cb = 0; cb < ncb; ++cb)
+                            v += tmp[(size_t)sa * ncb + cb]
+                               * c2s[lb][sb * NCART[lb] + cb];
+                        sph[(size_t)sa * nsb + sb] =
+                            v * norms[oa + sa] * norms[ob + sb];
+                    }
+                double* o = out + (size_t)comp * nao * nao;
+                for (int sa = 0; sa < nsa; ++sa)
+                    for (int sb = 0; sb < nsb; ++sb) {
+                        o[(size_t)(oa + sa) * nao + (ob + sb)] =
+                            sph[(size_t)sa * nsb + sb];
+                        o[(size_t)(ob + sb) * nao + (oa + sa)] =
+                            sph[(size_t)sa * nsb + sb];
+                    }
+            }
+        }
+    }
+}
+
+}  // extern "C"

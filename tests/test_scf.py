@@ -171,3 +171,32 @@ def test_nh3_ccpvtz_rhf_converges():
     e = mf.kernel()
     assert mf.converged
     assert -56.3 < e < -56.1  # HF/cc-pVTZ NH3 ~ -56.22
+
+
+def test_native_int1e_matches_numpy():
+    """C++ one-electron integrals (overlap/kinetic/nuclear/dipole) equal the
+    NumPy oracle on a system with s,p,d,f shells."""
+    from ecw_cc_tpu import native
+    from ecw_cc_tpu.models import integrals
+
+    if not native.available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    mol = Molecule("h2o", "cc-pvtz")  # exercises d and f shells
+    bs = mol.bs
+    charges, coords = mol.charges, mol.coords
+    center = mol.charge_center()
+    pairs = [
+        ("overlap", native.compute_int1e(bs, "overlap"),
+         integrals._one_electron(bs, "overlap")),
+        ("kinetic", native.compute_int1e(bs, "kinetic"),
+         integrals._one_electron(bs, "kinetic")),
+        ("nuclear", native.compute_int1e(bs, "nuclear", charges=charges,
+                                         coords=coords),
+         integrals._one_electron(bs, "nuclear", charges=charges,
+                                 coords=coords)),
+        ("dipole", native.compute_int1e(bs, "dipole", origin=center),
+         integrals._one_electron(bs, "dipole", center=center)),
+    ]
+    for name, a, b in pairs:
+        assert np.allclose(a, b, atol=1e-12), name
