@@ -609,8 +609,6 @@ class SolverES_Device:
 
     def _build(self, use_ov, force_alpha, diis):
         s = self.s
-        mycc = s.mycc
-        eris = mycc.eris
         nocc, nvir = s.nocc, s.nvir
         dim = s.dim
         n_states = s.nbr_states
@@ -632,7 +630,9 @@ class SolverES_Device:
                 return jnp.sum(rn + ln, axis=0).ravel()
             return ((ts + ls) + jnp.sum(rn + ln, axis=0)).ravel()
 
-        def state_update(ts, fspn, v0n, vn0, r, l, r0, l0, ov):
+        # eris is threaded through as a jit ARGUMENT (remote-compile gotcha:
+        # closure-captured device arrays ship with the lowered program)
+        def state_update(eris, ts, fspn, v0n, vn0, r, l, r0, l0, ov):
             Rinter = ccs_ops.R1inter(eris, ts, fspn, v0n)
             if use_ov:
                 o, v = ov[0], ov[1]
@@ -659,7 +659,7 @@ class SolverES_Device:
             l0new = ccs_ops.l0_fromE(eris, Em_l, ts, l, vn0, fsp=fspn)
             return rnew, lnew, r0new, l0new, Em, Em_l
 
-        def body(carry):
+        def body(eris, carry):
             (ts, ls, rn, ln, r0n, l0n, ov, dstate, conv, Dconv, ite, k,
              status, Ep_h, Delta_h, Lflat) = carry
             conv_old = conv
@@ -688,7 +688,7 @@ class SolverES_Device:
 
             rnew, lnew, r0new, l0new, Em_r, Em_l = jax.vmap(
                 lambda f_, v0_, vn_, r_, l_, r0_, l0_, ov_: state_update(
-                    ts, f_, v0_, vn_, r_, l_, r0_, l0_, ov_)
+                    eris, ts, f_, v0_, vn_, r_, l_, r0_, l0_, ov_)
             )(fspn, V0n, Vn0, rn, ln, r0n, l0n, ov)
 
             if diis in ("ES", "all", "GS"):
@@ -741,7 +741,7 @@ class SolverES_Device:
             return (Dconv > thres) & (status == 0)
 
         @jax.jit
-        def run(ts0, ls0, rn0, ln0, r0n0, l0n0, ov0, Lflat):
+        def run(eris, ts0, ls0, rn0, ln0, r0n0, l0n0, ov0, Lflat):
             if diis == "GS":
                 nvec = 2 * nov
             elif diis == "ES":
@@ -758,7 +758,7 @@ class SolverES_Device:
                      jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
                      jnp.zeros((hist, n_states, 2), ts0.dtype),
                      jnp.zeros((hist, n_states, n_states), ts0.dtype), Lflat)
-            out = jax.lax.while_loop(cond, body, carry)
+            out = jax.lax.while_loop(cond, lambda c: body(eris, c), carry)
             (ts, ls, rn, ln, r0n, l0n, _, _, _, Dconv, ite, k, status,
              Ep_h, Delta_h, _) = out
             status = jnp.where(status == 0, 1, status)
@@ -802,7 +802,8 @@ class SolverES_Device:
         key = (use_ov, force_alpha, diis)
         if key not in self._runs:
             self._runs[key] = self._build(use_ov, force_alpha, diis)
-        out = self._runs[key](ts, ls, rn, ln, r0n, l0n, jnp.asarray(ov), Lflat)
+        out = self._runs[key](s.mycc.eris, ts, ls, rn, ln, r0n, l0n,
+                              jnp.asarray(ov), Lflat)
         (ts, ls, rn, ln, r0n, l0n, rdm1_gs, ite, k, status,
          Ep_h, Delta_h) = [np.asarray(x) for x in out]
         n = int(k)
