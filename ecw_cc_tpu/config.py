@@ -34,6 +34,11 @@ class Config:
     # Degenerate-threshold used when dividing by orbital-energy gaps.
     # (The reference divides without protection; 0.0 reproduces that.)
     eia_shift: float = 0.0
+    # Matmul precision for the DEVICE SOLVER iterations: 'highest' (6-pass
+    # bf16 ~ true f32, the parity mode), 'high' (3-pass), 'default'
+    # (single-pass bf16).  Lower precisions converge to a coarser fixed
+    # point; combine with SCF_device(refine=True) to recover 1e-8 parity.
+    iter_precision: str = "highest"
 
 
 _config = Config(
@@ -41,6 +46,7 @@ _config = Config(
     x64=os.environ.get("ECW_CC_TPU_X64", "1") != "0",
     use_pallas=os.environ.get("ECW_CC_TPU_PALLAS", "0") == "1",
     spin_block=os.environ.get("ECW_CC_TPU_SPINBLOCK", "1") != "0",
+    iter_precision=os.environ.get("ECW_CC_TPU_ITERPREC", "highest"),
 )
 
 

@@ -66,10 +66,62 @@ def _t3_pieces(eris, t1, t2, fsp):
     return t3c, t3d, D, w
 
 
-def energy_t(eris, t1, t2, fsp=None):
-    """The (T) energy correction (spin-orbital, full t3 materialized)."""
+def _energy_t_dense(eris, t1, t2, fsp=None):
+    """(T) with the full t3 materialized — O(o^3 v^3) memory; cross-check
+    oracle for the scan path on tiny systems."""
     t3c, t3d, D, w = _t3_pieces(eris, t1, t2, fsp)
     return einsum("ijkabc,ijkabc", w, t3c + t3d) / 36.0
+
+
+def energy_t(eris, t1, t2, fsp=None):
+    """The (T) energy correction, scanned over (i,j) occupied pairs.
+
+    The full t3 tensor is O(o^3 v^3) — 26 GB at C2H2/6-311++G(2d,2p) f32 —
+    so the permutation operators are expanded per (i,j) slab: each scan step
+    holds only (o, v, v, v) work arrays (~134 MB there).  The body is
+    rematerialized (jax.checkpoint) so the response-density vjp does not
+    store per-step slabs either."""
+    nocc, nvir = t1.shape
+    f = eris.fock if fsp is None else fsp
+    fo = jnp.diag(f)[:nocc]
+    fv = jnp.diag(f)[nocc:]
+    vovv, ovoo, oovv = eris.vovv, eris.ovoo, eris.oovv
+    Dk = (fo[:, None, None, None]
+          - fv[None, :, None, None] - fv[None, None, :, None]
+          - fv[None, None, None, :])
+
+    def pabc(x):  # P(a/bc) on axes 1,2,3 of (k,a,b,c)
+        return x - jnp.swapaxes(x, 1, 2) - jnp.swapaxes(x, 1, 3)
+
+    @jax.checkpoint
+    def body(acc, ij):
+        I, J = ij // nocc, ij % nocc
+        t2I = jnp.take(t2, I, axis=0)          # (o, v, v)... (m,b,c) etc.
+        t2J = jnp.take(t2, J, axis=0)
+        vovvI = jnp.take(vovv, I, axis=1)      # (v, v, v) = (e, b, c)
+        vovvJ = jnp.take(vovv, J, axis=1)
+        ovooJ = jnp.take(ovoo, J, axis=2)      # (o, v, o) = (m, a, k)
+        ovooI = jnp.take(ovoo, I, axis=2)
+        # P(i/jk) W0 evaluated at (I, J, k), per-(k,a,b,c):
+        #   W0[i,j,k] = t2[j,k,a,e] <ei||bc> - t2[i,m,b,c] <ma||jk>
+        A = (einsum("kae,ebc->kabc", t2J, vovvI)
+             - einsum("mbc,mak->kabc", t2I, ovooJ))
+        B = (einsum("kae,ebc->kabc", t2I, vovvJ)
+             - einsum("mbc,mak->kabc", t2J, ovooI))
+        C = (einsum("ae,ekbc->kabc", t2J[I], vovv)
+             - einsum("kmbc,ma->kabc", t2, ovoo[:, :, J, I]))
+        w = pabc(A - B - C)
+        # P(i/jk) [t1_ia <jk||bc>] at (I, J, k)
+        v0 = (einsum("a,kbc->kabc", t1[I], oovv[J])
+              - einsum("a,kbc->kabc", t1[J], oovv[I])
+              - einsum("ka,bc->kabc", t1, oovv[J, I]))
+        v = pabc(v0)
+        D = fo[I] + fo[J] + Dk
+        return acc + jnp.sum(w * (w + v) / D), None
+
+    acc, _ = jax.lax.scan(body, jnp.asarray(0.0, t1.dtype),
+                          jnp.arange(nocc * nocc))
+    return acc / 36.0
 
 
 def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True):

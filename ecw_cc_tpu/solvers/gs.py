@@ -523,11 +523,24 @@ class Solver_CCSD:
         nov = nocc * nvir
         nood = nocc * nocc * nvir * nvir
 
+        from ecw_cc_tpu.config import get_config
+        iter_prec = get_config().iter_precision
+
         # eris/vvsect are jit ARGUMENTS (device buffers stay out of the
         # lowered program — a multi-GB closure constant would be shipped to
         # the remote compile service on the axon backend)
         @jax.jit
         def run(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
+            # trace-time context: stamps the chosen matmul precision on every
+            # dot inside the solve ('high'/'default' trade digits for MXU
+            # passes; pair with refine=True to recover parity)
+            import contextlib
+            prec_ctx = (jax.default_matmul_precision(iter_prec)
+                        if iter_prec != "highest" else contextlib.nullcontext())
+            with prec_ctx:
+                return _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v)
+
+        def _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
             def conv_vec(ts, ls, td, ld, fsp):
                 if conv_kind == "tl":
                     return jnp.concatenate(
@@ -538,8 +551,14 @@ class Solver_CCSD:
                 return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
 
             def body(carry):
-                (ts, ls, td, ld, dstate, conv, Dconv, ite, k, status,
-                 Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw, alpha_v) = carry
+                (ts_in, ls_in, td_in, ld_in, dstate_in, conv_in, Dconv, ite,
+                 k, status, Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw,
+                 alpha_v) = carry
+                # under vmap (SCF_batch) the while_loop runs until EVERY lane
+                # is done; finished lanes must freeze (mirrors cond)
+                active = (Dconv > thres) & (status == 0)
+                ts, ls, td, ld = ts_in, ls_in, td_in, ld_in
+                dstate, conv = dstate_in, conv_in
                 conv_old = conv
                 rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
                 if diis == "rdm1":
@@ -567,16 +586,28 @@ class Solver_CCSD:
                         nocc, nocc, nvir, nvir)
                     td = vec[2 * nov + nood:].reshape(nocc, nocc, nvir, nvir)
                 conv = conv_vec(ts, ls, td, ld, fsp)
-                Dconv = jnp.where(ite > 0, jnp.linalg.norm(conv - conv_old),
-                                  Dconv)
+                Dconv_new = jnp.where(ite > 0,
+                                      jnp.linalg.norm(conv - conv_old), Dconv)
+                # freeze finished lanes (no-op in the unbatched solve: the
+                # loop cond guarantees active=True inside the body)
+                ts = jnp.where(active, ts, ts_in)
+                ls = jnp.where(active, ls, ls_in)
+                td = jnp.where(active, td, td_in)
+                ld = jnp.where(active, ld, ld_in)
+                dstate = jax.tree.map(
+                    lambda a, b: jnp.where(active, a, b), dstate, dstate_in)
+                conv = jnp.where(active, conv, conv_in)
+                Dconv = jnp.where(active, Dconv_new, Dconv)
                 Ep_h = Ep_h.at[k].set(Ep)
                 Delta_h = Delta_h.at[k].set(Delta)
                 vmax_h = vmax_h.at[k].set(vmax)
                 conv_h = conv_h.at[k].set(Dconv)
-                status = jnp.where(ite >= maxiter, 2,
-                                   jnp.where(Dconv > 1.0, 3, status))
-                ite = jnp.where(status == 0, ite + 1, ite)
-                return (ts, ls, td, ld, dstate, conv, Dconv, ite, k + 1,
+                status_new = jnp.where(ite >= maxiter, 2,
+                                       jnp.where(Dconv > 1.0, 3, status))
+                status = jnp.where(active, status_new, status)
+                ite = jnp.where(active & (status == 0), ite + 1, ite)
+                k = jnp.where(active, k + 1, k)
+                return (ts, ls, td, ld, dstate, conv, Dconv, ite, k,
                         status, Ep_h, Delta_h, vmax_h, conv_h, rdm1, Lw,
                         alpha_v)
 
@@ -664,6 +695,52 @@ class Solver_CCSD:
         self.myVexp.Vexp_update(rdm1, rdm1, (0, 0), L=L)
         _record_metrics(self, "CCSD_device", L, Ep_h[:n], Delta_it, conv_h[:n])
         return (text, Ep_h[:n], Delta_it, conv_h[:n], rdm1, amps)
+
+    def SCF_batch(self, Larray, alpha=None, diis=""):
+        """Solve ALL lambda values of a sweep simultaneously: the while_loop
+        solver vmapped over the lambda batch axis (the 'dp' axis of the
+        parallelism plan, SURVEY.md section 5 — independent lambda values are
+        embarrassingly parallel; shard the batch over a ('dp','tp') mesh for
+        multi-chip sweeps).
+
+        Unlike the sequential sweep this uses COLD starts (no warm-start
+        chaining between lambda values, which is inherently sequential), so
+        iteration counts per lane differ from the warm-started sweep while
+        converged results are identical.
+
+        :return: list of per-lambda result tuples in SCF_device format.
+        """
+        dt = self.fock.dtype
+        diis = diis or self.diis
+        key = (diis, alpha is not None)
+        if not hasattr(self, "_device_solvers"):
+            self._device_solvers = {}
+        if key not in self._device_solvers:
+            self._device_solvers[key] = self._build_device_solver(
+                diis, alpha is not None)
+        run = self._device_solvers[key]
+        nL = len(Larray)
+        Lw = jnp.asarray(np.stack([self.myVexp.L_check(float(L))[0]
+                                   for L in Larray]), dtype=dt)
+        alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=dt)
+        tile = lambda a: jnp.broadcast_to(a, (nL,) + a.shape)
+        batch = jax.vmap(run, in_axes=(None, None, 0, 0, 0, 0, 0, None))
+        out = batch(self.mycc.eris, self._get_vvvv_sectors(), Lw,
+                    tile(self.tsini), tile(self.lsini),
+                    tile(self.tdini), tile(self.ldini), alpha_v)
+        (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
+         Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
+        results = []
+        for i, L in enumerate(Larray):
+            n = int(k[i])
+            text = _conv_text(int(status[i]), float(L), int(ite[i]),
+                              alpha=alpha, ccsd=True)
+            Delta_it = np.stack([Delta_h[i, :n], vmax_h[i, :n]], axis=1)
+            results.append((text, Ep_h[i, :n], Delta_it, conv_h[i, :n],
+                            rdm1[i], [ts_f[i], ls_f[i], td_f[i], ld_f[i]]))
+        # host Vexp state reflects the last lambda (sequential-sweep parity)
+        self.myVexp.Vexp_update(rdm1[-1], rdm1[-1], (0, 0), L=float(Larray[-1]))
+        return results
 
 
 # ---------------------------------------------------------------------------

@@ -88,3 +88,16 @@ def test_gexp_ccsd_t_target():
     S = mol.intor("ovlp")
     assert abs(np.einsum("ij,ji", g, S) - mol.nelectron) < 1e-6
     assert gexp.Eexp < gexp.EHF_def  # correlation lowers the energy
+
+
+def test_energy_t_scan_matches_dense(h2o_sto3g):
+    """The (i,j)-pair-scanned (T) energy (O(o v^3) memory) equals the dense
+    full-t3 evaluation."""
+    from ecw_cc_tpu.ops import ccsd_t
+
+    _, _, _, eris = h2o_sto3g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+    e_dense = float(ccsd_t._energy_t_dense(eris, t1, t2))
+    e_scan = float(ccsd_t.energy_t(eris, t1, t2))
+    assert abs(e_dense - e_scan) < 1e-12
+    assert e_scan < 0  # (T) lowers the energy for a normal closed shell

@@ -107,3 +107,31 @@ def test_entry_compiles():
     assert np.isfinite(float(out[4]))
     import ecw_cc_tpu.config as config
     config.set_config(x64=True, dtype="float64")
+
+
+def test_batched_lambda_sweep_matches_sequential(h2o_631g):
+    """SCF_batch (vmapped while_loop over the lambda axis, the 'dp' slot of
+    the parallelism plan) must converge each lane to the same result as the
+    cold-start sequential solves — including lane freezing once a lane
+    converges before the others."""
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    Ls = [0.0, 0.05, 0.1]
+
+    def make():
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        return Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-8,
+                           diis="tl", maxiter=60)
+
+    batch = make().SCF_batch(Ls)
+    for L, res in zip(Ls, batch):
+        seq = make().SCF_device(L)
+        assert "Convergence reached" in res[0]
+        assert len(res[1]) == len(seq[1]), (L, len(res[1]), len(seq[1]))
+        assert abs(res[1][-1] - seq[1][-1]) < 1e-10
+        for a, b in zip(res[5], seq[5]):
+            assert np.allclose(a, b, atol=1e-9)
