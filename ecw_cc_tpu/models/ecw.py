@@ -351,8 +351,14 @@ class ECW:
     def CCSD_GS(self, Larray, alpha=None, diis="", nbr_cube_file=2, tl1ini=0,
                 print_ite_info=False, diis_max=15, conv="tl", conv_thres=1e-5,
                 maxiter=40, tablefmt="rst", HF_prop=False, target_rdm1_GS=None,
-                checkpoint_dir=None, resume=False):
-        """GS-ECW-CCSD lambda sweep. Reference Main.py:663-816."""
+                checkpoint_dir=None, resume=False, mode="sweep"):
+        """GS-ECW-CCSD lambda sweep. Reference Main.py:663-816.
+
+        mode='parallel' solves ALL lambda values simultaneously via the
+        vmapped while_loop solver (Solver_CCSD.SCF_batch, the 'dp' batch
+        axis; cold starts — results identical to a cold-start sequential
+        sweep, and the batch can be sharded over a device mesh). The default
+        'sweep' mode keeps the reference's warm-started sequential loop."""
         self.diis = diis + f" diis_max={diis_max}"
         if len(self.exp_data) > 1:
             print("Warning: ES data found but GS solver used; only GS data used")
@@ -383,14 +389,21 @@ class ECW:
         print("#  Results using SCF for CCSD- GS calculation ")
         print("##############################################")
         print()
+        batch_results = None
+        if mode == "parallel":
+            batch_results = Solve.SCF_batch(list(Larray), alpha=alpha,
+                                            diis=diis)
         for idx_L, L in enumerate(Larray):
             print("LAMBDA= ", L)
-            if resume and checkpoint_dir is not None:
-                saved = checkpoint.load_amplitudes(checkpoint_dir, L)
-                if saved is not None:
-                    ts, ls = saved["ts"], saved["ls"]
-                    td, ld = saved["td"], saved["ld"]
-            Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha)
+            if batch_results is not None:
+                Result = batch_results[idx_L]
+            else:
+                if resume and checkpoint_dir is not None:
+                    saved = checkpoint.load_amplitudes(checkpoint_dir, L)
+                    if saved is not None:
+                        ts, ls = saved["ts"], saved["ls"]
+                        td, ld = saved["td"], saved["ld"]
+                Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha)
             ts, ls, td, ld = Result[5]
             if checkpoint_dir is not None:
                 checkpoint.save_amplitudes(

@@ -328,3 +328,21 @@ def test_scf_device_refine_recovers_f64_parity(h2o_631g):
     # without refine the f32 solve is NOT at f64 parity (sanity of the test)
     out32_raw = make(eris32, host=eris_host).SCF_device(0.05)
     assert abs(out32_raw[1][-1] - out64[1][-1]) > 1e-8
+
+
+def test_ccsd_gs_parallel_mode(h2o_631g):
+    """ECW.CCSD_GS(mode='parallel') runs the batched-lambda solver through
+    the driver and lands on the same converged energies as the sequential
+    sweep at each lambda."""
+    from ecw_cc_tpu import ECW
+
+    def run(mode):
+        ecw = ECW("h2o", "6-31g")
+        ecw.Build_GS_exp("mat", "HF", field=[0.05, 0.01, 0.0])
+        ecw.CCSD_GS(np.linspace(0.0, 0.1, 3), conv_thres=1e-8, maxiter=60,
+                    diis="tl", mode=mode)
+        return np.asarray(ecw.Ep_lamb)
+
+    ep_par = run("parallel")
+    ep_seq = run("sweep")
+    assert np.allclose(ep_par, ep_seq, atol=1e-9)
