@@ -71,10 +71,20 @@ class ECW:
             rdm1_r = convert.convert_g_to_ru_rdm1(self.rdm1_hf)[0]
             output.cube_density(mol, os.path.join(out_dir, "HF.cube"), rdm1_r)
 
-        # integrals
-        self.eris_host = build_eris(mol, ghf, int_thresh=int_thresh)
-        self.eris = self.eris_host.to_device()
-        self.fock = np.asarray(self.eris_host.fock)
+        # integrals: in f32 production mode the MO transform runs ON the
+        # device (seconds, vs minutes of host-bandwidth-bound NumPy at
+        # 6-311++G(2d,2p)/cc-pVTZ sizes); the host f64 path stays the
+        # default for parity work and is always available lazily.
+        from ecw_cc_tpu.config import get_config
+        self._eris_host = None
+        if get_config().dtype == "float32":
+            from ecw_cc_tpu.models.eris import build_eris_device
+            self.eris = build_eris_device(mol, ghf, dtype="float32")
+        else:
+            self._eris_host = build_eris(mol, ghf, int_thresh=int_thresh)
+            self.eris = self._eris_host.to_device()
+        self._int_thresh = int_thresh
+        self.fock = np.asarray(self.eris.fock)
 
         # target data
         self.target_rdm1_GS = None
@@ -108,6 +118,15 @@ class ECW:
     # ------------------------------------------------------------------
     # Target construction (reference Main.py:267-488)
     # ------------------------------------------------------------------
+
+    @property
+    def eris_host(self):
+        """Host f64 ERI container (built lazily in f32 production mode,
+        where ECW stages the MO transform on the device instead)."""
+        if self._eris_host is None:
+            self._eris_host = build_eris(self.mol, self.mf,
+                                         int_thresh=self._int_thresh)
+        return self._eris_host
 
     def Build_GS_exp(self, prop="mat", posthf="HF", field=None, para_factor=None,
                      max_def=None, basis=None):

@@ -26,6 +26,35 @@ from ecw_cc_tpu.utils import convert, linalg
 ANG2BOHR = 1.0 / 0.52917721092
 
 
+import jax as _jax
+
+
+@_jax.jit
+def _t_step(eris, t1, t2):
+    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None)
+    return t1n, t2n, ccsd_ops.energy(eris, t1n, t2n, None)
+
+
+@_jax.jit
+def _l_step(eris, t1, t2, l1, l2):
+    l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off")
+    return l1n, l2n, jnp.linalg.norm(l1n) + jnp.linalg.norm(l2n)
+
+
+def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200):
+    """GS Lambda amplitudes (textbook equations), jitted per step (eager
+    loops dispatch op-by-op over the axon tunnel — CLAUDE.md gotcha)."""
+    l1, l2 = t1, t2
+    l_old = None
+    for _ in range(max_cycle):
+        l1, l2, nrm = _l_step(eris, t1, t2, l1, l2)
+        nrm = float(nrm)
+        if l_old is not None and abs(nrm - l_old) < conv_tol:
+            break
+        l_old = nrm
+    return l1, l2
+
+
 def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
     """Plain GCCSD + Lambda on a converged RHF; returns (e_corr, rdm1_mo_G, ghf)."""
     ghf = GHF(mf)
@@ -38,19 +67,12 @@ def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
     t2 = jnp.asarray(np.asarray(eris.oovv) / eijab)
     e_old = 0.0
     for _ in range(max_cycle):
-        t1, t2 = ccsd_ops.tupdate(eris, t1, t2, None)
-        e_cc = float(ccsd_ops.energy(eris, t1, t2, None))
+        t1, t2, e_dev = _t_step(eris, t1, t2)
+        e_cc = float(e_dev)
         if abs(e_cc - e_old) < conv_tol:
             break
         e_old = e_cc
-    l1, l2 = t1, t2
-    l_old = None
-    for _ in range(max_cycle):
-        l1, l2 = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off")
-        nrm = float(jnp.linalg.norm(l1) + jnp.linalg.norm(l2))
-        if l_old is not None and abs(nrm - l_old) < conv_tol:
-            break
-        l_old = nrm
+    l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle)
     rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
     return e_cc, rdm1_mo, ghf
 
@@ -116,9 +138,14 @@ class Gexp:
             return
         if self.method.upper().replace("(", "").replace(")", "") == "CCSDT":
             from ecw_cc_tpu.ops import ccsd_t
+            from ecw_cc_tpu.config import get_config
 
             ghf = GHF(self.mf_def)
-            eris = build_eris(self.mol_def, ghf).to_device()
+            if get_config().dtype == "float32":
+                from ecw_cc_tpu.models.eris import build_eris_device
+                eris = build_eris_device(self.mol_def, ghf, dtype="float32")
+            else:
+                eris = build_eris(self.mol_def, ghf).to_device()
             t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
             et = float(ccsd_t.energy_t(eris, t1, t2))
             self.ECCSD_def = e_cc
@@ -228,15 +255,7 @@ class ESexp:
         eris = build_eris(self.mol, ghf).to_device()
         t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
         # GS Lambda (textbook equations; plain-CCSD target generation)
-        l1, l2 = t1, t2
-        l_old = None
-        for _ in range(200):
-            l1, l2 = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None,
-                                      energy_term="off")
-            nrm = float(jnp.linalg.norm(l1) + jnp.linalg.norm(l2))
-            if l_old is not None and abs(nrm - l_old) < 1e-10:
-                break
-            l_old = nrm
+        l1, l2 = solve_lambda(eris, t1, t2)
 
         omegas, Rs, Ls = eom_ops.eom_ccsd(eris, t1, t2, nroots=nbr_ES,
                                           tol=tol, left=True)

@@ -187,11 +187,29 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     return gamma + hf
 
 
+@partial(jax.jit, static_argnames=("use_sectors",))
+def _ccsd_step(eris, vvsect, t1, t2, use_sectors=False):
+    """One jitted plain-CCSD Jacobi step (+ energy).  Eris passed as an
+    argument (axon gotchas: eager loops dispatch op-by-op over the tunnel,
+    and closure constants ship to the remote compiler)."""
+    sect = vvsect if use_sectors else None
+    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_sectors=sect)
+    e_cc = ccsd_ops.energy(eris, t1n, t2n, None)
+    return t1n, t2n, e_cc
+
+
 def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200):
     """Plain CCSD amplitudes (MP2 start, Jacobi iterations with DIIS)."""
     from ecw_cc_tpu.models.scf import HostDIIS
+    from ecw_cc_tpu.config import get_config
+    from ecw_cc_tpu.ops import ladder
 
     nocc, nvir = eris.nocc, eris.nvir
+    cfg = get_config()
+    use_sectors = (cfg.spin_block and nvir >= cfg.spin_block_min_nvir
+                   and ladder.has_spin_structure(eris.vvvv))
+    vvsect = (jax.jit(ladder.vvvv_spin_sectors)(eris.vvvv) if use_sectors
+              else None)
     e = jnp.diag(eris.fock)
     eia = e[:nocc, None] - e[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]
@@ -199,13 +217,15 @@ def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200):
     t2 = eris.oovv / eijab
     diis = HostDIIS(space=8)
     e_old = 0.0
+    e_cc = 0.0
     for _ in range(max_cycle):
-        t1, t2 = ccsd_ops.tupdate(eris, t1, t2, None)
+        t1, t2, e_dev = _ccsd_step(eris, vvsect, t1, t2,
+                                   use_sectors=use_sectors)
         vec = diis.update(np.concatenate([np.ravel(t1), np.ravel(t2)]))
         n1 = nocc * nvir
         t1 = jnp.asarray(vec[:n1].reshape(nocc, nvir))
         t2 = jnp.asarray(vec[n1:].reshape(nocc, nocc, nvir, nvir))
-        e_cc = float(ccsd_ops.energy(eris, t1, t2, None))
+        e_cc = float(e_dev)
         if abs(e_cc - e_old) < conv_tol:
             break
         e_old = e_cc

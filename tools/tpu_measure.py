@@ -1,0 +1,124 @@
+"""One-process TPU measurement pass (the axon tunnel admits one holder):
+
+  1. per-piece profile of the pVTZ full iteration (rdm1/energy/t/lambda,
+     dense vs spin-sector paths)
+  2. Pallas ladder prove-or-discard: correctness vs XLA + timing
+  3. iter_precision modes on the production solver ('highest' vs 'high' vs
+     'default'), iterations-to-1e-6 and ms/iter
+
+Run:  python tools/tpu_measure.py [pvdz|pvtz]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import ecw_cc_tpu.config as config
+
+config.set_config(x64=False, dtype="float32")
+config.setup_jax()
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import bench
+from ecw_cc_tpu.models.eris import build_eris_device
+from ecw_cc_tpu.ops import ccsd as ccsd_ops
+from ecw_cc_tpu.ops import ladder
+from ecw_cc_tpu.ops.ccsd import GCC
+from ecw_cc_tpu.ops.vexp import Exp
+from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+basis = {"pvdz": "cc-pvdz", "pvtz": "cc-pvtz"}[
+    sys.argv[1] if len(sys.argv) > 1 else "pvtz"]
+
+mol, ghf = bench.build_host(basis)
+eris = build_eris_device(mol, ghf, dtype="float32")
+sect = jax.jit(ladder.vvvv_spin_sectors)(eris.vvvv)
+nocc, nvir = eris.nocc, eris.nvir
+print(f"== {basis}: nocc={nocc} nvir={nvir} ==", flush=True)
+dt = jnp.float32
+mo_e = jnp.diag(eris.fock)
+eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+eijab = eia[:, None, :, None] + eia[None, :, None, :]
+t2 = eris.oovv / eijab
+t1 = jnp.zeros((nocc, nvir), dt)
+l1, l2 = t1 * 0.5, t2 * 0.5
+K = 10
+eps = 1e-30
+
+
+def timeit(name, f):
+    @jax.jit
+    def runk(c0):
+        def body(_, c):
+            out = f(c)
+            if not isinstance(out, tuple):
+                out = (out,)
+            return sum(jnp.sum(o) for o in out) * 1e-30 + c
+        return jax.lax.fori_loop(0, K, body, c0)
+
+    x0 = jnp.asarray(0.0, dt)
+    float(runk(x0))
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(runk(x0))
+        best = min(best, (time.perf_counter() - t0) / K * 1e3)
+    print(f"{name:32s} {best:8.2f} ms", flush=True)
+    return best
+
+
+# ---- 1. piece profile ------------------------------------------------------
+timeit("rdm1 (gamma_CCSD)", lambda c: ccsd_ops.gamma_CCSD(t1 + c * eps, t2, l1, l2))
+timeit("energy", lambda c: ccsd_ops.energy(eris, t1 + c * eps, t2, None))
+timeit("tupdate dense", lambda c: ccsd_ops.tupdate(eris, t1 + c * eps, t2))
+timeit("tupdate sector", lambda c: ccsd_ops.tupdate(eris, t1 + c * eps, t2,
+                                                    vvvv_sectors=sect))
+timeit("lupdate dense", lambda c: ccsd_ops.lupdate(eris, t1 + c * eps, t2, l1, l2))
+timeit("lupdate sector", lambda c: ccsd_ops.lupdate(eris, t1 + c * eps, t2, l1, l2,
+                                                    vvvv_sectors=sect))
+timeit("ladder sector only", lambda c: ladder.sector_vvvv_contract(sect, t2 + c * eps))
+timeit("ladder dense only", lambda c: ladder.ladder_contract(eris, t1 + c * eps, t2, t2))
+
+# ---- 2. Pallas ladder: prove or discard ------------------------------------
+tau_r = np.asarray(t2.reshape(nocc * nocc, nvir * nvir))
+vv_r = np.asarray(eris.vvvv.reshape(nvir * nvir, nvir * nvir))
+a = jnp.asarray(tau_r)
+b = jnp.asarray(vv_r)
+ref = np.asarray(jax.jit(ladder._ladder_mm_xla)(a, b))
+try:
+    outp = np.asarray(jax.jit(ladder._ladder_mm_pallas)(a, b))
+    err = np.max(np.abs(outp - ref)) / max(np.max(np.abs(ref)), 1e-30)
+    print(f"pallas ladder rel err: {err:.2e}", flush=True)
+    timeit("ladder mm XLA", lambda c: ladder._ladder_mm_xla(a + c * eps, b))
+    timeit("ladder mm Pallas", lambda c: ladder._ladder_mm_pallas(a + c * eps, b))
+except Exception as exc:
+    print(f"pallas ladder FAILED: {exc!r}", flush=True)
+
+# ---- 3. production solver under precision modes ----------------------------
+target_np = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+for prec in ("highest", "high", "default"):
+    config.set_config(iter_precision=prec)
+    exp = Exp(0.01, [[["mat", target_np]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    solver = Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-6,
+                         diis="", maxiter=60)
+    run = solver._build_device_solver("", False)
+    Lw = jnp.asarray(solver.myVexp.L_check(0.01)[0], dtype=dt)
+    args = (solver.tsini, solver.lsini, solver.tdini, solver.ldini)
+    alpha_v = jnp.asarray(0.0, dt)
+    vv = solver._get_vvvv_sectors()
+    out = run(eris, vv, Lw, *args, alpha_v)
+    k = int(out[6])
+    ep = float(out[8][k - 1])
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(eris, vv, Lw, *args, alpha_v)
+        _ = float(out[8][int(out[6]) - 1])
+        best = min(best, (time.perf_counter() - t0) / max(int(out[6]), 1) * 1e3)
+    print(f"solver precision={prec:8s} iters={k:3d} ms/iter={best:8.2f} "
+          f"Ep={ep:.8f}", flush=True)
+config.set_config(iter_precision="highest")
