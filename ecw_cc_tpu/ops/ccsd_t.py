@@ -156,14 +156,30 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     f0 = (eris.fock if fsp is None else fsp).ravel()
     tvec = jnp.concatenate([jnp.ravel(t1), jnp.ravel(t2)])
 
-    gmap = lambda tv, fv: _update_map_and_energy(eris, tv, fv, nocc, nvir,
-                                                 with_t)[0]
-    energy = lambda tv, fv: _update_map_and_energy(eris, tv, fv, nocc, nvir,
-                                                   with_t)[1]
+    # all jitted pieces take eris/tvec/f0 as ARGUMENTS (axon remote-compile
+    # gotcha: closure-captured device arrays ship with the program); the
+    # linearization happens inside the jit, traced once per compile
+    @partial(jax.jit, static_argnames=("wt",))
+    def grad_E(er, tv, fv, wt):
+        gE_t = jax.grad(lambda a, b: _update_map_and_energy(
+            er, a, b, nocc, nvir, wt)[1], argnums=0)(tv, fv)
+        gE_f = jax.grad(lambda a, b: _update_map_and_energy(
+            er, a, b, nocc, nvir, wt)[1], argnums=1)(tv, fv)
+        return gE_t, gE_f
 
-    dE_dt = jax.grad(energy, argnums=0)(tvec, f0)
-    _, vjp_t = jax.vjp(lambda tv: gmap(tv, f0), tvec)
-    matvec = jax.jit(lambda v: vjp_t(v)[0])
+    @partial(jax.jit, static_argnames=("wt",))
+    def matvec_t(er, tv, fv, v, wt):
+        _, vjp = jax.vjp(lambda a: _update_map_and_energy(
+            er, a, fv, nocc, nvir, wt)[0], tv)
+        return vjp(v)[0]
+
+    @partial(jax.jit, static_argnames=("wt",))
+    def vjp_fock(er, tv, fv, v, wt):
+        _, vjp = jax.vjp(lambda b: _update_map_and_energy(
+            er, tv, b, nocc, nvir, wt)[0], fv)
+        return vjp(v)[0]
+
+    dE_dt, dE_df = grad_E(eris, tvec, f0, with_t)
 
     # w = dE/dt + (dG/dt)^T w  — same contraction structure as the Lambda
     # equations; fixed-point iteration with DIIS
@@ -172,16 +188,14 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     w = dE_dt
     diis = HostDIIS(space=10)
     for _ in range(maxiter):
-        w_new = dE_dt + matvec(w)
+        w_new = dE_dt + matvec_t(eris, tvec, f0, w, with_t)
         if float(jnp.linalg.norm(w_new - w)) < tol:
             w = w_new
             break
         w = jnp.asarray(diis.update(np.asarray(w_new)))
 
     # gamma = dE/df + w^T dG/df
-    dE_df = jax.grad(energy, argnums=1)(tvec, f0)
-    _, vjp_f = jax.vjp(lambda fv: gmap(tvec, fv), f0)
-    gamma = (dE_df + vjp_f(w)[0]).reshape(dim, dim)
+    gamma = (dE_df + vjp_fock(eris, tvec, f0, w, with_t)).reshape(dim, dim)
     hf = jnp.diag(jnp.concatenate([jnp.ones(nocc, gamma.dtype),
                                    jnp.zeros(nvir, gamma.dtype)]))
     return gamma + hf
