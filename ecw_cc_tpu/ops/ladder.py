@@ -114,6 +114,20 @@ def vvvv_spin_sectors(vvvv):
             vvvv[0::2, 1::2, 0::2, 1::2])
 
 
+@jax.jit
+def _spin_structure_check(v):
+    import itertools
+
+    mx = jnp.asarray(0.0, v.dtype)
+    for sa, sb, sc, sd in itertools.product((0, 1), repeat=4):
+        allowed = (sa == sc and sb == sd) or (sa == sd and sb == sc)
+        if allowed:
+            continue
+        blk = v[sa::2, sb::2, sc::2, sd::2]
+        mx = jnp.maximum(mx, jnp.max(jnp.abs(blk)))
+    return mx, jnp.max(jnp.abs(v))
+
+
 def has_spin_structure(vvvv, rtol=1e-12):
     """True if vvvv carries the alternating-spin block sparsity: every
     spin-forbidden block (spin multiset of (a,b) != that of (e,f)) is zero.
@@ -121,20 +135,7 @@ def has_spin_structure(vvvv, rtol=1e-12):
     forbidden elements to exact zeros)."""
     if vvvv.shape[0] % 2:
         return False
-    import itertools
-
-    @jax.jit
-    def _check(v):
-        mx = jnp.asarray(0.0, v.dtype)
-        for sa, sb, sc, sd in itertools.product((0, 1), repeat=4):
-            allowed = (sa == sc and sb == sd) or (sa == sd and sb == sc)
-            if allowed:
-                continue
-            blk = v[sa::2, sb::2, sc::2, sd::2]
-            mx = jnp.maximum(mx, jnp.max(jnp.abs(blk)))
-        return mx, jnp.max(jnp.abs(v))
-
-    mx, scale = _check(vvvv)
+    mx, scale = _spin_structure_check(vvvv)
     return float(mx) <= rtol * max(float(scale), 1e-30)
 
 

@@ -200,3 +200,31 @@ def test_native_int1e_matches_numpy():
     ]
     for name, a, b in pairs:
         assert np.allclose(a, b, atol=1e-12), name
+
+
+def test_device_eris_f32_accurate_for_diffuse_basis():
+    """The device ERI build must transform in f64 even when the requested
+    block dtype is f32: an f32 transform catastrophically cancels for
+    ill-conditioned diffuse bases (H2O/6-311++G(2d,2p) MP2 came out ~500x
+    too small and CCSD diverged)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.eris import build_eris_device, build_eris
+
+    mol = Molecule("h2o", "6-311++g(2d,2p)")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    e64 = build_eris(mol, ghf).to_device(dtype="float64")
+    e32 = build_eris_device(mol, ghf, dtype="float32")
+    nocc = e64.nocc
+    mo_e = np.diag(np.asarray(e64.fock))
+    eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+
+    def emp2(er):
+        t2 = np.asarray(er.oovv, dtype=np.float64) / eijab
+        return 0.25 * np.einsum("ijab,ijab", t2, np.asarray(er.oovv,
+                                                            dtype=np.float64))
+    ref = emp2(e64)
+    got = emp2(e32)
+    assert abs(ref - got) < 1e-5 * abs(ref), (ref, got)
