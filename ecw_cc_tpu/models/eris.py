@@ -184,17 +184,32 @@ def build_eris_device(mol, ghf, dtype="float32"):
         allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype="float64")
         fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
 
-        # Memory-lean staging: each quarter transform is its own program
-        # (peak = in + out, freed between stages); physicists' blocks are
-        # sliced straight from the chemists MO tensor without materializing
-        # the full <pq||rs> tensor:  <pq||rs> = (pr|qs) - (ps|qr).  The spin
-        # mask is applied per block (a full masked copy of the f64 tensor
-        # would double the peak).
+        # Memory-lean staging: each quarter transform runs in COLUMN CHUNKS —
+        # the TPU's f64 emulation expands a matmul into split-precision
+        # passes whose temp is ~8x the f32 output size (an unchunked quarter
+        # at nmo=148 wanted a 7.7 GB temp and OOMed); chunking bounds it.
+        # Physicists' blocks are then sliced straight from the chemists MO
+        # tensor without materializing the full <pq||rs>:
+        # <pq||rs> = (pr|qs) - (ps|qr).  The spin mask is applied per block
+        # (a full masked copy of the f64 tensor would double the peak).
+        CHUNK = 1 << 18
+
         @jax.jit
+        def quarter_chunk(x):
+            return mo.T @ x
+
         def quarter(t):
-            return jnp.moveaxis(
-                (mo.T @ t.reshape(t.shape[0], -1)).reshape(
-                    (nmo,) + t.shape[1:]), 0, 3)
+            X = t.reshape(t.shape[0], -1)
+            M = X.shape[1]
+            if M <= CHUNK:
+                out = quarter_chunk(X)
+            else:
+                parts = []
+                for lo in range(0, M, CHUNK):
+                    parts.append(quarter_chunk(X[:, lo:lo + CHUNK]))
+                    parts[-1].block_until_ready()
+                out = jnp.concatenate(parts, axis=1)
+            return jnp.moveaxis(out.reshape((nmo,) + t.shape[1:]), 0, 3)
 
         C = eri_ao
         del eri_ao
