@@ -152,17 +152,26 @@ def build_eris(mol, ghf, int_thresh=1e-13, dir_cont=False):
 def build_eris_device(mol, ghf, dtype="float32"):
     """Build the G-format antisymmetrized ERI blocks ON the device.
 
-    The AO ERI tensor is staged once; the four quarter transforms
-    (~nmo^5 FLOPs), spin masking, antisymmetrization and block slicing all
-    run as jitted XLA programs on the accelerator — seconds instead of
-    minutes of host-bandwidth-bound NumPy at large bases (the host path in
-    ErisHost remains the parity oracle).
+    The AO ERI tensor is staged once; the quarter transforms (~nmo^5 FLOPs),
+    spin masking, antisymmetrization and block slicing all run as jitted XLA
+    programs on the accelerator — seconds instead of minutes of
+    host-bandwidth-bound NumPy at large bases (the host path in ErisHost
+    remains the parity oracle).
 
-    PRECISION: the transform itself runs in f64 (emulated on TPU — a one-time
-    cost) and each block is cast to `dtype` at extraction.  An f32 transform
-    catastrophically cancels for ill-conditioned (diffuse) bases: at
-    C2H2/6-311++G(2d,2p) the MO coefficients reach ~1e2 and the f32-summed
-    oovv came out orders of magnitude wrong, diverging CCSD.
+    PRECISION: a DIRECT f32 AO->MO transform catastrophically cancels for
+    ill-conditioned (diffuse) bases — at C2H2/6-311++G(2d,2p) the MO
+    coefficients reach ~1e2 (cond(S) ~ 1e4) and the f32-summed oovv came out
+    orders of magnitude wrong, diverging CCSD.  The transform therefore runs
+    in TWO STAGES through the orthonormalized AO basis:
+
+        mo = X U,   X = S^{-1/2}  (condition sqrt(cond S) ~ 45),
+                    U = S^{1/2} mo  (unit-S-norm columns, |U| <= 1)
+
+    Each stage is benignly conditioned, so f32 with full-precision
+    accumulation keeps ~6 significant digits where the direct transform lost
+    everything.  (A true-f64 device transform was tried first: the TPU f64
+    emulation expands each matmul into split passes whose temps OOMed the
+    chip at this size.)
     """
     import jax
     import jax.numpy as jnp
@@ -170,108 +179,90 @@ def build_eris_device(mol, ghf, dtype="float32"):
     from ecw_cc_tpu.config import setup_jax
 
     setup_jax()
-    x64_was = jax.config.jax_enable_x64
-    if not x64_was:
-        jax.config.update("jax_enable_x64", True)
-    try:
-        nao = mol.nao
-        nmo = ghf.mo_coeff.shape[1]
-        nocc = int(np.sum(ghf.mo_occ > 0))
-        eri_ao = jnp.asarray(mol.intor("int2e"), dtype="float64")
-        mo = jnp.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:],
-                         dtype="float64")
-        spin = np.asarray(ghf.orbspin)
-        allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype="float64")
-        fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
+    nao = mol.nao
+    nmo = ghf.mo_coeff.shape[1]
+    nocc = int(np.sum(ghf.mo_occ > 0))
+    eri_ao = jnp.asarray(mol.intor("int2e"), dtype=dtype)
+    mo_np = np.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:],
+                       dtype=np.float64)
+    S = mol.intor("ovlp")
+    w, V = np.linalg.eigh(S)
+    Xh = (V * (w ** -0.5)) @ V.T           # S^{-1/2}
+    U = ((V * (w ** 0.5)) @ V.T) @ mo_np   # S^{1/2} mo, unit-S-norm columns
+    stages = [jnp.asarray(Xh, dtype=dtype), jnp.asarray(U, dtype=dtype)]
+    spin = np.asarray(ghf.orbspin)
+    allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype=dtype)
+    fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
 
-        # Memory-lean staging: each quarter transform runs in COLUMN CHUNKS —
-        # the TPU's f64 emulation expands a matmul into split-precision
-        # passes whose temp is ~8x the f32 output size (an unchunked quarter
-        # at nmo=148 wanted a 7.7 GB temp and OOMed); chunking bounds it.
-        # Physicists' blocks are then sliced straight from the chemists MO
-        # tensor without materializing the full <pq||rs>:
-        # <pq||rs> = (pr|qs) - (ps|qr).  The spin mask is applied per block
-        # (a full masked copy of the f64 tensor would double the peak).
-        CHUNK = 1 << 18
+    # Memory-lean staging: each quarter transform is its own program (peak =
+    # in + out, freed between stages); physicists' blocks are sliced straight
+    # from the chemists MO tensor without materializing the full <pq||rs>:
+    # <pq||rs> = (pr|qs) - (ps|qr).  The spin mask is applied per block.
+    @jax.jit
+    def quarter(mat, t):
+        return jnp.moveaxis(
+            (mat.T @ t.reshape(t.shape[0], -1)).reshape(
+                (mat.shape[1],) + t.shape[1:]), 0, 3)
 
-        @jax.jit
-        def quarter_chunk(x):
-            return mo.T @ x
-
-        def quarter(t):
-            X = t.reshape(t.shape[0], -1)
-            M = X.shape[1]
-            if M <= CHUNK:
-                out = quarter_chunk(X)
-            else:
-                parts = []
-                for lo in range(0, M, CHUNK):
-                    parts.append(quarter_chunk(X[:, lo:lo + CHUNK]))
-                    parts[-1].block_until_ready()
-                out = jnp.concatenate(parts, axis=1)
-            return jnp.moveaxis(out.reshape((nmo,) + t.shape[1:]), 0, 3)
-
-        C = eri_ao
-        del eri_ao
+    C = eri_ao
+    del eri_ao
+    for mat in stages:
         for _ in range(4):
-            C = quarter(C)
+            C = quarter(mat, C)
             C.block_until_ready()
 
-        o, v = slice(0, nocc), slice(nocc, nmo)
-        sl = {"o": o, "v": v}
-        nvir = nmo - nocc
-        names = ["oooo", "ooov", "oovo", "oovv", "ovov", "ovvo", "ovvv",
-                 "ovoo", "vooo", "vovo", "voov", "vovv", "vvoo", "vvvo"]
+    o, v = slice(0, nocc), slice(nocc, nmo)
+    sl = {"o": o, "v": v}
+    nvir = nmo - nocc
+    names = ["oooo", "ooov", "oovo", "oovv", "ovov", "ovvo", "ovvv",
+             "ovoo", "vooo", "vovo", "voov", "vovv", "vvoo", "vvvo"]
 
-        def block_mask(a0, a1, a2, a3):
-            # indices in TENSOR AXIS ORDER of a chemists slice (e1 pair =
-            # axes 0,1; e2 pair = axes 2,3): allowed iff spin(axis0)==
-            # spin(axis1) and spin(axis2)==spin(axis3)
-            return (allow[sl[a0], :][:, sl[a1]][:, :, None, None]
-                    * allow[sl[a2], :][:, sl[a3]][None, None, :, :])
+    def block_mask(a0, a1, a2, a3):
+        # indices in TENSOR AXIS ORDER of a chemists slice (e1 pair =
+        # axes 0,1; e2 pair = axes 2,3): allowed iff spin(axis0)==
+        # spin(axis1) and spin(axis2)==spin(axis3)
+        return (allow[sl[a0], :][:, sl[a1]][:, :, None, None]
+                * allow[sl[a2], :][:, sl[a3]][None, None, :, :])
 
-        # ONE program for all 14 small blocks (each remote compile costs
-        # seconds on the axon backend; per-block jits were compile-bound)
-        @jax.jit
-        def small_blocks(C):
-            out = {}
-            for name in names:
-                p, q, r, s = name
-                t1 = (C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]
-                      * block_mask(p, r, q, s))           # (p,r,q,s)
-                t2 = (C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]
-                      * block_mask(p, s, q, r))           # (p,s,q,r)
-                out[name] = (jnp.transpose(t1, (0, 2, 1, 3))
-                             - jnp.transpose(t2, (0, 2, 3, 1))).astype(dtype)
-            return out
+    # ONE program for all 14 small blocks (each remote compile costs
+    # seconds on the axon backend; per-block jits were compile-bound)
+    @jax.jit
+    def small_blocks(C):
+        out = {}
+        for name in names:
+            p, q, r, s = name
+            t1 = (C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]
+                  * block_mask(p, r, q, s))           # (p,r,q,s)
+            t2 = (C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]
+                  * block_mask(p, s, q, r))           # (p,s,q,r)
+            out[name] = (jnp.transpose(t1, (0, 2, 1, 3))
+                         - jnp.transpose(t2, (0, 2, 3, 1))).astype(dtype)
+        return out
 
-        blocks = small_blocks(C)
-        jax.block_until_ready(blocks)
+    blocks = small_blocks(C)
+    jax.block_until_ready(blocks)
 
-        # vvvv in equal-width slabs over the first virtual index: bounds the
-        # transient slice/transpose buffers AND compiles one slab program
-        # reused for every chunk (unequal chunks would each recompile).
-        width = next((nvir // c for c in range(6, nvir + 1)
-                      if nvir % c == 0), nvir)
-        allow_vv = allow[v, :][:, v]
+    # vvvv in equal-width slabs over the first virtual index: bounds the
+    # transient slice/transpose buffers AND compiles one slab program
+    # reused for every chunk (unequal chunks would each recompile).
+    width = next((nvir // c for c in range(6, nvir + 1)
+                  if nvir % c == 0), nvir)
+    allow_vv = allow[v, :][:, v]
 
-        @jax.jit
-        def slab(C, lo):
-            piece = jax.lax.dynamic_slice_in_dim(C, nocc + lo, width, axis=0)
-            t1 = piece[:, v][:, :, v][:, :, :, v]  # chemists (a,e,b,f)
-            m_ae = jax.lax.dynamic_slice_in_dim(allow_vv, lo, width, axis=0)
-            t1 = t1 * (m_ae[:, :, None, None] * allow_vv[None, None, :, :])
-            return (jnp.transpose(t1, (0, 2, 1, 3))
-                    - jnp.transpose(t1, (0, 2, 3, 1))).astype(dtype)
+    @jax.jit
+    def slab(C, lo):
+        piece = jax.lax.dynamic_slice_in_dim(C, nocc + lo, width, axis=0)
+        t1 = piece[:, v][:, :, v][:, :, :, v]  # chemists (a,e,b,f)
+        m_ae = jax.lax.dynamic_slice_in_dim(allow_vv, lo, width, axis=0)
+        t1 = t1 * (m_ae[:, :, None, None] * allow_vv[None, None, :, :])
+        return (jnp.transpose(t1, (0, 2, 1, 3))
+                - jnp.transpose(t1, (0, 2, 3, 1))).astype(dtype)
 
-        parts = []
-        for lo in range(0, nvir, width):
-            parts.append(slab(C, lo))
-            parts[-1].block_until_ready()
-        blocks["vvvv"] = jnp.concatenate(parts, axis=0)
-        blocks["vvvv"].block_until_ready()
-        blocks["fock"] = fock
-        return GEris(**blocks)
-    finally:
-        if not x64_was:
-            jax.config.update("jax_enable_x64", False)
+    parts = []
+    for lo in range(0, nvir, width):
+        parts.append(slab(C, lo))
+        parts[-1].block_until_ready()
+    blocks["vvvv"] = jnp.concatenate(parts, axis=0)
+    blocks["vvvv"].block_until_ready()
+    blocks["fock"] = fock
+    return GEris(**blocks)
