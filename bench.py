@@ -288,8 +288,12 @@ def mp2_amps(blocks):
     return t1, t2, 0.5 * t1, 0.5 * t2
 
 
-def bench_config(basis, n_iters, numpy_baseline):
-    """Returns dict with value_ms, tflops, (optionally) vs_baseline."""
+def bench_config(basis, n_iters, numpy_baseline, measure_high=False):
+    """Returns dict with value_ms, tflops, (optionally) vs_baseline.
+
+    measure_high: additionally time the solver traced at
+    iter_precision='high' (3-pass bf16 matmuls — the mixed-precision
+    production mode; refine=True recovers 1e-8 parity, tested)."""
     import jax
     import jax.numpy as jnp
     from ecw_cc_tpu.models.eris import GEris, build_eris_device
@@ -348,6 +352,32 @@ def bench_config(basis, n_iters, numpy_baseline):
               "flops_per_iter": None if not np.isfinite(flops) else int(flops),
               "iters_timed": k}
 
+    if measure_high:
+        import ecw_cc_tpu.config as config
+
+        config.set_config(iter_precision="high")
+        try:
+            exp_h = Exp(LW, [[["mat", target_np]]], mol=mol,
+                        mo_coeff=ghf.mo_coeff)
+            solver_h = Solver_CCSD(GCC(eris), exp_h, conv="tl",
+                                   conv_thres=0.0, diis="", maxiter=n_iters)
+            run_h = solver_h._build_device_solver("", False)
+            out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
+            kh = int(out[6])
+            _ = float(out[8][kh - 1])
+            best_h = np.inf
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
+                _ = float(out[8][kh - 1])
+                best_h = min(best_h, (time.perf_counter() - t0) / kh * 1e3)
+            result["high_prec_ms"] = round(best_h, 3)
+            if np.isfinite(flops):
+                result["high_prec_tflops"] = round(
+                    flops / (best_h * 1e-3) / 1e12, 2)
+        finally:
+            config.set_config(iter_precision="highest")
+
     if numpy_baseline:
         blocks = {f: np.asarray(getattr(eris, f), dtype=np.float64)
                   for f in GEris._fields}
@@ -391,7 +421,8 @@ def main():
 
     pvtz = None
     if which != "pvdz":
-        pvtz = bench_config("cc-pvtz", n_iters=10, numpy_baseline=False)
+        pvtz = bench_config("cc-pvtz", n_iters=10, numpy_baseline=False,
+                            measure_high=True)
         # pVTZ NumPy baseline estimated from measured pVDZ NumPy throughput
         # (FLOP/s) scaled to the pVTZ FLOP count (a direct measurement is
         # ~15 min/iter); flagged as an estimate.

@@ -24,12 +24,14 @@ class Config:
     mindiis: int = 2
     # Pallas kernels on/off (falls back to XLA einsum when off or unsupported).
     use_pallas: bool = False
-    # Exact spin-sector decomposition of the vvvv ladder (5.3x fewer FLOPs,
-    # auto-detected per ERI set; see ops/ladder.py).  Below ~96 spin-orbital
-    # virtuals the strided sector slicing costs more than the saved matmul
-    # work (measured: C2H2/cc-pVDZ 6.2 -> 9.3 ms with sectors, cc-pVTZ
-    # 79.3 -> 66.1 ms), so the path engages only at spin_block_min_nvir.
-    spin_block: bool = True
+    # Exact spin-sector decomposition of the vvvv ladder (5.3x fewer FLOPs;
+    # see ops/ladder.py).  MEASURED on the v5e (tools/tpu_measure.py): the
+    # dense v^4 matmul already runs at ~45 TF/s effective while the sector
+    # path pays strided slice/scatter relayouts — isolated ladder 6.1 ms
+    # dense vs 14.3 ms sectored at cc-pVTZ, full updates a wash.  Default
+    # OFF; the code stays as a tested option for hardware where the
+    # tradeoff flips (and as the memory-halving route for larger bases).
+    spin_block: bool = False
     spin_block_min_nvir: int = 96
     # Degenerate-threshold used when dividing by orbital-energy gaps.
     # (The reference divides without protection; 0.0 reproduces that.)
@@ -45,7 +47,7 @@ _config = Config(
     dtype=os.environ.get("ECW_CC_TPU_DTYPE", "float64"),
     x64=os.environ.get("ECW_CC_TPU_X64", "1") != "0",
     use_pallas=os.environ.get("ECW_CC_TPU_PALLAS", "0") == "1",
-    spin_block=os.environ.get("ECW_CC_TPU_SPINBLOCK", "1") != "0",
+    spin_block=os.environ.get("ECW_CC_TPU_SPINBLOCK", "0") == "1",
     iter_precision=os.environ.get("ECW_CC_TPU_ITERPREC", "highest"),
 )
 

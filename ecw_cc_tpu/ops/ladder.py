@@ -15,6 +15,15 @@ TPU-first design here:
     dot_general rides the MXU directly; a Pallas kernel (enabled via
     Config.use_pallas) tiles it explicitly with f32 accumulation, exploiting
     the (ab)<->(ef) symmetry of <ab||ef> to skip the transpose.
+
+MEASURED on the v5e at C2H2/cc-pVTZ (tools/tpu_measure.py, r2): the Pallas
+kernel is CORRECT (3.7e-6 rel vs XLA in f32) but 2.6x slower than the XLA
+dot_general (32.0 vs 12.2 ms bare mm) — XLA's f32-highest matmul is already
+MXU-saturated (~45 TF/s effective inside the fused iteration).  XLA stays
+the default; the kernel remains as the tiling template for hardware/ops
+where the tradeoff flips.  The spin-sector route (below) is likewise exact
+but loses to dense on this chip (14.3 vs 6.1 ms isolated): the strided
+sector slicing costs more than the 5.3x FLOP cut saves — default off.
 """
 
 from __future__ import annotations

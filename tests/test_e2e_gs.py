@@ -287,11 +287,12 @@ def test_ccsd_solve_sector_path_matches_dense(h2o_631g):
         return s.SCF_device(0.05)
 
     old = cfg.get_config().spin_block_min_nvir
+    old_sb = cfg.get_config().spin_block
     try:
-        cfg.set_config(spin_block_min_nvir=1)
+        cfg.set_config(spin_block=True, spin_block_min_nvir=1)
         out_s = solve()
     finally:
-        cfg.set_config(spin_block_min_nvir=old)
+        cfg.set_config(spin_block=old_sb, spin_block_min_nvir=old)
     out_d = solve()
     assert "Convergence reached" in out_s[0]
     assert len(out_s[1]) == len(out_d[1])          # same iteration count

@@ -50,38 +50,56 @@ K = 10
 eps = 1e-30
 
 
-def timeit(name, f):
+def timeit(name, f, *arrays):
+    # big tensors are jit ARGUMENTS (closure constants get shipped to the
+    # remote compile service: 3.3 GB HLO -> many-minute compiles)
     @jax.jit
-    def runk(c0):
+    def runk(c0, *arrs):
         def body(_, c):
-            out = f(c)
+            out = f(c, *arrs)
             if not isinstance(out, tuple):
                 out = (out,)
             return sum(jnp.sum(o) for o in out) * 1e-30 + c
         return jax.lax.fori_loop(0, K, body, c0)
 
     x0 = jnp.asarray(0.0, dt)
-    float(runk(x0))
+    float(runk(x0, *arrays))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(runk(x0))
+        float(runk(x0, *arrays))
         best = min(best, (time.perf_counter() - t0) / K * 1e3)
     print(f"{name:32s} {best:8.2f} ms", flush=True)
     return best
 
 
 # ---- 1. piece profile ------------------------------------------------------
-timeit("rdm1 (gamma_CCSD)", lambda c: ccsd_ops.gamma_CCSD(t1 + c * eps, t2, l1, l2))
-timeit("energy", lambda c: ccsd_ops.energy(eris, t1 + c * eps, t2, None))
-timeit("tupdate dense", lambda c: ccsd_ops.tupdate(eris, t1 + c * eps, t2))
-timeit("tupdate sector", lambda c: ccsd_ops.tupdate(eris, t1 + c * eps, t2,
-                                                    vvvv_sectors=sect))
-timeit("lupdate dense", lambda c: ccsd_ops.lupdate(eris, t1 + c * eps, t2, l1, l2))
-timeit("lupdate sector", lambda c: ccsd_ops.lupdate(eris, t1 + c * eps, t2, l1, l2,
-                                                    vvvv_sectors=sect))
-timeit("ladder sector only", lambda c: ladder.sector_vvvv_contract(sect, t2 + c * eps))
-timeit("ladder dense only", lambda c: ladder.ladder_contract(eris, t1 + c * eps, t2, t2))
+timeit("rdm1 (gamma_CCSD)",
+       lambda c, a, b, x, y: ccsd_ops.gamma_CCSD(a + c * eps, b, x, y),
+       t1, t2, l1, l2)
+timeit("energy",
+       lambda c, er, a, b: ccsd_ops.energy(er, a + c * eps, b, None),
+       eris, t1, t2)
+timeit("tupdate dense",
+       lambda c, er, a, b: ccsd_ops.tupdate(er, a + c * eps, b),
+       eris, t1, t2)
+timeit("tupdate sector",
+       lambda c, er, s, a, b: ccsd_ops.tupdate(er, a + c * eps, b,
+                                               vvvv_sectors=s),
+       eris, sect, t1, t2)
+timeit("lupdate dense",
+       lambda c, er, a, b, x, y: ccsd_ops.lupdate(er, a + c * eps, b, x, y),
+       eris, t1, t2, l1, l2)
+timeit("lupdate sector",
+       lambda c, er, s, a, b, x, y: ccsd_ops.lupdate(
+           er, a + c * eps, b, x, y, vvvv_sectors=s),
+       eris, sect, t1, t2, l1, l2)
+timeit("ladder sector only",
+       lambda c, s, b: ladder.sector_vvvv_contract(s, b + c * eps),
+       sect, t2)
+timeit("ladder dense only",
+       lambda c, er, a, b: ladder.ladder_contract(er, a + c * eps, b, b),
+       eris, t1, t2)
 
 # ---- 2. Pallas ladder: prove or discard ------------------------------------
 tau_r = np.asarray(t2.reshape(nocc * nocc, nvir * nvir))
@@ -93,8 +111,10 @@ try:
     outp = np.asarray(jax.jit(ladder._ladder_mm_pallas)(a, b))
     err = np.max(np.abs(outp - ref)) / max(np.max(np.abs(ref)), 1e-30)
     print(f"pallas ladder rel err: {err:.2e}", flush=True)
-    timeit("ladder mm XLA", lambda c: ladder._ladder_mm_xla(a + c * eps, b))
-    timeit("ladder mm Pallas", lambda c: ladder._ladder_mm_pallas(a + c * eps, b))
+    timeit("ladder mm XLA",
+           lambda c, a_, b_: ladder._ladder_mm_xla(a_ + c * eps, b_), a, b)
+    timeit("ladder mm Pallas",
+           lambda c, a_, b_: ladder._ladder_mm_pallas(a_ + c * eps, b_), a, b)
 except Exception as exc:
     print(f"pallas ladder FAILED: {exc!r}", flush=True)
 
