@@ -254,9 +254,9 @@ def device_full_step(target, Lw):
         rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
         fsp = er.fock - Lw * (target - rdm1)
         Ep = ccsd_ops.energy(er, t1, t2, fsp)
-        t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_sectors=sect)
+        t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_op=sect)
         l1n, l2n = ccsd_ops.lupdate(er, t1n, t2n, l1, l2, fsp=fsp,
-                                    vvvv_sectors=sect)
+                                    vvvv_op=sect)
         return t1n, t2n, l1n, l2n, Ep
 
     return step
@@ -318,7 +318,7 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False):
     alpha_v = jnp.asarray(0.0, dtype=dtype)
     args = (solver.tsini, solver.lsini, solver.tdini, solver.ldini)
 
-    vvsect_dev = solver._get_vvvv_sectors()
+    vvsect_dev = solver._get_vvvv_op()
     out = run(eris, vvsect_dev, Lw, *args, alpha_v)   # compile + first run
     k = int(out[6])                        # iterations executed
     _ = float(out[8][k - 1])               # scalar VALUE fetch (axon gotcha)

@@ -24,15 +24,19 @@ class Config:
     mindiis: int = 2
     # Pallas kernels on/off (falls back to XLA einsum when off or unsupported).
     use_pallas: bool = False
-    # Exact spin-sector decomposition of the vvvv ladder (5.3x fewer FLOPs;
-    # see ops/ladder.py).  MEASURED on the v5e (tools/tpu_measure.py): the
-    # dense v^4 matmul already runs at ~45 TF/s effective while the sector
-    # path pays strided slice/scatter relayouts — isolated ladder 6.1 ms
-    # dense vs 14.3 ms sectored at cc-pVTZ, full updates a wash.  Default
-    # OFF; the code stays as a tested option for hardware where the
-    # tradeoff flips (and as the memory-halving route for larger bases).
-    spin_block: bool = False
-    spin_block_min_nvir: int = 96
+    # Route for the v^4 'ladder' contraction (ops/ladder.py):
+    #   'dense'   — one (o^2,v^2)x(v^2,v^2) matmul (MXU-saturated, but reads
+    #               the full v^4 block and does 4x redundant FLOPs),
+    #   'packed'  — antisymmetry-packed triangle pairs: exact, 4x fewer
+    #               FLOPs and 4x less vvvv HBM traffic, one gather+scatter
+    #               of o^2 v^2/2 per call; no spin-structure requirement,
+    #   'sectors' — exact spin-block decomposition (measured slower than
+    #               dense on the bench chip: strided slice/scatter
+    #               relayouts; kept as a tested option),
+    #   'auto'    — packed at nvir >= ladder_packed_min_nvir, else dense
+    #               (measured crossover, tools/tpu_measure.py).
+    ladder_mode: str = "auto"
+    ladder_packed_min_nvir: int = 96
     # Degenerate-threshold used when dividing by orbital-energy gaps.
     # (The reference divides without protection; 0.0 reproduces that.)
     eia_shift: float = 0.0
@@ -47,7 +51,7 @@ _config = Config(
     dtype=os.environ.get("ECW_CC_TPU_DTYPE", "float64"),
     x64=os.environ.get("ECW_CC_TPU_X64", "1") != "0",
     use_pallas=os.environ.get("ECW_CC_TPU_PALLAS", "0") == "1",
-    spin_block=os.environ.get("ECW_CC_TPU_SPINBLOCK", "0") == "1",
+    ladder_mode=os.environ.get("ECW_CC_TPU_LADDER", "auto"),
     iter_precision=os.environ.get("ECW_CC_TPU_ITERPREC", "highest"),
 )
 

@@ -179,13 +179,14 @@ def cc_Wovvo(eris, t1, t2):
 # ---------------------------------------------------------------------------
 
 def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
-            vvvv_sectors=None):
+            vvvv_op=None):
     """T1/T2 SCF update (or equation values) with optional L1 regularization
     on the doubles. Reference CCSD.py:248-338.
 
-    vvvv_sectors: optional (aa, bb, ab) spin sectors of <ab||ef>
-    (ops/ladder.py) — exact 5.3x-fewer-FLOPs route for spin-block-sparse
-    integrals (auto-enabled by Solver_CCSD)."""
+    vvvv_op: optional non-dense route for the <ab||ef> ladder
+    (ops/ladder.py): a PackedVVVV (antisymmetry-packed, exact 4x-fewer
+    FLOPs) or the (aa, bb, ab) spin sectors — selected by
+    ladder.make_vvvv_op per config.ladder_mode."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
@@ -224,7 +225,7 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     t2new = t2new + 0.5 * einsum("mnab,mnij->ijab", tau, Woooo)
     # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections)
     t2new = t2new + ladder_contract(eris, t1, t2, tau,
-                                    vvvv_sectors=vvvv_sectors)
+                                    vvvv_op=vvvv_op)
     tmp = einsum("imae,mbej->ijab", t2, Wovvo)
     tmp = tmp + einsum("ie,ma,mbje->ijab", t1, t1, eris.ovov)
     tmp = tmp - tmp.transpose(1, 0, 2, 3)
@@ -309,16 +310,16 @@ def Linter(eris, t1, t2, fsp=None, cheap=False):
 
 
 def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
-            energy_term="ref", vvvv_sectors=None):
+            energy_term="ref", vvvv_op=None):
     """Lambda1/Lambda2 SCF update. Reference CCSD.py:419-535.
 
     energy_term: 'ref' reproduces the reference's `l1new += -l1new * E`
     (CCSD.py:509-510); 'off' gives the textbook equations (matches the
     raw-equation oracle and PySCF).
 
-    vvvv_sectors: optional spin sectors (ops/ladder.py) for the lambda
-    ladder 'ijcd,cdab->ijab'; also switches wvvvo to the reassociated
-    O(o^3 v^3) form (exact in both cases)."""
+    vvvv_op: optional non-dense ladder route (ops/ladder.py: PackedVVVV
+    or spin sectors) for the lambda ladder 'ijcd,cdab->ijab'; also switches
+    wvvvo to the reassociated O(o^3 v^3) form (exact in both cases)."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
@@ -347,11 +348,11 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     m3 = m3 + 0.25 * einsum("klab,ijkl->ijab", oovv, tmp)
     tmp = einsum("ijcd,kd->ijck", l2, t1)
     m3 = m3 - einsum("kcba,ijck->ijab", eris.ovvv, tmp)
-    if vvvv_sectors is not None:
-        # lambda ladder via spin sectors ((ab)<->(cd) pair-swap symmetry
-        # makes it the same contraction as the t2 ladder)
-        from ecw_cc_tpu.ops.ladder import sector_vvvv_contract
-        m3 = m3 + sector_vvvv_contract(vvvv_sectors, l2)
+    if vvvv_op is not None:
+        # lambda ladder via the packed/sector route ((ab)<->(cd) pair-swap
+        # symmetry makes it the same contraction as the t2 ladder)
+        from ecw_cc_tpu.ops.ladder import apply_vvvv_op
+        m3 = m3 + apply_vvvv_op(vvvv_op, l2)
     else:
         m3 = m3 + 0.5 * einsum("ijcd,cdab->ijab", l2, eris.vvvv)
 
@@ -440,10 +441,10 @@ class GCC:
         return energy(self.eris, t1, t2, fsp)
 
     def tupdate(self, t1, t2, fsp=None, alpha=None, equation=False,
-                vvvv_sectors=None):
-        return tupdate(self.eris, t1, t2, fsp, alpha, equation, vvvv_sectors)
+                vvvv_op=None):
+        return tupdate(self.eris, t1, t2, fsp, alpha, equation, vvvv_op)
 
     def lupdate(self, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
-                energy_term="ref", vvvv_sectors=None):
+                energy_term="ref", vvvv_op=None):
         return lupdate(self.eris, t1, t2, l1, l2, fsp, alpha, equation,
-                       energy_term, vvvv_sectors)
+                       energy_term, vvvv_op)

@@ -207,7 +207,7 @@ def _ccsd_step(eris, vvsect, t1, t2, use_sectors=False):
     argument (axon gotchas: eager loops dispatch op-by-op over the tunnel,
     and closure constants ship to the remote compiler)."""
     sect = vvsect if use_sectors else None
-    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_sectors=sect)
+    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_op=sect)
     e_cc = ccsd_ops.energy(eris, t1n, t2n, None)
     return t1n, t2n, e_cc
 
@@ -215,15 +215,11 @@ def _ccsd_step(eris, vvsect, t1, t2, use_sectors=False):
 def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200):
     """Plain CCSD amplitudes (MP2 start, Jacobi iterations with DIIS)."""
     from ecw_cc_tpu.models.scf import HostDIIS
-    from ecw_cc_tpu.config import get_config
     from ecw_cc_tpu.ops import ladder
 
     nocc, nvir = eris.nocc, eris.nvir
-    cfg = get_config()
-    use_sectors = (cfg.spin_block and nvir >= cfg.spin_block_min_nvir
-                   and ladder.has_spin_structure(eris.vvvv))
-    vvsect = (jax.jit(ladder.vvvv_spin_sectors)(eris.vvvv) if use_sectors
-              else None)
+    vvsect = ladder.make_vvvv_op(eris.vvvv)
+    use_sectors = vvsect is not None
     e = jnp.diag(eris.fock)
     eia = e[:nocc, None] - e[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]

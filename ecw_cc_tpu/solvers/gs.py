@@ -570,10 +570,10 @@ class Solver_CCSD:
                 Ep = ccsd_ops.energy(eris, ts, td, fsp)
                 alpha = alpha_v if use_l1 else None
                 ts, td = ccsd_ops.tupdate(eris, ts, td, fsp=fsp, alpha=alpha,
-                                          vvvv_sectors=vvsect)
+                                          vvvv_op=vvsect)
                 ls, ld = ccsd_ops.lupdate(eris, ts, td, ls, ld, fsp=fsp,
                                           alpha=alpha, energy_term=energy_term,
-                                          vvvv_sectors=vvsect)
+                                          vvvv_op=vvsect)
                 if diis == "tl":
                     dstate, vec = diis_ops.diis_update(
                         dstate,
@@ -632,19 +632,12 @@ class Solver_CCSD:
 
         return run
 
-    def _get_vvvv_sectors(self):
-        """Spin sectors of vvvv for the exact block-sparse ladder (None when
-        disabled or the integrals lack alternating-spin structure, e.g.
-        synthetic tensors)."""
+    def _get_vvvv_op(self):
+        """Non-dense ladder operand (PackedVVVV / spin sectors / None) per
+        config.ladder_mode; built once per solver (ops/ladder.make_vvvv_op)."""
         if not hasattr(self, "_vvsect"):
             from ecw_cc_tpu.ops import ladder
-            from ecw_cc_tpu.config import get_config
-            cfg = get_config()
-            self._vvsect = None
-            if (cfg.spin_block and self.nvir >= cfg.spin_block_min_nvir
-                    and ladder.has_spin_structure(self.mycc.eris.vvvv)):
-                self._vvsect = jax.jit(ladder.vvvv_spin_sectors)(
-                    self.mycc.eris.vvvv)
+            self._vvsect = ladder.make_vvvv_op(self.mycc.eris.vvvv)
         return self._vvsect
 
     def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None,
@@ -668,7 +661,7 @@ class Solver_CCSD:
         run = self._device_solvers[key]
         Lw = jnp.asarray(self.myVexp.L_check(L)[0], dtype=ts.dtype)
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
-        out = run(self.mycc.eris, self._get_vvvv_sectors(), Lw,
+        out = run(self.mycc.eris, self._get_vvvv_op(), Lw,
                   ts, ls, td, ld, alpha_v)
         (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
          Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
@@ -725,7 +718,7 @@ class Solver_CCSD:
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=dt)
         tile = lambda a: jnp.broadcast_to(a, (nL,) + a.shape)
         batch = jax.vmap(run, in_axes=(None, None, 0, 0, 0, 0, 0, None))
-        out = batch(self.mycc.eris, self._get_vvvv_sectors(), Lw,
+        out = batch(self.mycc.eris, self._get_vvvv_op(), Lw,
                     tile(self.tsini), tile(self.lsini),
                     tile(self.tdini), tile(self.ldini), alpha_v)
         (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,

@@ -144,6 +144,72 @@ def test_spin_sector_ladder_exact(h2o_631g):
     assert np.allclose(np.asarray(dense_l), np.asarray(sect), atol=1e-12)
 
 
+def test_packed_ladder_exact(h2o_631g):
+    """The antisymmetry-packed vvvv contraction equals the dense ladder for
+    any operand antisymmetric in its last two indices (pure antisymmetry —
+    no spin-structure requirement)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ladder
+
+    _, _, _, eris = h2o_631g
+    nocc, nvir = eris.nocc, eris.nvir
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((nocc, nocc, nvir, nvir))
+    x = x - x.transpose(0, 1, 3, 2)
+    x = jnp.asarray(x)
+    dense = 0.5 * jnp.einsum("ijef,abef->ijab", x, eris.vvvv)
+    packed = ladder.packed_vvvv_contract(ladder.pack_vvvv(eris.vvvv), x)
+    assert np.allclose(np.asarray(dense), np.asarray(packed), atol=1e-12)
+    # lambda-ladder orientation via pair-swap symmetry
+    dense_l = 0.5 * jnp.einsum("ijcd,cdab->ijab", x, eris.vvvv)
+    assert np.allclose(np.asarray(dense_l), np.asarray(packed), atol=1e-12)
+
+
+def test_packed_ladder_exact_synthetic_no_spin():
+    """Packed route is exact even WITHOUT spin structure (random
+    antisymmetrized integrals, where the sector route does not apply)."""
+    import jax.numpy as jnp
+    import __graft_entry__ as g
+    from ecw_cc_tpu.ops import ladder
+
+    eris = g._synthetic_eris(4, 10, np.float64, seed=5)
+    assert not ladder.has_spin_structure(eris.vvvv)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((4, 4, 10, 10))
+    x = jnp.asarray(x - x.transpose(0, 1, 3, 2))
+    dense = 0.5 * jnp.einsum("ijef,abef->ijab", x, eris.vvvv)
+    packed = ladder.packed_vvvv_contract(ladder.pack_vvvv(eris.vvvv), x)
+    assert np.allclose(np.asarray(dense), np.asarray(packed), atol=1e-12)
+
+
+def test_tupdate_lupdate_packed_path_matches_dense(h2o_631g):
+    """Full t/lambda updates with the packed vvvv_op equal the dense path."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops import ladder
+
+    _, ghf, _, eris = h2o_631g
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t2 = jnp.asarray(np.asarray(eris.oovv) / eijab)
+    rng = np.random.default_rng(4)
+    t1 = jnp.asarray(rng.standard_normal((nocc, nvir)) * 0.01)
+    l1, l2 = t1 * 0.5, t2 * 0.5
+    packed = ladder.pack_vvvv(eris.vvvv)
+
+    t1d, t2d = ccsd_ops.tupdate(eris, t1, t2)
+    t1p, t2p = ccsd_ops.tupdate(eris, t1, t2, vvvv_op=packed)
+    assert np.allclose(np.asarray(t1d), np.asarray(t1p), atol=1e-12)
+    assert np.allclose(np.asarray(t2d), np.asarray(t2p), atol=1e-12)
+
+    l1d, l2d = ccsd_ops.lupdate(eris, t1, t2, l1, l2)
+    l1p, l2p = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_op=packed)
+    assert np.allclose(np.asarray(l1d), np.asarray(l1p), atol=1e-12)
+    assert np.allclose(np.asarray(l2d), np.asarray(l2p), atol=1e-12)
+
+
 def test_spin_structure_detection_rejects_synthetic():
     """Random dense tensors must NOT take the sector path."""
     import __graft_entry__ as g
@@ -172,11 +238,11 @@ def test_tupdate_lupdate_sector_path_matches_dense(h2o_631g):
     sect = ladder.vvvv_spin_sectors(eris.vvvv)
 
     t1d, t2d = ccsd_ops.tupdate(eris, t1, t2)
-    t1s, t2s = ccsd_ops.tupdate(eris, t1, t2, vvvv_sectors=sect)
+    t1s, t2s = ccsd_ops.tupdate(eris, t1, t2, vvvv_op=sect)
     assert np.allclose(np.asarray(t1d), np.asarray(t1s), atol=1e-12)
     assert np.allclose(np.asarray(t2d), np.asarray(t2s), atol=1e-12)
 
     l1d, l2d = ccsd_ops.lupdate(eris, t1, t2, l1, l2)
-    l1s, l2s = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_sectors=sect)
+    l1s, l2s = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_op=sect)
     assert np.allclose(np.asarray(l1d), np.asarray(l1s), atol=1e-12)
     assert np.allclose(np.asarray(l2d), np.asarray(l2s), atol=1e-12)

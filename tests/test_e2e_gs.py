@@ -286,14 +286,18 @@ def test_ccsd_solve_sector_path_matches_dense(h2o_631g):
                         maxiter=60)
         return s.SCF_device(0.05)
 
-    old = cfg.get_config().spin_block_min_nvir
-    old_sb = cfg.get_config().spin_block
+    old_mode = cfg.get_config().ladder_mode
     try:
-        cfg.set_config(spin_block=True, spin_block_min_nvir=1)
+        cfg.set_config(ladder_mode="sectors")
         out_s = solve()
+        cfg.set_config(ladder_mode="packed")
+        out_p = solve()
     finally:
-        cfg.set_config(spin_block=old_sb, spin_block_min_nvir=old)
+        cfg.set_config(ladder_mode=old_mode)
     out_d = solve()
+    assert "Convergence reached" in out_p[0]
+    assert len(out_p[1]) == len(out_d[1])
+    assert abs(out_p[1][-1] - out_d[1][-1]) < 1e-10
     assert "Convergence reached" in out_s[0]
     assert len(out_s[1]) == len(out_d[1])          # same iteration count
     assert abs(out_s[1][-1] - out_d[1][-1]) < 1e-10

@@ -85,18 +85,30 @@ timeit("tupdate dense",
        eris, t1, t2)
 timeit("tupdate sector",
        lambda c, er, s, a, b: ccsd_ops.tupdate(er, a + c * eps, b,
-                                               vvvv_sectors=s),
+                                               vvvv_op=s),
        eris, sect, t1, t2)
 timeit("lupdate dense",
        lambda c, er, a, b, x, y: ccsd_ops.lupdate(er, a + c * eps, b, x, y),
        eris, t1, t2, l1, l2)
 timeit("lupdate sector",
        lambda c, er, s, a, b, x, y: ccsd_ops.lupdate(
-           er, a + c * eps, b, x, y, vvvv_sectors=s),
+           er, a + c * eps, b, x, y, vvvv_op=s),
        eris, sect, t1, t2, l1, l2)
+packed = jax.jit(ladder.pack_vvvv)(eris.vvvv)
+timeit("tupdate packed",
+       lambda c, er, s, a, b: ccsd_ops.tupdate(er, a + c * eps, b,
+                                               vvvv_op=s),
+       eris, packed, t1, t2)
+timeit("lupdate packed",
+       lambda c, er, s, a, b, x, y: ccsd_ops.lupdate(
+           er, a + c * eps, b, x, y, vvvv_op=s),
+       eris, packed, t1, t2, l1, l2)
 timeit("ladder sector only",
        lambda c, s, b: ladder.sector_vvvv_contract(s, b + c * eps),
        sect, t2)
+timeit("ladder packed only",
+       lambda c, s, b: ladder.packed_vvvv_contract(s, b + c * eps),
+       packed, t2)
 timeit("ladder dense only",
        lambda c, er, a, b: ladder.ladder_contract(er, a + c * eps, b, b),
        eris, t1, t2)
@@ -129,7 +141,7 @@ for prec in ("highest", "high", "default"):
     Lw = jnp.asarray(solver.myVexp.L_check(0.01)[0], dtype=dt)
     args = (solver.tsini, solver.lsini, solver.tdini, solver.ldini)
     alpha_v = jnp.asarray(0.0, dt)
-    vv = solver._get_vvvv_sectors()
+    vv = solver._get_vvvv_op()
     out = run(eris, vv, Lw, *args, alpha_v)
     k = int(out[6])
     ep = float(out[8][k - 1])
