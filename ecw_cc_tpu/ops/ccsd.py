@@ -127,19 +127,21 @@ def make_tau(t2, t1a, t1b, fac=1.0):
     return t2 + t1t1 - t1t1.transpose(0, 1, 3, 2)
 
 
-def cc_Fvv(eris, t1, t2, fsp):
+def cc_Fvv(eris, t1, t2, fsp, tau_t=None):
     nocc = t1.shape[0]
     fov, fvv = fsp[:nocc, nocc:], fsp[nocc:, nocc:]
-    tau_t = make_tau(t2, t1, t1, fac=0.5)
+    if tau_t is None:
+        tau_t = make_tau(t2, t1, t1, fac=0.5)
     return (fvv - 0.5 * einsum("me,ma->ae", fov, t1)
             + einsum("mf,amef->ae", t1, eris.vovv)
             - 0.5 * einsum("mnaf,mnef->ae", tau_t, eris.oovv))
 
 
-def cc_Foo(eris, t1, t2, fsp):
+def cc_Foo(eris, t1, t2, fsp, tau_t=None):
     nocc = t1.shape[0]
     fov, foo = fsp[:nocc, nocc:], fsp[:nocc, :nocc]
-    tau_t = make_tau(t2, t1, t1, fac=0.5)
+    if tau_t is None:
+        tau_t = make_tau(t2, t1, t1, fac=0.5)
     return (foo + 0.5 * einsum("me,ie->mi", fov, t1)
             + einsum("ne,mnie->mi", t1, eris.ooov)
             + 0.5 * einsum("inef,mnef->mi", tau_t, eris.oovv))
@@ -195,11 +197,18 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     diag_oo = jnp.diag(fock)[:nocc]
 
     tau = make_tau(t2, t1, t1)
-    Fvv = cc_Fvv(eris, t1, t2, fsp)
-    Foo = cc_Foo(eris, t1, t2, fsp)
+    tau_t = make_tau(t2, t1, t1, fac=0.5)
+    Fvv = cc_Fvv(eris, t1, t2, fsp, tau_t=tau_t)
+    Foo = cc_Foo(eris, t1, t2, fsp, tau_t=tau_t)
     Fov = cc_Fov(eris, t1, t2, fsp)
-    Woooo = cc_Woooo(eris, t1, t2)
     Wovvo = cc_Wovvo(eris, t1, t2)
+    # The quadratic tau.oovv.tau term enters Stanton's t2 equation twice —
+    # once through the Woooo correction, once through the Wvvvv correction
+    # (each 0.125) — so compute X once and apply it with weight 0.25; the
+    # ladder (skip_quad=True) and the bare Woooo then omit their halves.
+    X = einsum("ijef,mnef->ijmn", tau, eris.oovv)
+    tmp = einsum("je,mnie->mnij", t1, eris.ooov)
+    Woooo = eris.oooo + tmp - tmp.transpose(0, 1, 3, 2)
 
     if not equation and alpha is None:
         Fvv = Fvv - jnp.diag(diag_vv)
@@ -223,9 +232,11 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     t2new = t2new - (tmp - tmp.transpose(1, 0, 2, 3))
     t2new = t2new + eris.oovv
     t2new = t2new + 0.5 * einsum("mnab,mnij->ijab", tau, Woooo)
-    # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections)
+    t2new = t2new + 0.25 * einsum("ijmn,mnab->ijab", X, tau)
+    # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections;
+    # the quadratic piece was applied above via X)
     t2new = t2new + ladder_contract(eris, t1, t2, tau,
-                                    vvvv_op=vvvv_op)
+                                    vvvv_op=vvvv_op, skip_quad=True)
     tmp = einsum("imae,mbej->ijab", t2, Wovvo)
     tmp = tmp + einsum("ie,ma,mbje->ijab", t1, t1, eris.ovov)
     tmp = tmp - tmp.transpose(1, 0, 2, 3)
@@ -259,10 +270,12 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
 def Linter(eris, t1, t2, fsp=None, cheap=False):
     """Lambda intermediates. Reference CCSD.py:543-623.
 
-    cheap=True omits the O(o^2 v^4) einsum('kbad,jkcd->bcaj') piece of wvvvo
-    (as costly as the vvvv ladder itself); lupdate folds that contribution
-    into l1new directly with a reassociated O(o^3 v^3) contraction instead —
-    identical result, ~v/o times cheaper."""
+    cheap=True skips the wvvvo intermediate entirely — a (v,v,v,o) tensor
+    (238 MB at pVTZ) whose only consumer is one l1 contraction; lupdate
+    folds each of its pieces into l1new with reassociated O(o^3 v^3)-or-
+    cheaper chains instead (exact, no v^3 o intermediate, and the
+    O(o^2 v^4) einsum('kbad,jkcd->bcaj') piece never appears).  v4 is
+    returned so lupdate can fold the v4.t1 piece."""
     nocc = t1.shape[0]
     fsp = eris.fock if fsp is None else fsp
     foo, fov = fsp[:nocc, :nocc], fsp[:nocc, nocc:]
@@ -296,16 +309,18 @@ def Linter(eris, t1, t2, fsp=None, cheap=False):
              + 0.5 * einsum("jkic->icjk", eris.ooov)
              + einsum("icbk,jb->icjk", v4, t1)
              - einsum("lijb,klcb->icjk", eris.ooov, t2))
-    wvvvo = (einsum("jcak,jb->bcak", v4, t1)
-             + 0.25 * einsum("jlka,jlbc->bcak", eris.ooov, tau)
-             - 0.5 * einsum("jacb->bcaj", eris.ovvv))
-    if not cheap:
-        wvvvo = wvvvo + einsum("kbad,jkcd->bcaj", eris.ovvv, t2)
+    if cheap:
+        wvvvo = None
+    else:
+        wvvvo = (einsum("jcak,jb->bcak", v4, t1)
+                 + 0.25 * einsum("jlka,jlbc->bcak", eris.ooov, tau)
+                 - 0.5 * einsum("jacb->bcaj", eris.ovvv)
+                 + einsum("kbad,jkcd->bcaj", eris.ovvv, t2))
 
     E = (einsum("ia,ia", fsp[:nocc, nocc:], t1)
          + 0.25 * einsum("ijab,ijab", t2, eris.oovv)
          + 0.5 * einsum("ia,jb,ijab", t1, t1, eris.oovv))
-    return dict(v1=v1, v2=v2, w3=w3, woooo=woooo, wovvo=wovvo,
+    return dict(v1=v1, v2=v2, v4=v4, w3=w3, woooo=woooo, wovvo=wovvo,
                 wovoo=wovoo, wvvvo=wvvvo, E=E)
 
 
@@ -378,12 +393,19 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
              + einsum("ib,ba->ia", l1, v1)
              - einsum("ja,ij->ia", l1, v2)
              - einsum("kjca,icjk->ia", l2, imds["wovoo"])
-             - einsum("ikbc,bcak->ia", l2, imds["wvvvo"])
              + einsum("ijab,jb->ia", m3, t1)
              + einsum("jiba,bj->ia", l2, imds["w3"]))
-    # the O(o^2 v^4) wvvvo piece einsum('kbad,jkcd->bcaj') folded in with a
-    # reassociated O(o^3 v^3) chain (Linter cheap=True omitted it):
-    #   -sum_{kbc} l2[ikbc] sum_{md} ovvv[mbad] t2[kmcd]
+    # -l2.wvvvo folded in WITHOUT materializing the (v,v,v,o) wvvvo (238 MB
+    # at pVTZ; Linter cheap=True).  Its four pieces, reassociated:
+    #   v4.t1 piece        -> two O(o^3 v^2) chains
+    #   0.25 ooov.tau      -> O(o^4 v^2) then O(o^4 v)
+    #   -0.5 ovvv exchange -> one O(o^2 v^3) dot
+    #   ovvv.t2 (O(o^2 v^4) in reference form) -> two O(o^3 v^3) chains
+    tmp = einsum("ikbc,jb->ikcj", l2, t1)
+    l1new = l1new - einsum("ikcj,jcak->ia", tmp, imds["v4"])
+    tmp = einsum("ikbc,jlbc->ikjl", l2, tau)
+    l1new = l1new - 0.25 * einsum("ikjl,jlka->ia", tmp, eris.ooov)
+    l1new = l1new + 0.5 * einsum("ikbc,kacb->ia", l2, eris.ovvv)
     Zl = einsum("ikbc,kmcd->ibmd", l2, t2)
     l1new = l1new - einsum("ibmd,mbad->ia", Zl, eris.ovvv)
     tmp = (t1 + einsum("kc,kjcb->jb", l1, t2)

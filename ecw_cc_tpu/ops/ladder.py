@@ -282,8 +282,12 @@ def make_vvvv_op(vvvv, nocc=None):
     raise ValueError(f"unknown ladder_mode {mode!r}")
 
 
-def ladder_contract(eris, t1, t2, tau, vvvv_op=None):
-    """0.5 * einsum('ijef,abef->ijab', tau, Wvvvv) without materializing Wvvvv."""
+def ladder_contract(eris, t1, t2, tau, vvvv_op=None, skip_quad=False):
+    """0.5 * einsum('ijef,abef->ijab', tau, Wvvvv) without materializing Wvvvv.
+
+    skip_quad=True omits the quadratic 0.125 tau.oovv.tau correction (L3):
+    tupdate fuses it with the identical term arising from the Woooo
+    correction and applies both in one contraction."""
     nocc, nvir = t1.shape
 
     if vvvv_op is not None:
@@ -303,6 +307,9 @@ def ladder_contract(eris, t1, t2, tau, vvvv_op=None):
     Y = einsum("ijef,mbef->ijmb", tau, eris.ovvv)
     Z = -0.5 * einsum("ijmb,ma->ijab", Y, t1)
     L2 = Z - Z.transpose(0, 1, 3, 2)
+
+    if skip_quad:
+        return L1 + L2
 
     # 0.25 tau.oovv correction contracted with tau
     X = einsum("ijef,mnef->ijmn", tau, eris.oovv)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 import os
 
+from ecw_cc_tpu.config import get_config
 from ecw_cc_tpu.ops import ccs as ccs_ops
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.ops import diis as diis_ops
@@ -270,7 +271,7 @@ class Solver_CCS:
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
         ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
         diis = diis or self.diis
-        key = (diis, alpha is not None)
+        key = (diis, alpha is not None, get_config().iter_precision)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -523,22 +524,16 @@ class Solver_CCSD:
         nov = nocc * nvir
         nood = nocc * nocc * nvir * nvir
 
-        from ecw_cc_tpu.config import get_config
         iter_prec = get_config().iter_precision
 
         # eris/vvsect are jit ARGUMENTS (device buffers stay out of the
         # lowered program — a multi-GB closure constant would be shipped to
         # the remote compile service on the axon backend)
+        hybrid_switch = get_config().hybrid_switch
+
         @jax.jit
         def run(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
-            # trace-time context: stamps the chosen matmul precision on every
-            # dot inside the solve ('high'/'default' trade digits for MXU
-            # passes; pair with refine=True to recover parity)
-            import contextlib
-            prec_ctx = (jax.default_matmul_precision(iter_prec)
-                        if iter_prec != "highest" else contextlib.nullcontext())
-            with prec_ctx:
-                return _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v)
+            return _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v)
 
         def _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
             def conv_vec(ts, ls, td, ld, fsp):
@@ -550,7 +545,7 @@ class Solver_CCSD:
                     return jnp.concatenate([ls.ravel(), ld.ravel()])
                 return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
 
-            def body(carry):
+            def body_impl(carry):
                 (ts_in, ls_in, td_in, ld_in, dstate_in, conv_in, Dconv, ite,
                  k, status, Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw,
                  alpha_v) = carry
@@ -611,6 +606,19 @@ class Solver_CCSD:
                         status, Ep_h, Delta_h, vmax_h, conv_h, rdm1, Lw,
                         alpha_v)
 
+            def make_body(prec):
+                # trace-time context: stamps the chosen matmul precision on
+                # every dot inside the iteration ('high'/'default' trade
+                # digits for MXU passes; pair with refine=True — or the
+                # 'hybrid' schedule — to recover parity)
+                if prec is None:
+                    return body_impl
+
+                def body(carry):
+                    with jax.default_matmul_precision(prec):
+                        return body_impl(carry)
+                return body
+
             def cond(carry):
                 Dconv, status = carry[6], carry[9]
                 return (Dconv > thres) & (status == 0)
@@ -624,7 +632,42 @@ class Solver_CCSD:
                      jnp.zeros(hist_len, ts0.dtype), jnp.zeros(hist_len, ts0.dtype),
                      jnp.zeros(hist_len, ts0.dtype), jnp.zeros(hist_len, ts0.dtype),
                      jnp.zeros((dim, dim), ts0.dtype), L, alpha_v)
-            out = jax.lax.while_loop(cond, body, carry)
+            if iter_prec == "hybrid":
+                # two-phase schedule: cheap single-pass-bf16 iterations carry
+                # the solve down as far as bf16 roundoff permits, then
+                # full-precision f32 iterations finish to conv_thres — the
+                # final fixed point satisfies the 'highest' equations, so
+                # parity is unaffected by the bf16 leg.  The fast phase ends
+                # at hybrid_switch OR when bf16 noise stalls the residual
+                # (no new best Dconv for 3 iterations — the stall floor
+                # depends on system size, so a fixed threshold can't be
+                # relied on alone).
+                switch = max(thres, hybrid_switch)
+                body_fast_inner = make_body("default")
+
+                def body_fast(fc):
+                    carry, dmin, stall = fc
+                    carry = body_fast_inner(carry)
+                    Dconv = carry[6]
+                    improved = Dconv < 0.95 * dmin
+                    stall = jnp.where(improved, 0, stall + 1)
+                    dmin = jnp.minimum(dmin, Dconv)
+                    return carry, dmin, stall
+
+                def cond_fast(fc):
+                    carry, _, stall = fc
+                    Dconv, status = carry[6], carry[9]
+                    return ((Dconv > switch) & (status == 0)
+                            & (stall < jnp.asarray(3, jnp.int32)))
+
+                carry, _, _ = jax.lax.while_loop(
+                    cond_fast, body_fast,
+                    (carry, jnp.asarray(jnp.inf, ts0.dtype),
+                     jnp.asarray(0, jnp.int32)))
+                out = jax.lax.while_loop(cond, make_body(None), carry)
+            else:
+                prec = None if iter_prec == "highest" else iter_prec
+                out = jax.lax.while_loop(cond, make_body(prec), carry)
             (ts, ls, td, ld, _, _, Dconv, ite, k, status,
              Ep_h, Delta_h, vmax_h, conv_h, rdm1, _, _) = out
             status = jnp.where(status == 0, 1, status)
@@ -653,7 +696,7 @@ class Solver_CCSD:
         td = self.tdini if td is None else jnp.asarray(td, dtype=dt)
         ld = self.ldini if ld is None else jnp.asarray(ld, dtype=dt)
         diis = diis or self.diis
-        key = (diis, alpha is not None)
+        key = (diis, alpha is not None, get_config().iter_precision)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -705,7 +748,7 @@ class Solver_CCSD:
         """
         dt = self.fock.dtype
         diis = diis or self.diis
-        key = (diis, alpha is not None)
+        key = (diis, alpha is not None, get_config().iter_precision)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:

@@ -335,6 +335,40 @@ def test_scf_device_refine_recovers_f64_parity(h2o_631g):
     assert abs(out32_raw[1][-1] - out64[1][-1]) > 1e-8
 
 
+def test_scf_device_hybrid_precision_schedule(h2o_631g):
+    """iter_precision='hybrid' (bf16 leg until hybrid_switch, then 'highest'
+    to conv_thres) lands on the same fixed point as the plain 'highest'
+    solve — on CPU the matmul-precision stamps are numerical no-ops, so
+    this pins the two-while_loop control flow (phase handoff, shared
+    iteration/history counters, status codes)."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve():
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        s = Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-9,
+                        diis="tl", maxiter=60)
+        return s.SCF_device(0.05)
+
+    old = cfg.get_config().iter_precision
+    try:
+        cfg.set_config(iter_precision="hybrid")
+        out_h = solve()
+    finally:
+        cfg.set_config(iter_precision=old)
+    out_ref = solve()
+    assert "Convergence reached" in out_h[0]
+    assert abs(out_h[1][-1] - out_ref[1][-1]) < 1e-10
+    assert len(out_h[1]) == len(out_ref[1])  # CPU: identical iteration path
+    for a, b in zip(out_h[5], out_ref[5]):
+        assert np.allclose(a, b, atol=1e-9)
+
+
 def test_ccsd_gs_parallel_mode(h2o_631g):
     """ECW.CCSD_GS(mode='parallel') runs the batched-lambda solver through
     the driver and lands on the same converged energies as the sequential

@@ -138,8 +138,9 @@ imds = jax.jit(lambda er, a, b: ccsd_ops.Linter(er, a, b, fsp=None,
                                                 cheap=True))(eris, t1, t2)
 
 def p_Linter(c, er, t1, t2):
-    return tuple(ccsd_ops.Linter(er, t1 + c * eps, t2, fsp=None,
-                                 cheap=True).values())
+    return tuple(v for v in ccsd_ops.Linter(er, t1 + c * eps, t2, fsp=None,
+                                            cheap=True).values()
+                 if v is not None)
 
 def p_v4_only(c, er, t2):
     return einsum("ljdb,klcd->jcbk", er.oovv, t2 + c * eps)
@@ -191,9 +192,14 @@ def p_l2_tails(c, er, l1, l2):
 
 def p_l1_rest(c, er, t1, t2, l1, l2):
     l2_ = l2 + c * eps
-    return (einsum("kjca,icjk->ia", l2_, imds["wovoo"])
-            + einsum("ikbc,bcak->ia", l2_, imds["wvvvo"])
-            + einsum("jiba,bj->ia", l2_, imds["w3"]))
+    tau = t2 + 2.0 * einsum("ia,jb->ijab", t1, t1)
+    out = (einsum("kjca,icjk->ia", l2_, imds["wovoo"])
+           + einsum("jiba,bj->ia", l2_, imds["w3"]))
+    tmp = einsum("ikbc,jb->ikcj", l2_, t1)
+    out = out - einsum("ikcj,jcak->ia", tmp, imds["v4"])
+    tmp = einsum("ikbc,jlbc->ikjl", l2_, tau)
+    out = out - 0.25 * einsum("ikjl,jlka->ia", tmp, er.ooov)
+    return out + 0.5 * einsum("ikbc,kacb->ia", l2_, er.ovvv)
 
 timeit("Linter cheap (all imds)", p_Linter, eris, t1, t2)
 timeit("v4 build only", p_v4_only, eris, t2)
