@@ -288,12 +288,18 @@ def mp2_amps(blocks):
     return t1, t2, 0.5 * t1, 0.5 * t2
 
 
-def bench_config(basis, n_iters, numpy_baseline, measure_high=False):
+def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
+                 measure_solve=True):
     """Returns dict with value_ms, tflops, (optionally) vs_baseline.
 
     measure_high: additionally time the solver traced at
     iter_precision='high' (3-pass bf16 matmuls — the mixed-precision
-    production mode; refine=True recovers 1e-8 parity, tested)."""
+    production mode; refine=True recovers 1e-8 parity, tested).
+
+    measure_solve: additionally time a full CONVERGING solve (diis='tl',
+    conv 'tl' to 1e-6 — the production configuration; DIIS cuts pVTZ from
+    47 to 15 iterations) — solve_ms is wall-clock-to-solution, the
+    end-user-facing number."""
     import jax
     import jax.numpy as jnp
     from ecw_cc_tpu.models.eris import GEris, build_eris_device
@@ -377,6 +383,24 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False):
                     flops / (best_h * 1e-3) / 1e12, 2)
         finally:
             config.set_config(iter_precision="highest")
+
+    if measure_solve:
+        exp_s = Exp(LW, [[["mat", target_np]]], mol=mol,
+                    mo_coeff=ghf.mo_coeff)
+        solver_s = Solver_CCSD(GCC(eris), exp_s, conv="tl", conv_thres=1e-6,
+                               diis="tl", maxiter=100)
+        run_s = solver_s._build_device_solver("tl", False)
+        out = run_s(eris, vvsect_dev, Lw, *args, alpha_v)
+        ks = int(out[6])
+        _ = float(out[8][ks - 1])
+        best_s = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run_s(eris, vvsect_dev, Lw, *args, alpha_v)
+            _ = float(out[8][int(out[6]) - 1])
+            best_s = min(best_s, (time.perf_counter() - t0) * 1e3)
+        result["solve_ms"] = round(best_s, 1)
+        result["solve_iters"] = ks
 
     if numpy_baseline:
         blocks = {f: np.asarray(getattr(eris, f), dtype=np.float64)

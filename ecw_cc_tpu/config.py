@@ -49,6 +49,11 @@ class Config:
     # fixed point as 'highest', most of the iterations at 6x matmul rate.
     iter_precision: str = "highest"
     hybrid_switch: float = 1e-4
+    # Matmul precision of the hybrid fast leg ('default' = single-pass bf16,
+    # 'high' = 3-pass).  'high' keeps DIIS effective down to ~1e-4 residuals
+    # and wins end-to-end (measured pVTZ diis='tl': 947 ms vs 976 'highest'
+    # vs 1566 with a 'default' fast leg whose noise defeats DIIS).
+    hybrid_fast: str = "high"
 
 
 _config = Config(

@@ -271,7 +271,8 @@ class Solver_CCS:
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
         ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
         diis = diis or self.diis
-        key = (diis, alpha is not None, get_config().iter_precision)
+        key = (diis, alpha is not None, get_config().iter_precision,
+               get_config().hybrid_fast)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -530,6 +531,7 @@ class Solver_CCSD:
         # lowered program — a multi-GB closure constant would be shipped to
         # the remote compile service on the axon backend)
         hybrid_switch = get_config().hybrid_switch
+        hybrid_fast = get_config().hybrid_fast
 
         @jax.jit
         def run(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
@@ -643,7 +645,7 @@ class Solver_CCSD:
                 # depends on system size, so a fixed threshold can't be
                 # relied on alone).
                 switch = max(thres, hybrid_switch)
-                body_fast_inner = make_body("default")
+                body_fast_inner = make_body(hybrid_fast)
 
                 def body_fast(fc):
                     carry, dmin, stall = fc
@@ -664,6 +666,11 @@ class Solver_CCSD:
                     cond_fast, body_fast,
                     (carry, jnp.asarray(jnp.inf, ts0.dtype),
                      jnp.asarray(0, jnp.int32)))
+                # fresh DIIS history for the accurate leg: extrapolating over
+                # bf16-noise residual differences poisons the subspace
+                # (measured: 34 vs 15 iterations at pVTZ with diis='tl')
+                carry = carry[:4] + (jax.tree.map(jnp.zeros_like, carry[4]),
+                                     ) + carry[5:]
                 out = jax.lax.while_loop(cond, make_body(None), carry)
             else:
                 prec = None if iter_prec == "highest" else iter_prec
@@ -696,7 +703,8 @@ class Solver_CCSD:
         td = self.tdini if td is None else jnp.asarray(td, dtype=dt)
         ld = self.ldini if ld is None else jnp.asarray(ld, dtype=dt)
         diis = diis or self.diis
-        key = (diis, alpha is not None, get_config().iter_precision)
+        key = (diis, alpha is not None, get_config().iter_precision,
+               get_config().hybrid_fast)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -748,7 +756,8 @@ class Solver_CCSD:
         """
         dt = self.fock.dtype
         diis = diis or self.diis
-        key = (diis, alpha is not None, get_config().iter_precision)
+        key = (diis, alpha is not None, get_config().iter_precision,
+               get_config().hybrid_fast)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
