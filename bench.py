@@ -307,8 +307,18 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     from ecw_cc_tpu.ops.vexp import Exp
     from ecw_cc_tpu.solvers.gs import Solver_CCSD
 
+    from ecw_cc_tpu.ops.ladder import resolve_mode
+
     mol, ghf = build_host(basis)
-    eris = build_eris_device(mol, ghf, dtype="float32")
+    nvir_g = ghf.mo_coeff.shape[1] - int(np.sum(ghf.mo_occ > 0))
+    vvvv_op = None
+    if resolve_mode(nvir_g) == "packed" and not numpy_baseline:
+        # production route: dense v^4 never materialized (pack-on-build)
+        eris, vvvv_op = build_eris_device(mol, ghf, dtype="float32",
+                                          pack_ladder=True)
+    else:
+        # the NumPy-baseline step needs the dense block
+        eris = build_eris_device(mol, ghf, dtype="float32")
     dtype = jnp.float32
     nmo = eris.fock.shape[0]
     target_np = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
@@ -318,7 +328,7 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     mycc = GCC(eris)
     exp = Exp(LW, [[["mat", target_np]]], mol=mol, mo_coeff=ghf.mo_coeff)
     solver = Solver_CCSD(mycc, exp, conv="tl", conv_thres=0.0, diis="",
-                         maxiter=n_iters)
+                         maxiter=n_iters, vvvv_op=vvvv_op)
     run = solver._build_device_solver("", False)
     Lw = jnp.asarray(solver.myVexp.L_check(LW)[0], dtype=dtype)
     alpha_v = jnp.asarray(0.0, dtype=dtype)
@@ -343,8 +353,11 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     # SAME path the solver ran (sectored vvvv when auto-enabled); step
     # signature is (eris, sect, t1, t2, l1, l2) while args is (ts,ls,td,ld)
     vvsect = vvsect_dev
+    # tree.map preserves the operand type (PackedVVVV / sector tuple) —
+    # a plain tuple() would break the isinstance dispatch in apply_vvvv_op
     sect_shapes = (None if vvsect is None else
-                   tuple(jax.ShapeDtypeStruct(s.shape, dtype) for s in vvsect))
+                   jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, dtype),
+                                vvsect))
     step = device_full_step(target_np.astype(np.float32), np.float32(LW))
     shapes = [jax.ShapeDtypeStruct(a.shape, dtype)
               for a in (args[0], args[2], args[1], args[3])]
@@ -366,7 +379,8 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
             exp_h = Exp(LW, [[["mat", target_np]]], mol=mol,
                         mo_coeff=ghf.mo_coeff)
             solver_h = Solver_CCSD(GCC(eris), exp_h, conv="tl",
-                                   conv_thres=0.0, diis="", maxiter=n_iters)
+                                   conv_thres=0.0, diis="", maxiter=n_iters,
+                                   vvvv_op=vvvv_op)
             run_h = solver_h._build_device_solver("", False)
             out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
             kh = int(out[6])
@@ -388,7 +402,7 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
         exp_s = Exp(LW, [[["mat", target_np]]], mol=mol,
                     mo_coeff=ghf.mo_coeff)
         solver_s = Solver_CCSD(GCC(eris), exp_s, conv="tl", conv_thres=1e-6,
-                               diis="tl", maxiter=100)
+                               diis="tl", maxiter=100, vvvv_op=vvvv_op)
         run_s = solver_s._build_device_solver("tl", False)
         out = run_s(eris, vvsect_dev, Lw, *args, alpha_v)
         ks = int(out[6])
@@ -463,6 +477,8 @@ def main():
         "vs_baseline": pvdz.get("vs_baseline"),
         "tflops": pvdz.get("tflops"),
         "flops_per_iter": pvdz.get("flops_per_iter"),
+        "solve_ms": pvdz.get("solve_ms"),
+        "solve_iters": pvdz.get("solve_iters"),
     }
     if pvtz is not None:
         line["pvtz"] = pvtz

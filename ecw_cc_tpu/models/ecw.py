@@ -77,9 +77,17 @@ class ECW:
         # default for parity work and is always available lazily.
         from ecw_cc_tpu.config import get_config
         self._eris_host = None
+        self.vvvv_op = None
         if get_config().dtype == "float32":
             from ecw_cc_tpu.models.eris import build_eris_device
-            self.eris = build_eris_device(mol, ghf, dtype="float32")
+            from ecw_cc_tpu.ops.ladder import resolve_mode
+            if resolve_mode(self.nvir) == "packed":
+                # never materialize the dense v^4 block (4x HBM cut); the
+                # packed operand is threaded into the CCSD solvers
+                self.eris, self.vvvv_op = build_eris_device(
+                    mol, ghf, dtype="float32", pack_ladder=True)
+            else:
+                self.eris = build_eris_device(mol, ghf, dtype="float32")
         else:
             self._eris_host = build_eris(mol, ghf, int_thresh=int_thresh)
             self.eris = self._eris_host.to_device()
@@ -398,7 +406,7 @@ class ECW:
             self.myccsd = GCC(self.eris)
         Solve = Solver_CCSD(self.myccsd, VXexp, conv=conv, conv_thres=conv_thres,
                             tsini=tsini, lsini=lsini, diis=diis, maxdiis=diis_max,
-                            maxiter=maxiter)
+                            maxiter=maxiter, vvvv_op=self.vvvv_op)
         td = ld = None
         Result = None
         Ep = Delta = vmax = None

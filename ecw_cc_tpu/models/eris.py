@@ -149,8 +149,34 @@ def build_eris(mol, ghf, int_thresh=1e-13, dir_cont=False):
     return ErisHost(mol, ghf, int_thresh=int_thresh, dir_cont=dir_cont)
 
 
-def build_eris_device(mol, ghf, dtype="float32"):
+def _packed_rows_from_slab(slab4, lo):
+    """Packed ladder rows from one physicists <ab||ef> slab (w, v, v, v)
+    covering a = lo..lo+w-1: keep rows (a, b) with b > a and pack the (e, f)
+    columns to e < f — the rows of PackedVVVV.wc for this a-range (pair rows
+    with a fixed leading a are contiguous in row-major a<b pair order).
+    `lo` must be static (row slicing is shape-determining)."""
+    import jax.numpy as jnp
+
+    from ecw_cc_tpu.ops.ladder import _pack_pairs
+
+    w, v = slab4.shape[0], slab4.shape[1]
+    rows = [slab4[i, lo + i + 1:].reshape(v - lo - i - 1, v * v)
+            for i in range(w) if lo + i + 1 < v]
+    return _pack_pairs(jnp.concatenate(rows, axis=0), v)
+
+
+def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     """Build the G-format antisymmetrized ERI blocks ON the device.
+
+    pack_ladder=True never materializes the dense (v,v,v,v) block: each
+    transform slab is reduced straight to its antisymmetry-packed ladder
+    rows (ops/ladder.PackedVVVV), the GEris carries a (nvir,0,0,0)
+    placeholder for vvvv (shape keeps .nvir working), and the return value
+    becomes a (GEris, PackedVVVV) pair.  Cuts the biggest block 4x in
+    steady-state HBM (2.75 GB -> 0.68 GB at C2H2/cc-pVTZ) and avoids the
+    dense-slab concat peak; requires every consumer to run the packed
+    ladder route (the ECW driver and bench thread the op into the CCSD
+    solvers; paths needing dense vvvv must build with pack_ladder=False).
 
     The AO ERI tensor is staged once; the quarter transforms (~nmo^5 FLOPs),
     spin masking, antisymmetrization and block slicing all run as jitted XLA
@@ -257,6 +283,23 @@ def build_eris_device(mol, ghf, dtype="float32"):
         t1 = t1 * (m_ae[:, :, None, None] * allow_vv[None, None, :, :])
         return (jnp.transpose(t1, (0, 2, 1, 3))
                 - jnp.transpose(t1, (0, 2, 3, 1))).astype(dtype)
+
+    if pack_ladder:
+        from ecw_cc_tpu.ops.ladder import PackedVVVV
+
+        extract = jax.jit(_packed_rows_from_slab, static_argnums=1)
+        prows = []
+        for lo in range(0, nvir, width):
+            part = slab(C, lo)
+            prows.append(extract(part, lo))
+            prows[-1].block_until_ready()
+            del part
+        wc = jnp.concatenate(prows, axis=0)
+        wc.block_until_ready()
+        del prows
+        blocks["vvvv"] = jnp.zeros((nvir, 0, 0, 0), dtype)
+        blocks["fock"] = fock
+        return GEris(**blocks), PackedVVVV(wc=wc)
 
     parts = []
     for lo in range(0, nvir, width):

@@ -261,16 +261,28 @@ def apply_vvvv_op(vvvv_op, x):
     return sector_vvvv_contract(vvvv_op, x)
 
 
-def make_vvvv_op(vvvv, nocc=None):
-    """Pick the ladder route for this vvvv block per config.ladder_mode:
-    'dense' -> None; 'packed' -> PackedVVVV; 'sectors' -> spin sectors (None
-    if the integrals lack alternating-spin structure); 'auto' -> packed at
+def resolve_mode(nvir):
+    """config.ladder_mode with 'auto' resolved for this nvir: packed at
     nvir >= ladder_packed_min_nvir (measured crossover), dense below."""
     cfg = get_config()
     mode = cfg.ladder_mode
-    nvir = vvvv.shape[0]
     if mode == "auto":
         mode = "packed" if nvir >= cfg.ladder_packed_min_nvir else "dense"
+    return mode
+
+
+def make_vvvv_op(vvvv, nocc=None):
+    """Pick the ladder route for this vvvv block per config.ladder_mode:
+    'dense' -> None; 'packed' -> PackedVVVV; 'sectors' -> spin sectors (None
+    if the integrals lack alternating-spin structure); 'auto' -> see
+    resolve_mode."""
+    nvir = vvvv.shape[0]
+    if vvvv.size == 0:
+        raise ValueError(
+            "dense vvvv was not materialized (build_eris_device("
+            "pack_ladder=True)); pass its PackedVVVV to the solver instead "
+            "of rebuilding from eris.vvvv")
+    mode = resolve_mode(nvir)
     if mode == "dense":
         return None
     if mode == "packed":

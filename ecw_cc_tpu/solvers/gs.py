@@ -402,7 +402,13 @@ class Solver_CCSD:
 
     def __init__(self, mycc, VX_exp, conv="tl", conv_thres=1e-6, tsini=None,
                  lsini=None, tdini=None, ldini=None, diis="", maxiter=40,
-                 maxdiis=15, mindiis=2, energy_term="ref", eris_host=None):
+                 maxdiis=15, mindiis=2, energy_term="ref", eris_host=None,
+                 vvvv_op=None):
+        # vvvv_op: prebuilt ladder operand (e.g. the PackedVVVV from
+        # build_eris_device(pack_ladder=True), where eris.vvvv is a
+        # placeholder); default None derives it from eris.vvvv on first use.
+        if vvvv_op is not None:
+            self._vvsect = vvvv_op
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.fock = mycc.fock

@@ -335,6 +335,52 @@ def test_scf_device_refine_recovers_f64_parity(h2o_631g):
     assert abs(out32_raw[1][-1] - out64[1][-1]) > 1e-8
 
 
+def test_pack_on_build_matches_dense(h2o_631g):
+    """build_eris_device(pack_ladder=True) produces exactly the same packed
+    ladder operand as packing the dense block (transposed orientation —
+    pack_vvvv yields wc[E,A], the slab build wc[A,E]; both contract
+    identically by pair-swap symmetry), never materializing dense vvvv;
+    a full SCF_device solve with the threaded op matches the dense solve."""
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    dense = build_eris_device(mol, ghf, dtype="float64")
+    er_p, packed = build_eris_device(mol, ghf, dtype="float64",
+                                     pack_ladder=True)
+    assert er_p.vvvv.size == 0 and er_p.nvir == dense.nvir
+    ref = ladder.pack_vvvv(dense.vvvv)
+    assert np.array_equal(np.asarray(packed.wc), np.asarray(ref.wc).T)
+
+    t2 = np.asarray(dense.oovv)
+    y_packed = np.asarray(ladder.packed_vvvv_contract(packed, dense.oovv))
+    y_dense = 0.5 * np.einsum("ijef,abef->ijab", t2, np.asarray(dense.vvvv))
+    assert np.max(np.abs(y_packed - y_dense)) < 1e-11
+
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(er, op):
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        s = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-9, diis="tl",
+                        maxiter=60, vvvv_op=op)
+        return s.SCF_device(0.05)
+
+    out_p = solve(er_p, packed)
+    out_d = solve(dense, None)
+    assert "Convergence reached" in out_p[0]
+    assert abs(out_p[1][-1] - out_d[1][-1]) < 1e-10
+    for a, b in zip(out_p[5], out_d[5]):
+        assert np.allclose(a, b, atol=1e-8)
+
+    # guard: deriving an op from the placeholder must fail loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not materialized"):
+        ladder.make_vvvv_op(er_p.vvvv)
+
+
 def test_scf_device_hybrid_precision_schedule(h2o_631g):
     """iter_precision='hybrid' (bf16 leg until hybrid_switch, then 'highest'
     to conv_thres) lands on the same fixed point as the plain 'highest'
