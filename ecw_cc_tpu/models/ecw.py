@@ -430,7 +430,11 @@ class ECW:
                     if saved is not None:
                         ts, ls = saved["ts"], saved["ls"]
                         td, ld = saved["td"], saved["ld"]
-                Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha)
+                # keep_device: amplitudes stay device-resident across the
+                # warm-started sweep (the host round-trip costs ~3 s/lambda
+                # at pVTZ over the axon tunnel)
+                Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
+                                   keep_device=True)
             ts, ls, td, ld = Result[5]
             if checkpoint_dir is not None:
                 checkpoint.save_amplitudes(

@@ -449,10 +449,11 @@ class Solver_CCSD:
             return jnp.concatenate([ls.ravel(), ld.ravel()])
         return self.mycc.energy(ts, td, fsp).reshape(1)
 
-    def SCF(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis=""):
+    def SCF(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis="",
+            keep_device=False):
         if self._device_ok:
             return self.SCF_device(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
-                                   diis=diis)
+                                   diis=diis, keep_device=keep_device)
         return self._scf_host(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
                               diis=diis)
 
@@ -697,12 +698,18 @@ class Solver_CCSD:
         return self._vvsect
 
     def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None,
-                   diis="", refine=False, refine_iter=6):
+                   diis="", refine=False, refine_iter=6, keep_device=False):
         """Fully-jitted while_loop solve; refine=True follows the f32 device
         solve with `refine_iter` f64 polish iterations on the CPU backend
         (mixed-precision scheme, SURVEY.md section 7 'f64 on TPU' — requires
         eris_host passed at construction), recovering 1e-8 parity from an
-        f32 solve."""
+        f32 solve.
+
+        keep_device=True leaves the four amplitude tensors in result[5] as
+        DEVICE arrays (histories/rdm1 still come to the host).  On the axon
+        backend the amplitude round-trip over the tunnel costs ~3 s/solve at
+        pVTZ (vs ~1 s device compute) — warm-started lambda sweeps should
+        keep amplitudes device-resident (the ECW driver does)."""
         dt = self.fock.dtype
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
         ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
@@ -720,8 +727,13 @@ class Solver_CCSD:
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
         out = run(self.mycc.eris, self._get_vvvv_op(), Lw,
                   ts, ls, td, ld, alpha_v)
-        (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
-         Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
+        if keep_device and not refine:
+            ts_f, ls_f, td_f, ld_f = out[:4]
+            (rdm1, ite, k, status, Ep_h, Delta_h, vmax_h,
+             conv_h) = [np.asarray(x) for x in out[4:]]
+        else:
+            (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
+             Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
         n = int(k)
         text = _conv_text(int(status), L, int(ite), alpha=alpha, ccsd=True)
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
