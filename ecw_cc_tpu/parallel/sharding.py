@@ -66,3 +66,23 @@ def shard_eris(eris: GEris, mesh) -> GEris:
     sh = eris_shardings(mesh)
     return GEris(**{k: jax.device_put(getattr(eris, k), sh[k])
                     for k in GEris._fields})
+
+
+def shard_vvvv_op(vvvv_op, mesh):
+    """Shard a non-dense ladder operand (ops/ladder.py) over 'tp'.
+
+    PackedVVVV.wc[A, E] is sharded along its ROW (output-pair) axis — the
+    same all-gather-free reasoning as the dense vvvv rule: each shard owns a
+    slice of output pairs A=(a<b) and contracts the full local E axis; the
+    only cross-shard step is the o^2 v^2 unpack/antisymmetrize of the
+    result.  Spin-sector tuples shard along each sector's first axis."""
+    if vvvv_op is None:
+        return None
+    from ecw_cc_tpu.ops.ladder import PackedVVVV
+
+    if isinstance(vvvv_op, PackedVVVV):
+        return PackedVVVV(wc=jax.device_put(
+            vvvv_op.wc, NamedSharding(mesh, P("tp", None))))
+    return tuple(
+        jax.device_put(s, NamedSharding(mesh, P("tp", None, None, None)))
+        for s in vvvv_op)

@@ -89,6 +89,49 @@ def test_sharded_full_solve_matches_replicated(h2o_631g):
         assert np.allclose(a, b, atol=1e-9)
 
 
+def test_sharded_packed_ladder_solve_matches_replicated(h2o_631g):
+    """Production solve on pack-on-build ERIs (dense vvvv never
+    materialized) with the PackedVVVV operand sharded over 'tp' — the
+    multi-chip route for large bases — equals the replicated packed solve."""
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+    from ecw_cc_tpu.parallel.sharding import (amp_shardings, shard_eris,
+                                              shard_vvvv_op)
+
+    mol, ghf, eris_host, _ = h2o_631g
+    er_p, packed = build_eris_device(mol, ghf, dtype="float64",
+                                     pack_ladder=True)
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(er, op, sharded):
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        solver = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8,
+                             diis="tl", maxiter=60, vvvv_op=op)
+        kwargs = {}
+        if sharded:
+            mesh = make_mesh(n_dp=2)
+            sh = amp_shardings(mesh)
+            kwargs = dict(ts=jax.device_put(solver.tsini, sh["t1"]),
+                          ls=jax.device_put(solver.lsini, sh["l1"]),
+                          td=jax.device_put(solver.tdini, sh["t2"]),
+                          ld=jax.device_put(solver.ldini, sh["l2"]))
+        return solver.SCF_device(0.05, **kwargs)
+
+    text_r, Ep_r, _, _, rdm1_r, amps_r = solve(er_p, packed, sharded=False)
+    mesh = make_mesh(n_dp=2)
+    text_s, Ep_s, _, _, rdm1_s, amps_s = solve(
+        shard_eris(er_p, mesh), shard_vvvv_op(packed, mesh), sharded=True)
+    assert "Convergence reached" in text_r
+    assert len(Ep_r) == len(Ep_s)
+    assert abs(Ep_r[-1] - Ep_s[-1]) < 1e-10
+    assert np.allclose(rdm1_r, rdm1_s, atol=1e-9)
+    for a, b in zip(amps_r, amps_s):
+        assert np.allclose(a, b, atol=1e-9)
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
