@@ -149,19 +149,23 @@ def build_eris(mol, ghf, int_thresh=1e-13, dir_cont=False):
     return ErisHost(mol, ghf, int_thresh=int_thresh, dir_cont=dir_cont)
 
 
-def _packed_rows_from_slab(slab4, lo):
+def _packed_rows_from_slab(slab4, eff, lo, hi):
     """Packed ladder rows from one physicists <ab||ef> slab (w, v, v, v)
-    covering a = lo..lo+w-1: keep rows (a, b) with b > a and pack the (e, f)
-    columns to e < f — the rows of PackedVVVV.wc for this a-range (pair rows
-    with a fixed leading a are contiguous in row-major a<b pair order).
-    `lo` must be static (row slicing is shape-determining)."""
+    whose first axis covers a = eff..eff+w-1 (eff <= lo; the last slab is
+    start-clamped so it may overlap its predecessor): keep rows (a, b) with
+    lo <= a < hi and b > a, and pack the (e, f) columns to e < f — the rows
+    of PackedVVVV.wc for this a-range (pair rows with a fixed leading a are
+    contiguous in row-major a<b pair order).  eff/lo/hi must be static (row
+    slicing is shape-determining)."""
     import jax.numpy as jnp
 
     from ecw_cc_tpu.ops.ladder import _pack_pairs
 
-    w, v = slab4.shape[0], slab4.shape[1]
-    rows = [slab4[i, lo + i + 1:].reshape(v - lo - i - 1, v * v)
-            for i in range(w) if lo + i + 1 < v]
+    v = slab4.shape[1]
+    rows = [slab4[a - eff, a + 1:].reshape(v - a - 1, v * v)
+            for a in range(lo, hi) if a + 1 < v]
+    if not rows:                      # slab holding only a = v-1
+        return jnp.zeros((0, v * (v - 1) // 2), slab4.dtype)
     return _pack_pairs(jnp.concatenate(rows, axis=0), v)
 
 
@@ -268,11 +272,15 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     blocks = small_blocks(C)
     jax.block_until_ready(blocks)
 
-    # vvvv in equal-width slabs over the first virtual index: bounds the
-    # transient slice/transpose buffers AND compiles one slab program
-    # reused for every chunk (unequal chunks would each recompile).
-    width = next((nvir // c for c in range(6, nvir + 1)
-                  if nvir % c == 0), nvir)
+    # vvvv in fixed-width slabs over the first virtual index: bounds the
+    # transient slice/transpose buffers AND compiles one slab program reused
+    # for every chunk.  width = ceil(nvir/6); the last slab's start is
+    # CLAMPED by dynamic_slice (for non-divisible nvir it overlaps its
+    # predecessor and the duplicate rows are sliced off) — a
+    # divisor-of-nvir scheme degenerated to width 2 for near-prime nvir
+    # (67 slab dispatches, and 67 distinct pack programs at 6-311++G(2d,2p)).
+    width = max(1, -(-nvir // 6))
+    starts = list(range(0, nvir, width))
     allow_vv = allow[v, :][:, v]
 
     @jax.jit
@@ -287,11 +295,12 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     if pack_ladder:
         from ecw_cc_tpu.ops.ladder import PackedVVVV
 
-        extract = jax.jit(_packed_rows_from_slab, static_argnums=1)
+        extract = jax.jit(_packed_rows_from_slab, static_argnums=(1, 2, 3))
         prows = []
-        for lo in range(0, nvir, width):
+        for lo in starts:
+            eff = min(lo, nvir - width)     # dynamic_slice clamp, made static
             part = slab(C, lo)
-            prows.append(extract(part, lo))
+            prows.append(extract(part, eff, lo, min(lo + width, nvir)))
             prows[-1].block_until_ready()
             del part
         wc = jnp.concatenate(prows, axis=0)
@@ -302,9 +311,11 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
         return GEris(**blocks), PackedVVVV(wc=wc)
 
     parts = []
-    for lo in range(0, nvir, width):
-        parts.append(slab(C, lo))
-        parts[-1].block_until_ready()
+    for lo in starts:
+        eff = min(lo, nvir - width)
+        part = slab(C, lo)
+        part.block_until_ready()
+        parts.append(part if eff == lo else part[lo - eff:])
     blocks["vvvv"] = jnp.concatenate(parts, axis=0)
     blocks["vvvv"].block_until_ready()
     blocks["fock"] = fock
