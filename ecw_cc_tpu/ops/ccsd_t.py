@@ -182,17 +182,27 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     dE_dt, dE_df = grad_E(eris, tvec, f0, with_t)
 
     # w = dE/dt + (dG/dt)^T w  — same contraction structure as the Lambda
-    # equations; fixed-point iteration with DIIS
-    from ecw_cc_tpu.models.scf import HostDIIS
+    # equations; fixed-point iteration with ON-DEVICE DIIS (only the norm
+    # scalar crosses the tunnel per iteration)
+    from ecw_cc_tpu.ops import diis as diis_ops
+
+    @jax.jit
+    def _w_step(er, tv, fv, b, w, dstate):
+        # b (= dE/dt) as an ARGUMENT: a closure would bake a multi-MB
+        # constant into the program shipped to the remote compiler
+        w_new = b + matvec_t(er, tv, fv, w, with_t)
+        nrm = jnp.linalg.norm(w_new - w)
+        dstate, w_d = diis_ops.diis_update(dstate, w_new, 2)
+        return w_new, w_d, dstate, nrm
 
     w = dE_dt
-    diis = HostDIIS(space=10)
+    dstate = diis_ops.diis_init(w.size, space=10, dtype=w.dtype)
     for _ in range(maxiter):
-        w_new = dE_dt + matvec_t(eris, tvec, f0, w, with_t)
-        if float(jnp.linalg.norm(w_new - w)) < tol:
+        w_new, w_d, dstate, nrm = _w_step(eris, tvec, f0, dE_dt, w, dstate)
+        if float(nrm) < tol:
             w = w_new
             break
-        w = jnp.asarray(diis.update(np.asarray(w_new)))
+        w = w_d
 
     # gamma = dE/df + w^T dG/df
     gamma = (dE_df + vjp_fock(eris, tvec, f0, w, with_t)).reshape(dim, dim)
@@ -212,29 +222,48 @@ def _ccsd_step(eris, vvsect, t1, t2, use_sectors=False):
     return t1n, t2n, e_cc
 
 
-def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200):
-    """Plain CCSD amplitudes (MP2 start, Jacobi iterations with DIIS)."""
-    from ecw_cc_tpu.models.scf import HostDIIS
+@partial(jax.jit, static_argnames=("use_sectors",))
+def _ccsd_diis_step(eris, vvsect, t1, t2, dstate, use_sectors=False):
+    """Jacobi step + ON-DEVICE DIIS in one program: only the energy scalar
+    crosses to the host per iteration (a host-DIIS round trip of t2 costs
+    ~1 s/iteration over the axon tunnel at pVTZ sizes)."""
+    from ecw_cc_tpu.ops import diis as diis_ops
+
+    sect = vvsect if use_sectors else None
+    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_op=sect)
+    e_cc = ccsd_ops.energy(eris, t1n, t2n, None)
+    nocc, nvir = t1n.shape
+    n1 = nocc * nvir
+    dstate, vec = diis_ops.diis_update(
+        dstate, jnp.concatenate([t1n.ravel(), t2n.ravel()]), 2)
+    t1d = vec[:n1].reshape(nocc, nvir)
+    t2d = vec[n1:].reshape(nocc, nocc, nvir, nvir)
+    return t1d, t2d, dstate, e_cc
+
+
+def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200, vvvv_op=None):
+    """Plain CCSD amplitudes (MP2 start, Jacobi iterations with DIIS).
+
+    vvvv_op: prebuilt ladder operand (pack-on-build ERIs); default derives
+    one from eris.vvvv per config.ladder_mode."""
+    from ecw_cc_tpu.ops import diis as diis_ops
     from ecw_cc_tpu.ops import ladder
 
     nocc, nvir = eris.nocc, eris.nvir
-    vvsect = ladder.make_vvvv_op(eris.vvvv)
+    vvsect = ladder.make_vvvv_op(eris.vvvv) if vvvv_op is None else vvvv_op
     use_sectors = vvsect is not None
     e = jnp.diag(eris.fock)
     eia = e[:nocc, None] - e[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]
     t1 = jnp.zeros((nocc, nvir), dtype=eris.fock.dtype)
     t2 = eris.oovv / eijab
-    diis = HostDIIS(space=8)
+    dstate = diis_ops.diis_init(nocc * nvir + (nocc * nvir) ** 2, space=8,
+                                dtype=t1.dtype)
     e_old = 0.0
     e_cc = 0.0
     for _ in range(max_cycle):
-        t1, t2, e_dev = _ccsd_step(eris, vvsect, t1, t2,
-                                   use_sectors=use_sectors)
-        vec = diis.update(np.concatenate([np.ravel(t1), np.ravel(t2)]))
-        n1 = nocc * nvir
-        t1 = jnp.asarray(vec[:n1].reshape(nocc, nvir))
-        t2 = jnp.asarray(vec[n1:].reshape(nocc, nocc, nvir, nvir))
+        t1, t2, dstate, e_dev = _ccsd_diis_step(eris, vvsect, t1, t2, dstate,
+                                                use_sectors=use_sectors)
         e_cc = float(e_dev)
         if abs(e_cc - e_old) < conv_tol:
             break
