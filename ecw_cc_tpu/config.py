@@ -49,6 +49,10 @@ class Config:
     # fixed point as 'highest', most of the iterations at 6x matmul rate.
     iter_precision: str = "highest"
     hybrid_switch: float = 1e-4
+    # cond(S) above which the f32 device ERI transform falls back to the
+    # exact host f64 transform (even the two-stage orthogonalized f32 scheme
+    # catastrophically cancels; measured: 4.8e4 fine, 7.5e5 broken).
+    eri_f32_cond_max: float = 1e5
     # Matmul precision of the hybrid fast leg ('default' = single-pass bf16,
     # 'high' = 3-pass).  'high' keeps DIIS effective down to ~1e-4 residuals
     # and wins end-to-end (measured pVTZ diis='tl': 947 ms vs 976 'highest'

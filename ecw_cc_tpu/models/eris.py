@@ -202,21 +202,42 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     everything.  (A true-f64 device transform was tried first: the TPU f64
     emulation expands each matmul into split passes whose temps OOMed the
     chip at this size.)
+
+    EVEN the two-stage scheme breaks down when cond(S) is extreme: measured
+    at C2H2/6-311++G(2d,2p) (cond(S) = 7.5e5) the f32 blocks came out with
+    O(10x) relative errors in ovvv/vvvv and CCSD diverged, while
+    C2H2/cc-pVTZ (cond 4.8e4) keeps f64 parity to ~1e-5.  Above
+    config.eri_f32_cond_max (default 1e5, between the two measured points)
+    the build falls back to the HOST f64 transform (exact, ~2 min at
+    nao=74) and stages the f32 blocks from it.
     """
     import jax
     import jax.numpy as jnp
 
-    from ecw_cc_tpu.config import setup_jax
+    from ecw_cc_tpu.config import get_config, setup_jax
 
     setup_jax()
     nao = mol.nao
     nmo = ghf.mo_coeff.shape[1]
     nocc = int(np.sum(ghf.mo_occ > 0))
+    S = mol.intor("ovlp")
+    w, V = np.linalg.eigh(S)
+    cond_S = float(w[-1] / w[0])
+    if dtype == "float32" and cond_S > get_config().eri_f32_cond_max:
+        eris = build_eris(mol, ghf).to_device(dtype="float32")
+        if not pack_ladder:
+            return eris
+        from ecw_cc_tpu.ops.ladder import PackedVVVV, pack_vvvv
+
+        wc = jax.jit(pack_vvvv)(eris.vvvv).wc
+        wc.block_until_ready()
+        eris = eris._replace(
+            vvvv=jnp.zeros((eris.nvir, 0, 0, 0), jnp.float32))
+        return eris, PackedVVVV(wc=wc)
+
     eri_ao = jnp.asarray(mol.intor("int2e"), dtype=dtype)
     mo_np = np.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:],
                        dtype=np.float64)
-    S = mol.intor("ovlp")
-    w, V = np.linalg.eigh(S)
     Xh = (V * (w ** -0.5)) @ V.T           # S^{-1/2}
     U = ((V * (w ** 0.5)) @ V.T) @ mo_np   # S^{1/2} mo, unit-S-norm columns
     stages = [jnp.asarray(Xh, dtype=dtype), jnp.asarray(U, dtype=dtype)]

@@ -202,6 +202,38 @@ def test_native_int1e_matches_numpy():
         assert np.allclose(a, b, atol=1e-12), name
 
 
+def test_device_eris_f32_cond_fallback():
+    """Above config.eri_f32_cond_max the f32 device build must fall back to
+    the host f64 transform (the two-stage f32 scheme measured O(10x) block
+    errors at C2H2/6-311++G(2d,2p), cond(S)=7.5e5) — forced here by
+    lowering the threshold; the fallback must agree with the host blocks to
+    f32 cast precision in BOTH plain and pack_ladder variants."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.eris import build_eris, build_eris_device
+    from ecw_cc_tpu.ops import ladder
+
+    mol = Molecule("h2o", "6-31g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    host = build_eris(mol, ghf)
+    ref = host.to_device(dtype="float32")
+    old = cfg.get_config().eri_f32_cond_max
+    try:
+        cfg.set_config(eri_f32_cond_max=1.0)   # force the fallback
+        er = build_eris_device(mol, ghf, dtype="float32")
+        er_p, packed = build_eris_device(mol, ghf, dtype="float32",
+                                         pack_ladder=True)
+    finally:
+        cfg.set_config(eri_f32_cond_max=old)
+    assert np.array_equal(np.asarray(er.oovv), np.asarray(ref.oovv))
+    assert np.array_equal(np.asarray(er.vvvv), np.asarray(ref.vvvv))
+    assert er_p.vvvv.size == 0
+    ref_wc = ladder.pack_vvvv(ref.vvvv).wc
+    assert np.array_equal(np.asarray(packed.wc), np.asarray(ref_wc))
+
+
 def test_device_eris_f32_accurate_for_diffuse_basis():
     """The device ERI build must transform in f64 even when the requested
     block dtype is f32: an f32 transform catastrophically cancels for
