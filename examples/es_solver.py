@@ -11,6 +11,16 @@ jax (see CLAUDE.md).
 
 import numpy as np
 
+import os
+
+import jax
+
+# f64 parity mode (the default) runs on CPU: the axon plugin force-selects
+# the TPU backend, where f64 is emulated/slow and eager dispatch crosses a
+# network tunnel.  Set ECW_CC_TPU_DTYPE=float32 for the TPU production mode.
+if os.environ.get("ECW_CC_TPU_DTYPE", "float64") != "float32":
+    jax.config.update("jax_platforms", "cpu")
+
 from ecw_cc_tpu import ECW
 
 ecw = ECW("h2o", "6-31++g**")

@@ -13,6 +13,16 @@ import sys
 
 import numpy as np
 
+import os
+
+import jax
+
+# f64 parity mode (the default) runs on CPU: the axon plugin force-selects
+# the TPU backend, where f64 is emulated/slow and eager dispatch crosses a
+# network tunnel.  Set ECW_CC_TPU_DTYPE=float32 for the TPU production mode.
+if os.environ.get("ECW_CC_TPU_DTYPE", "float64") != "float32":
+    jax.config.update("jax_platforms", "cpu")
+
 from ecw_cc_tpu import ECW
 
 basis = sys.argv[1] if len(sys.argv) > 1 else "6-31+g**"
