@@ -44,9 +44,9 @@ class Config:
     # bf16 ~ true f32, the parity mode), 'high' (3-pass), 'default'
     # (single-pass bf16).  Lower precisions converge to a coarser fixed
     # point; combine with SCF_device(refine=True) to recover 1e-8 parity.
-    # 'hybrid' runs single-pass-bf16 iterations until the residual drops
-    # below hybrid_switch, then finishes with 'highest' iterations — same
-    # fixed point as 'highest', most of the iterations at 6x matmul rate.
+    # 'hybrid' runs reduced-precision iterations (at hybrid_fast) until the
+    # residual drops below hybrid_switch or stalls, then finishes with
+    # 'highest' iterations — same fixed point as 'highest'.
     iter_precision: str = "highest"
     hybrid_switch: float = 1e-4
     # cond(S) above which the f32 device ERI transform falls back to the

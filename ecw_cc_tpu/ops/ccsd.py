@@ -333,8 +333,9 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     raw-equation oracle and PySCF).
 
     vvvv_op: optional non-dense ladder route (ops/ladder.py: PackedVVVV
-    or spin sectors) for the lambda ladder 'ijcd,cdab->ijab'; also switches
-    wvvvo to the reassociated O(o^3 v^3) form (exact in both cases)."""
+    or spin sectors) for the lambda ladder 'ijcd,cdab->ijab'.  (The wvvvo
+    intermediate is never materialized on ANY route — its pieces are folded
+    into l1new below with reassociated chains.)"""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp

@@ -212,17 +212,6 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
 
 
 @partial(jax.jit, static_argnames=("use_sectors",))
-def _ccsd_step(eris, vvsect, t1, t2, use_sectors=False):
-    """One jitted plain-CCSD Jacobi step (+ energy).  Eris passed as an
-    argument (axon gotchas: eager loops dispatch op-by-op over the tunnel,
-    and closure constants ship to the remote compiler)."""
-    sect = vvsect if use_sectors else None
-    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_op=sect)
-    e_cc = ccsd_ops.energy(eris, t1n, t2n, None)
-    return t1n, t2n, e_cc
-
-
-@partial(jax.jit, static_argnames=("use_sectors",))
 def _ccsd_diis_step(eris, vvsect, t1, t2, dstate, use_sectors=False):
     """Jacobi step + ON-DEVICE DIIS in one program: only the energy scalar
     crosses to the host per iteration (a host-DIIS round trip of t2 costs

@@ -245,11 +245,15 @@ def packed_vvvv_contract(packed, x):
     Also computes the lambda ladder 0.5*einsum('ijcd,cdab->ijab', l2, vvvv)
     — identical by the (ab)<->(ef) pair-swap symmetry of <ab||ef>."""
     o, _, v, _ = x.shape
+    p = v * (v - 1) // 2
     xc = _pack_pairs(x.reshape(o * o, v * v), v)
     yc = jax.lax.dot_general(
         xc, packed.wc,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=x.dtype)
+    if packed.wc.shape[0] != p:
+        # row axis zero-padded for even sharding (parallel/sharding.py)
+        yc = yc[:, :p]
     z = _unpack_pairs(yc, v).reshape(o, o, v, v)
     return z - jnp.transpose(z, (0, 1, 3, 2))
 

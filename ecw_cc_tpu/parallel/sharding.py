@@ -75,14 +75,25 @@ def shard_vvvv_op(vvvv_op, mesh):
     same all-gather-free reasoning as the dense vvvv rule: each shard owns a
     slice of output pairs A=(a<b) and contracts the full local E axis; the
     only cross-shard step is the o^2 v^2 unpack/antisymmetrize of the
-    result.  Spin-sector tuples shard along each sector's first axis."""
+    result.  p = nvir(nvir-1)/2 is odd for half of all nvir (13041 at
+    cc-pVTZ), so the row axis is ZERO-PADDED to a multiple of the 'tp'
+    axis size first; packed_vvvv_contract slices the padded output columns
+    back to p.  Spin-sector tuples shard along each sector's first axis."""
     if vvvv_op is None:
         return None
+    import jax.numpy as jnp
+
     from ecw_cc_tpu.ops.ladder import PackedVVVV
 
     if isinstance(vvvv_op, PackedVVVV):
+        wc = vvvv_op.wc
+        tp = mesh.shape["tp"]
+        pad = (-wc.shape[0]) % tp
+        if pad:
+            wc = jnp.concatenate(
+                [wc, jnp.zeros((pad, wc.shape[1]), wc.dtype)], axis=0)
         return PackedVVVV(wc=jax.device_put(
-            vvvv_op.wc, NamedSharding(mesh, P("tp", None))))
+            wc, NamedSharding(mesh, P("tp", None))))
     return tuple(
         jax.device_put(s, NamedSharding(mesh, P("tp", None, None, None)))
         for s in vvvv_op)

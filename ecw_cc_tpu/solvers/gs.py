@@ -271,8 +271,9 @@ class Solver_CCS:
         ts = self.tsini if ts is None else jnp.asarray(ts, dtype=dt)
         ls = self.lsini if ls is None else jnp.asarray(ls, dtype=dt)
         diis = diis or self.diis
-        key = (diis, alpha is not None, get_config().iter_precision,
-               get_config().hybrid_fast)
+        # (no precision fields here: the CCS builder stamps none — CCS
+        # iterations are o*v-sized and run at the session default)
+        key = (diis, alpha is not None)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -487,9 +488,12 @@ class Solver_CCSD:
             fsp = jnp.asarray(self.fock - VXexp.Vexp[0, 0])
             Delta_ite.append((Delta, vmax))
             Ep_ite.append(float(mycc.energy(ts, td, fsp)))
-            ts, td = mycc.tupdate(ts, td, fsp=fsp, alpha=alpha)
+            # thread the solver's ladder operand: with pack-on-build ERIs
+            # the dense vvvv is a placeholder and the dense route would die
+            vv = getattr(self, "_vvsect", None)
+            ts, td = mycc.tupdate(ts, td, fsp=fsp, alpha=alpha, vvvv_op=vv)
             ls, ld = mycc.lupdate(ts, td, ls, ld, fsp=fsp, alpha=alpha,
-                                  energy_term=self.energy_term)
+                                  energy_term=self.energy_term, vvvv_op=vv)
             if diis == "tl":
                 vec = np.concatenate([np.ravel(ls), np.ravel(ts),
                                       np.ravel(ld), np.ravel(td)])
@@ -642,32 +646,48 @@ class Solver_CCSD:
                      jnp.zeros(hist_len, ts0.dtype), jnp.zeros(hist_len, ts0.dtype),
                      jnp.zeros((dim, dim), ts0.dtype), L, alpha_v)
             if iter_prec == "hybrid":
-                # two-phase schedule: cheap single-pass-bf16 iterations carry
-                # the solve down as far as bf16 roundoff permits, then
-                # full-precision f32 iterations finish to conv_thres — the
-                # final fixed point satisfies the 'highest' equations, so
-                # parity is unaffected by the bf16 leg.  The fast phase ends
-                # at hybrid_switch OR when bf16 noise stalls the residual
-                # (no new best Dconv for 3 iterations — the stall floor
-                # depends on system size, so a fixed threshold can't be
-                # relied on alone).
+                # two-phase schedule: reduced-precision iterations (at
+                # hybrid_fast) carry the solve down as far as their roundoff
+                # permits, then full-precision f32 iterations finish to
+                # conv_thres — the final fixed point satisfies the 'highest'
+                # equations, so parity is unaffected by the fast leg.  The
+                # fast phase ends at hybrid_switch OR when roundoff stalls
+                # the residual (no new best Dconv for 3 iterations — the
+                # stall floor depends on system size, so a fixed threshold
+                # can't be relied on alone).
                 switch = max(thres, hybrid_switch)
                 body_fast_inner = make_body(hybrid_fast)
 
+                def fast_active(carry, stall):
+                    return ((carry[6] > switch) & (carry[9] == 0)
+                            & (stall < jnp.asarray(3, jnp.int32)))
+
                 def body_fast(fc):
                     carry, dmin, stall = fc
-                    carry = body_fast_inner(carry)
+                    # under vmap the loop runs until EVERY lane leaves the
+                    # fast phase; lanes already past the handoff must freeze
+                    # on the FAST predicate (body_impl's own freeze uses the
+                    # final thres and would keep them stepping)
+                    active = fast_active(carry, stall)
+                    new = body_fast_inner(carry)
+                    carry = jax.tree.map(
+                        lambda a, b: jnp.where(active, a, b), new, carry)
                     Dconv = carry[6]
+                    # skip the first body call: ite>0 gating leaves Dconv at
+                    # its 1.0 placeholder there — it must not seed the
+                    # stall detector's best-so-far
+                    measured = carry[7] > 1
                     improved = Dconv < 0.95 * dmin
-                    stall = jnp.where(improved, 0, stall + 1)
-                    dmin = jnp.minimum(dmin, Dconv)
+                    stall = jnp.where(active & measured,
+                                      jnp.where(improved, 0, stall + 1),
+                                      stall)
+                    dmin = jnp.where(measured, jnp.minimum(dmin, Dconv),
+                                     dmin)
                     return carry, dmin, stall
 
                 def cond_fast(fc):
                     carry, _, stall = fc
-                    Dconv, status = carry[6], carry[9]
-                    return ((Dconv > switch) & (status == 0)
-                            & (stall < jnp.asarray(3, jnp.int32)))
+                    return fast_active(carry, stall)
 
                 carry, _, _ = jax.lax.while_loop(
                     cond_fast, body_fast,
@@ -717,7 +737,7 @@ class Solver_CCSD:
         ld = self.ldini if ld is None else jnp.asarray(ld, dtype=dt)
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
-               get_config().hybrid_fast)
+               get_config().hybrid_fast, get_config().hybrid_switch)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -775,7 +795,7 @@ class Solver_CCSD:
         dt = self.fock.dtype
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
-               get_config().hybrid_fast)
+               get_config().hybrid_fast, get_config().hybrid_switch)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:

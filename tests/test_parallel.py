@@ -132,6 +132,35 @@ def test_sharded_packed_ladder_solve_matches_replicated(h2o_631g):
         assert np.allclose(a, b, atol=1e-9)
 
 
+def test_sharded_packed_operand_pads_odd_p():
+    """p = nvir(nvir-1)/2 is not divisible by tp for most nvir (13041 at
+    cc-pVTZ); shard_vvvv_op must zero-pad the row axis and
+    packed_vvvv_contract must slice the padded output back — exercised at
+    H2O/STO-3G (p=6, tp=4 -> pad 2)."""
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.scf import RHF, GHF
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+    from ecw_cc_tpu.parallel.sharding import shard_vvvv_op
+
+    mol = Molecule("h2o", "sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    dense = build_eris_device(mol, ghf, dtype="float64")
+    _, packed = build_eris_device(mol, ghf, dtype="float64",
+                                  pack_ladder=True)
+    mesh = make_mesh(n_dp=2)
+    sh = shard_vvvv_op(packed, mesh)
+    p = dense.nvir * (dense.nvir - 1) // 2
+    assert sh.wc.shape[0] % mesh.shape["tp"] == 0 and sh.wc.shape[0] > p
+    y_sh = np.asarray(ladder.packed_vvvv_contract(sh, dense.oovv))
+    y_dense = 0.5 * np.einsum("ijef,abef->ijab", np.asarray(dense.oovv),
+                              np.asarray(dense.vvvv))
+    assert np.max(np.abs(y_sh - y_dense)) < 1e-12
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
@@ -178,3 +207,36 @@ def test_batched_lambda_sweep_matches_sequential(h2o_631g):
         assert abs(res[1][-1] - seq[1][-1]) < 1e-10
         for a, b in zip(res[5], seq[5]):
             assert np.allclose(a, b, atol=1e-9)
+
+
+def test_batched_hybrid_lane_freeze(h2o_631g):
+    """SCF_batch under iter_precision='hybrid': a lane that leaves the fast
+    phase first must FREEZE there (not keep taking fast-leg steps on the
+    final-thres predicate) while slower lanes finish — every lane must
+    still converge to the sequential result."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    Ls = [0.0, 0.05, 0.1]
+
+    def make():
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        return Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-8,
+                           diis="tl", maxiter=60)
+
+    old = cfg.get_config().iter_precision
+    try:
+        cfg.set_config(iter_precision="hybrid")
+        batch = make().SCF_batch(Ls)
+        for L, res in zip(Ls, batch):
+            seq = make().SCF_device(L)
+            assert "Convergence reached" in res[0], (L, res[0])
+            assert abs(res[1][-1] - seq[1][-1]) < 1e-10
+            for a, b in zip(res[5], seq[5]):
+                assert np.allclose(a, b, atol=1e-8)
+    finally:
+        cfg.set_config(iter_precision=old)
