@@ -42,7 +42,10 @@ class Config:
     eia_shift: float = 0.0
     # Matmul precision for the DEVICE SOLVER iterations: 'highest' (6-pass
     # bf16 ~ true f32, the parity mode), 'high' (3-pass), 'default'
-    # (single-pass bf16).  Lower precisions converge to a coarser fixed
+    # (single-pass bf16 matmuls, f32 storage), 'bf16' (single-pass AND
+    # bf16-stored blocks/amplitudes in the t/lambda updates — halves the
+    # HBM traffic of the bandwidth-bound soup; measured 20.1 -> 14.1
+    # ms/iter at pVTZ).  Lower precisions converge to a coarser fixed
     # point; combine with SCF_device(refine=True) to recover 1e-8 parity.
     # 'hybrid' runs reduced-precision iterations (at hybrid_fast) until the
     # residual drops below hybrid_switch or stalls, then finishes with
@@ -53,10 +56,11 @@ class Config:
     # exact host f64 transform (even the two-stage orthogonalized f32 scheme
     # catastrophically cancels; measured: 4.8e4 fine, 7.5e5 broken).
     eri_f32_cond_max: float = 1e5
-    # Matmul precision of the hybrid fast leg ('default' = single-pass bf16,
-    # 'high' = 3-pass).  'high' keeps DIIS effective down to ~1e-4 residuals
-    # and wins end-to-end (measured pVTZ diis='tl': 947 ms vs 976 'highest'
-    # vs 1566 with a 'default' fast leg whose noise defeats DIIS).
+    # Precision of the hybrid fast leg ('default' = single-pass bf16
+    # matmuls, 'high' = 3-pass, 'bf16' = single-pass + bf16 storage).
+    # 'high' keeps DIIS effective down to ~1e-4 residuals and wins
+    # end-to-end (measured pVTZ diis='tl': 947 ms vs 976 'highest' vs 1566
+    # with a 'default' fast leg whose noise defeats DIIS).
     hybrid_fast: str = "high"
 
 

@@ -558,7 +558,7 @@ class Solver_CCSD:
                     return jnp.concatenate([ls.ravel(), ld.ravel()])
                 return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
 
-            def body_impl(carry):
+            def body_impl(carry, upd=None):
                 (ts_in, ls_in, td_in, ld_in, dstate_in, conv_in, Dconv, ite,
                  k, status, Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw,
                  alpha_v) = carry
@@ -577,11 +577,26 @@ class Solver_CCSD:
                 fsp = eris.fock - V
                 Ep = ccsd_ops.energy(eris, ts, td, fsp)
                 alpha = alpha_v if use_l1 else None
-                ts, td = ccsd_ops.tupdate(eris, ts, td, fsp=fsp, alpha=alpha,
-                                          vvvv_op=vvsect)
-                ls, ld = ccsd_ops.lupdate(eris, ts, td, ls, ld, fsp=fsp,
+                # upd = (eris', vvsect', cast): run ONLY the t/lambda
+                # updates on alternate operands (the 'bf16' mode: bf16-
+                # stored blocks + amplitudes halve the HBM traffic of the
+                # bandwidth-bound o^3v^3 soup; rdm1/Vexp/energy/DIIS/conv
+                # stay f32).  Denominator division stays f32: er_u.fock is
+                # kept f32, so eia/eijab promote the result back.
+                er_u, vv_u, cast = (eris, vvsect, None) if upd is None else upd
+                fsp_u = fsp if cast is None else fsp.astype(cast)
+                ts_u = ts if cast is None else ts.astype(cast)
+                td_u = td if cast is None else td.astype(cast)
+                ls_u = ls if cast is None else ls.astype(cast)
+                ld_u = ld if cast is None else ld.astype(cast)
+                ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
+                                          alpha=alpha, vvvv_op=vv_u)
+                ls, ld = ccsd_ops.lupdate(er_u, ts, td, ls_u, ld_u, fsp=fsp_u,
                                           alpha=alpha, energy_term=energy_term,
-                                          vvvv_op=vvsect)
+                                          vvvv_op=vv_u)
+                dt0 = ts_in.dtype
+                ts, td = ts.astype(dt0), td.astype(dt0)
+                ls, ld = ls.astype(dt0), ld.astype(dt0)
                 if diis == "tl":
                     dstate, vec = diis_ops.diis_update(
                         dstate,
@@ -619,13 +634,33 @@ class Solver_CCSD:
                         status, Ep_h, Delta_h, vmax_h, conv_h, rdm1, Lw,
                         alpha_v)
 
+            need_bf16 = (iter_prec == "bf16"
+                         or (iter_prec == "hybrid" and hybrid_fast == "bf16"))
+            if need_bf16:
+                bf = jnp.bfloat16
+                # computed once per run call, OUTSIDE the while_loop (loop-
+                # invariant); fock stays f32 so denominators divide in f32
+                eris_bf = type(eris)(**{
+                    f: (getattr(eris, f) if f == "fock"
+                        else getattr(eris, f).astype(bf))
+                    for f in type(eris)._fields})
+                vvsect_bf = (None if vvsect is None else
+                             jax.tree.map(lambda a: a.astype(bf), vvsect))
+                upd_bf = (eris_bf, vvsect_bf, bf)
+
             def make_body(prec):
                 # trace-time context: stamps the chosen matmul precision on
                 # every dot inside the iteration ('high'/'default' trade
-                # digits for MXU passes; pair with refine=True — or the
+                # digits for MXU passes, 'bf16' additionally stores blocks
+                # and amplitudes in bf16; pair with refine=True — or the
                 # 'hybrid' schedule — to recover parity)
                 if prec is None:
                     return body_impl
+                if prec == "bf16":
+                    def body(carry):
+                        with jax.default_matmul_precision("default"):
+                            return body_impl(carry, upd=upd_bf)
+                    return body
 
                 def body(carry):
                     with jax.default_matmul_precision(prec):

@@ -402,16 +402,27 @@ def test_scf_device_hybrid_precision_schedule(h2o_631g):
         return s.SCF_device(0.05)
 
     old = cfg.get_config().iter_precision
+    old_fast = cfg.get_config().hybrid_fast
     try:
         cfg.set_config(iter_precision="hybrid")
         out_h = solve()
+        # bf16 fast leg: on CPU bf16 storage ROUNDS for real (matmul
+        # precision stamps are CPU no-ops, storage casts are not), so this
+        # exercises a genuinely reduced-precision leg handing off to the
+        # exact fixed point
+        cfg.set_config(hybrid_fast="bf16")
+        out_b = solve()
     finally:
-        cfg.set_config(iter_precision=old)
+        cfg.set_config(iter_precision=old, hybrid_fast=old_fast)
     out_ref = solve()
     assert "Convergence reached" in out_h[0]
     assert abs(out_h[1][-1] - out_ref[1][-1]) < 1e-10
     for a, b in zip(out_h[5], out_ref[5]):
         assert np.allclose(a, b, atol=1e-8)
+    assert "Convergence reached" in out_b[0]
+    assert abs(out_b[1][-1] - out_ref[1][-1]) < 1e-9
+    for a, b in zip(out_b[5], out_ref[5]):
+        assert np.allclose(a, b, atol=1e-7)
 
 
 def test_ccsd_gs_parallel_mode(h2o_631g):
