@@ -374,27 +374,29 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     if measure_high:
         import ecw_cc_tpu.config as config
 
-        config.set_config(iter_precision="high")
         try:
-            exp_h = Exp(LW, [[["mat", target_np]]], mol=mol,
-                        mo_coeff=ghf.mo_coeff)
-            solver_h = Solver_CCSD(GCC(eris), exp_h, conv="tl",
-                                   conv_thres=0.0, diis="", maxiter=n_iters,
-                                   vvvv_op=vvvv_op)
-            run_h = solver_h._build_device_solver("", False)
-            out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
-            kh = int(out[6])
-            _ = float(out[8][kh - 1])
-            best_h = np.inf
-            for _ in range(3):
-                t0 = time.perf_counter()
+            for mode, tag in (("high", "high_prec"), ("bf16", "bf16")):
+                config.set_config(iter_precision=mode)
+                exp_h = Exp(LW, [[["mat", target_np]]], mol=mol,
+                            mo_coeff=ghf.mo_coeff)
+                solver_h = Solver_CCSD(GCC(eris), exp_h, conv="tl",
+                                       conv_thres=0.0, diis="",
+                                       maxiter=n_iters, vvvv_op=vvvv_op)
+                run_h = solver_h._build_device_solver("", False)
                 out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
+                kh = int(out[6])
                 _ = float(out[8][kh - 1])
-                best_h = min(best_h, (time.perf_counter() - t0) / kh * 1e3)
-            result["high_prec_ms"] = round(best_h, 3)
-            if np.isfinite(flops):
-                result["high_prec_tflops"] = round(
-                    flops / (best_h * 1e-3) / 1e12, 2)
+                best_h = np.inf
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    out = run_h(eris, vvsect_dev, Lw, *args, alpha_v)
+                    _ = float(out[8][kh - 1])
+                    best_h = min(best_h,
+                                 (time.perf_counter() - t0) / kh * 1e3)
+                result[f"{tag}_ms"] = round(best_h, 3)
+                if np.isfinite(flops):
+                    result[f"{tag}_tflops"] = round(
+                        flops / (best_h * 1e-3) / 1e12, 2)
         finally:
             config.set_config(iter_precision="highest")
 
