@@ -77,10 +77,21 @@ def get_config() -> Config:
     return _config
 
 
+_CHOICES = {
+    "dtype": ("float32", "float64"),
+    "ladder_mode": ("auto", "dense", "packed", "sectors"),
+    "iter_precision": ("highest", "high", "default", "bf16", "hybrid"),
+    "hybrid_fast": ("high", "default", "bf16"),
+}
+
+
 def set_config(**kwargs) -> Config:
     for k, v in kwargs.items():
         if not hasattr(_config, k):
             raise AttributeError(f"unknown config field {k!r}")
+        if k in _CHOICES and v not in _CHOICES[k]:
+            raise ValueError(f"config.{k} must be one of {_CHOICES[k]}, "
+                             f"got {v!r}")
         setattr(_config, k, v)
     return _config
 
