@@ -371,6 +371,17 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
               "flops_per_iter": None if not np.isfinite(flops) else int(flops),
               "iters_timed": k}
 
+    if vvsect is not None:
+        # FLOPs of the DENSE-ladder step too: the NumPy reference engine
+        # runs the dense route, so baseline extrapolation must not use the
+        # packed count (4x fewer ladder FLOPs)
+        nv = eris.nvir
+        eris_shapes_d = eris_shapes._replace(
+            vvvv=jax.ShapeDtypeStruct((nv, nv, nv, nv), dtype))
+        flops_d = count_flops(step, eris_shapes_d, (None,) + tuple(shapes))
+        if np.isfinite(flops_d):
+            result["flops_per_iter_dense"] = int(flops_d)
+
     if measure_high:
         import ecw_cc_tpu.config as config
 
@@ -467,8 +478,13 @@ def main():
         # (FLOP/s) scaled to the pVTZ FLOP count (a direct measurement is
         # ~15 min/iter); flagged as an estimate.
         if pvdz.get("flops_per_iter") and pvtz.get("flops_per_iter"):
+            # dense-route FLOPs on both sides: the NumPy engine always runs
+            # the dense ladder (pVDZ's device route is dense, so its
+            # flops_per_iter already is)
             np_flops_per_s = pvdz["flops_per_iter"] / (pvdz["numpy_ms"] * 1e-3)
-            est_ms = pvtz["flops_per_iter"] / np_flops_per_s * 1e3
+            flops_np = pvtz.get("flops_per_iter_dense",
+                                pvtz["flops_per_iter"])
+            est_ms = flops_np / np_flops_per_s * 1e3
             pvtz["numpy_ms_est"] = round(est_ms, 1)
             pvtz["vs_baseline_est"] = round(est_ms / pvtz["value_ms"], 2)
 

@@ -30,12 +30,6 @@ import jax as _jax
 
 
 @_jax.jit
-def _t_step(eris, t1, t2):
-    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None)
-    return t1n, t2n, ccsd_ops.energy(eris, t1n, t2n, None)
-
-
-@_jax.jit
 def _l_step(eris, t1, t2, l1, l2):
     l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off")
     return l1n, l2n, jnp.linalg.norm(l1n) + jnp.linalg.norm(l2n)
@@ -56,22 +50,16 @@ def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200):
 
 
 def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
-    """Plain GCCSD + Lambda on a converged RHF; returns (e_corr, rdm1_mo_G, ghf)."""
+    """Plain GCCSD + Lambda on a converged RHF; returns (e_corr, rdm1_mo_G, ghf).
+
+    The t solve delegates to ccsd_t.solve_ccsd (jitted steps + on-device
+    DIIS) rather than keeping a second hand-rolled Jacobi loop in sync."""
+    from ecw_cc_tpu.ops import ccsd_t
+
     ghf = GHF(mf)
     eris = build_eris(mol, ghf).to_device()
-    nocc, nvir = eris.nocc, eris.nvir
-    e = ghf.mo_energy
-    eia = e[:nocc, None] - e[None, nocc:]
-    eijab = eia[:, None, :, None] + eia[None, :, None, :]
-    t1 = jnp.zeros((nocc, nvir))
-    t2 = jnp.asarray(np.asarray(eris.oovv) / eijab)
-    e_old = 0.0
-    for _ in range(max_cycle):
-        t1, t2, e_dev = _t_step(eris, t1, t2)
-        e_cc = float(e_dev)
-        if abs(e_cc - e_old) < conv_tol:
-            break
-        e_old = e_cc
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris, conv_tol=conv_tol,
+                                     max_cycle=max_cycle)
     l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle)
     rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
     return e_cc, rdm1_mo, ghf

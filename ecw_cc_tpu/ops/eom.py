@@ -28,25 +28,34 @@ from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.utils.linalg import davidson_nosym
 
 
-def _residual(eris, fsp):
-    def res(t1, t2):
-        return ccsd_ops.tupdate(eris, t1, t2, fsp=fsp, equation=True)
-    return res
+@jax.jit
+def _sigma_right(eris, fsp, t1, t2, r1, r2):
+    # eris/amplitudes are jit ARGUMENTS, not closure constants: a closure
+    # would bake the full ERI set (GBs at production sizes) into the HLO
+    # shipped to the remote compiler (CLAUDE.md gotcha)
+    def res(a, b):
+        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True)
+
+    _, s = jax.jvp(res, (t1, t2), (r1, r2))
+    return s
+
+
+@jax.jit
+def _sigma_left(eris, fsp, t1, t2, l1, l2):
+    def res(a, b):
+        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True)
+
+    _, vjp = jax.vjp(res, t1, t2)
+    return vjp((l1, l2))
 
 
 def make_sigma(eris, t1, t2, fsp=None):
-    """(sigma_right, sigma_left) closures over the converged amplitudes."""
-    res = _residual(eris, fsp)
-
-    @jax.jit
+    """(sigma_right, sigma_left) wrappers at the converged amplitudes."""
     def sigma(r1, r2):
-        _, s = jax.jvp(res, (t1, t2), (r1, r2))
-        return s
+        return _sigma_right(eris, fsp, t1, t2, r1, r2)
 
-    @jax.jit
     def sigma_left(l1, l2):
-        _, vjp = jax.vjp(res, t1, t2)
-        return vjp((l1, l2))
+        return _sigma_left(eris, fsp, t1, t2, l1, l2)
 
     return sigma, sigma_left
 

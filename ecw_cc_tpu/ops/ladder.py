@@ -275,7 +275,7 @@ def resolve_mode(nvir):
     return mode
 
 
-def make_vvvv_op(vvvv, nocc=None):
+def make_vvvv_op(vvvv):
     """Pick the ladder route for this vvvv block per config.ladder_mode:
     'dense' -> None; 'packed' -> PackedVVVV; 'sectors' -> spin sectors (None
     if the integrals lack alternating-spin structure); 'auto' -> see

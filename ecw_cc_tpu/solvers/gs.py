@@ -797,14 +797,11 @@ class Solver_CCSD:
             if self.eris_host is None:
                 raise ValueError("refine=True requires eris_host at "
                                  "Solver_CCSD construction")
-            (ts64, ls64, td64, ld64), Ep64 = polish_f64(
+            (ts64, ls64, td64, ld64), Ep64, rdm1 = polish_f64(
                 self.eris_host, self.myVexp, L,
                 (ts_f, ls_f, td_f, ld_f), n_iter=refine_iter, alpha=alpha,
                 energy_term=self.energy_term)
             amps = [ts64, ls64, td64, ld64]
-            rdm1 = np.asarray(ccsd_ops.gamma_CCSD(
-                jnp.asarray(ts64), jnp.asarray(td64),
-                jnp.asarray(ls64), jnp.asarray(ld64)))
             Ep_h = np.concatenate([Ep_h[:n], [Ep64]])
             n += 1
             conv_h = np.concatenate([conv_h[:n - 1], [conv_h[n - 2]]])
@@ -878,7 +875,11 @@ def polish_f64(eris_host, VXexp, L, amps, n_iter=6, alpha=None,
     :param amps: (ts, ls, td, ld) from the f32 solve
     :param n_iter: number of f64 polish iterations (the f32 fixed point is
         already within ~1e-6; a handful of contraction-steps suffice)
-    :return: (ts, ls, td, ld) in f64, and the final Ep
+    :return: ((ts, ls, td, ld) in f64, final Ep, final rdm1 in f64) — the
+        rdm1 must be built HERE, while x64 is still enabled: computing it
+        after this function restores jax_enable_x64=False would silently
+        downcast the polished amplitudes to f32 and truncate the density
+        back to ~1e-7.
     """
     import jax
 
@@ -903,8 +904,9 @@ def polish_f64(eris_host, VXexp, L, amps, n_iter=6, alpha=None,
             ts, td = ccsd_ops.tupdate(eris64, ts, td, fsp=fsp, alpha=alpha)
             ls, ld = ccsd_ops.lupdate(eris64, ts, td, ls, ld, fsp=fsp,
                                       alpha=alpha, energy_term=energy_term)
+        rdm1 = np.asarray(ccsd_ops.gamma_CCSD(ts, td, ls, ld))
         return (np.asarray(ts), np.asarray(ls), np.asarray(td),
-                np.asarray(ld)), Ep
+                np.asarray(ld)), Ep, rdm1
     finally:
         if not x64_was:
             jax.config.update("jax_enable_x64", False)

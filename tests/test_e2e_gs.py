@@ -168,7 +168,8 @@ def test_mixed_precision_polish(ecw_h2o):
     assert abs(e32 - r64[1][-1]) > 1e-9  # f32 alone is NOT at 1e-8
     # polish
     VXp = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
-    amps, Ep = polish_f64(ecw.eris_host, VXp, L, r32[5], n_iter=8)
+    amps, Ep, rdm1_64 = polish_f64(ecw.eris_host, VXp, L, r32[5], n_iter=8)
+    assert rdm1_64.dtype == np.float64
     assert abs(Ep - r64[1][-1]) < 1e-8
     for a, b in zip(amps, r64[5]):
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-6
