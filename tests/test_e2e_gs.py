@@ -426,6 +426,32 @@ def test_scf_device_hybrid_precision_schedule(h2o_631g):
         assert np.allclose(a, b, atol=1e-7)
 
 
+def test_solver_cache_respects_precision_change(h2o_631g):
+    """Changing iter_precision between SCF_device calls on the SAME solver
+    must build a new program (the cache key includes the precision fields;
+    a stale cached program silently ignoring the config was a review
+    finding)."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    solver = Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-8,
+                         diis="tl", maxiter=60)
+    old = cfg.get_config().iter_precision
+    try:
+        out1 = solver.SCF_device(0.05)
+        cfg.set_config(iter_precision="hybrid")
+        out2 = solver.SCF_device(0.05)
+    finally:
+        cfg.set_config(iter_precision=old)
+    assert len(solver._device_solvers) == 2
+    assert abs(out1[1][-1] - out2[1][-1]) < 1e-9
+
+
 def test_ccsd_gs_parallel_mode(h2o_631g):
     """ECW.CCSD_GS(mode='parallel') runs the batched-lambda solver through
     the driver and lands on the same converged energies as the sequential
