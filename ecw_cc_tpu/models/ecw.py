@@ -378,14 +378,20 @@ class ECW:
     def CCSD_GS(self, Larray, alpha=None, diis="", nbr_cube_file=2, tl1ini=0,
                 print_ite_info=False, diis_max=15, conv="tl", conv_thres=1e-5,
                 maxiter=40, tablefmt="rst", HF_prop=False, target_rdm1_GS=None,
-                checkpoint_dir=None, resume=False, mode="sweep"):
+                checkpoint_dir=None, resume=False, mode="sweep",
+                refine=False):
         """GS-ECW-CCSD lambda sweep. Reference Main.py:663-816.
 
         mode='parallel' solves ALL lambda values simultaneously via the
         vmapped while_loop solver (Solver_CCSD.SCF_batch, the 'dp' batch
         axis; cold starts — results identical to a cold-start sequential
         sweep, and the batch can be sharded over a device mesh). The default
-        'sweep' mode keeps the reference's warm-started sequential loop."""
+        'sweep' mode keeps the reference's warm-started sequential loop.
+
+        refine=True (f32 production mode) follows each converged device
+        solve with f64 polish iterations on the CPU backend, recovering
+        1e-8 parity for the returned energies/amplitudes/rdm1 (builds the
+        host f64 ERIs lazily on first use)."""
         self.diis = diis + f" diis_max={diis_max}"
         if len(self.exp_data) > 1:
             print("Warning: ES data found but GS solver used; only GS data used")
@@ -406,7 +412,8 @@ class ECW:
             self.myccsd = GCC(self.eris)
         Solve = Solver_CCSD(self.myccsd, VXexp, conv=conv, conv_thres=conv_thres,
                             tsini=tsini, lsini=lsini, diis=diis, maxdiis=diis_max,
-                            maxiter=maxiter, vvvv_op=self.vvvv_op)
+                            maxiter=maxiter, vvvv_op=self.vvvv_op,
+                            eris_host=self.eris_host if refine else None)
         td = ld = None
         Result = None
         Ep = Delta = vmax = None
@@ -434,7 +441,7 @@ class ECW:
                 # warm-started sweep (the host round-trip costs ~3 s/lambda
                 # at pVTZ over the axon tunnel)
                 Result = Solve.SCF(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
-                                   keep_device=True)
+                                   keep_device=not refine, refine=refine)
             ts, ls, td, ld = Result[5]
             if checkpoint_dir is not None:
                 checkpoint.save_amplitudes(

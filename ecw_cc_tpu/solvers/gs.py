@@ -451,10 +451,11 @@ class Solver_CCSD:
         return self.mycc.energy(ts, td, fsp).reshape(1)
 
     def SCF(self, L, ts=None, ls=None, td=None, ld=None, alpha=None, diis="",
-            keep_device=False):
+            keep_device=False, refine=False):
         if self._device_ok:
             return self.SCF_device(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
-                                   diis=diis, keep_device=keep_device)
+                                   diis=diis, keep_device=keep_device,
+                                   refine=refine)
         return self._scf_host(L, ts=ts, ls=ls, td=td, ld=ld, alpha=alpha,
                               diis=diis)
 

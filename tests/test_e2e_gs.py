@@ -426,6 +426,33 @@ def test_scf_device_hybrid_precision_schedule(h2o_631g):
         assert np.allclose(a, b, atol=1e-7)
 
 
+def test_ccsd_gs_refine_through_driver():
+    """ECW.CCSD_GS(refine=True) in f32 production mode returns f64-parity
+    energies (the driver-level mixed-precision path: f32 device solve +
+    f64 polish per lambda)."""
+    from ecw_cc_tpu import config as cfg
+
+    old_dtype = cfg.get_config().dtype
+
+    def run(dtype, refine):
+        cfg.set_config(dtype=dtype)
+        ecw = ECW("h2o", "6-31g")
+        ecw.Build_GS_exp("mat", "HF", field=[0.05, 0.01, 0.0])
+        return ecw.CCSD_GS([0.1], conv_thres=1e-7, maxiter=60, diis="tl",
+                           refine=refine)
+
+    try:
+        r64 = run("float64", False)
+        r32 = run("float32", True)
+        r32_raw = run("float32", False)
+    finally:
+        cfg.set_config(dtype=old_dtype)
+    assert abs(r32[1][-1] - r64[1][-1]) < 1e-8
+    assert r32[5][0].dtype == np.float64
+    # sanity: without refine the f32 sweep is NOT at f64 parity
+    assert abs(r32_raw[1][-1] - r64[1][-1]) > 1e-8
+
+
 def test_solver_cache_respects_precision_change(h2o_631g):
     """Changing iter_precision between SCF_device calls on the SAME solver
     must build a new program (the cache key includes the precision fields;
