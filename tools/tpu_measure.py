@@ -131,8 +131,12 @@ except Exception as exc:
     print(f"pallas ladder FAILED: {exc!r}", flush=True)
 
 # ---- 3. production solver under precision modes ----------------------------
+# free the diagnostic ladder operands first: sect + packed + dense vvvv
+# together exceeded HBM at pVTZ during the solver section (the solver
+# rebuilds its own operand via _get_vvvv_op)
+del sect, packed, a, b
 target_np = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
-for prec in ("highest", "high", "default"):
+for prec in ("highest", "high", "default", "bf16", "hybrid"):
     config.set_config(iter_precision=prec)
     exp = Exp(0.01, [[["mat", target_np]]], mol=mol, mo_coeff=ghf.mo_coeff)
     solver = Solver_CCSD(GCC(eris), exp, conv="tl", conv_thres=1e-6,
