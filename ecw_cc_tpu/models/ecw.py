@@ -479,6 +479,11 @@ class ECW:
             print("Eexp   = " + format_float.format(self.Eexp_GS))
         if self.out_dir is not None:
             self.print_results()
+        if Result is not None:
+            # public API keeps NumPy amplitudes: intermediate warm starts
+            # above stayed device-resident (keep_device), only the final
+            # Result pays one host fetch
+            Result = tuple(Result[:5]) + ([np.asarray(a) for a in Result[5]],)
         return Result
 
     def CCS_ES(self, L, method="scf", conv="rl", exp_data=None, conv_thres=1e-5,

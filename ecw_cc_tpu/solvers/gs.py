@@ -410,6 +410,7 @@ class Solver_CCSD:
         # placeholder); default None derives it from eris.vvvv on first use.
         if vvvv_op is not None:
             self._vvsect = vvvv_op
+            self._vvsect_mode = "explicit"  # never invalidated by mode changes
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.fock = mycc.fock
@@ -592,8 +593,15 @@ class Solver_CCSD:
                 ld_u = ld if cast is None else ld.astype(cast)
                 ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
                                           alpha=alpha, vvvv_op=vv_u)
-                ls, ld = ccsd_ops.lupdate(er_u, ts, td, ls_u, ld_u, fsp=fsp_u,
-                                          alpha=alpha, energy_term=energy_term,
+                # tupdate's f32 denominator division promoted the fresh
+                # ts/td back to f32; re-cast so the lambda update's
+                # t-operands are genuinely bf16-stored too (the HBM saving
+                # this mode exists for)
+                tsl = ts if cast is None else ts.astype(cast)
+                tdl = td if cast is None else td.astype(cast)
+                ls, ld = ccsd_ops.lupdate(er_u, tsl, tdl, ls_u, ld_u,
+                                          fsp=fsp_u, alpha=alpha,
+                                          energy_term=energy_term,
                                           vvvv_op=vv_u)
                 dt0 = ts_in.dtype
                 ts, td = ts.astype(dt0), td.astype(dt0)
@@ -734,6 +742,16 @@ class Solver_CCSD:
                 # (measured: 34 vs 15 iterations at pVTZ with diis='tl')
                 carry = carry[:4] + (jax.tree.map(jnp.zeros_like, carry[4]),
                                      ) + carry[5:]
+                # force >= 1 full-precision iteration even when
+                # conv_thres >= hybrid_switch (the fast leg may then already
+                # satisfy thres, but the docstring promise is that the final
+                # fixed point satisfies the 'highest' equations): lift Dconv
+                # just above thres so cond() admits the accurate leg, which
+                # then re-measures Dconv at full precision
+                carry = (carry[:6]
+                         + (jnp.maximum(carry[6],
+                                        jnp.asarray(thres * 1.5, ts0.dtype)),)
+                         + carry[7:])
                 out = jax.lax.while_loop(cond, make_body(None), carry)
             else:
                 prec = None if iter_prec == "highest" else iter_prec
@@ -747,10 +765,17 @@ class Solver_CCSD:
 
     def _get_vvvv_op(self):
         """Non-dense ladder operand (PackedVVVV / spin sectors / None) per
-        config.ladder_mode; built once per solver (ops/ladder.make_vvvv_op)."""
-        if not hasattr(self, "_vvsect"):
+        config.ladder_mode; rebuilt when the mode changes between calls
+        (mirrors the iter_precision cache-key behavior).  An operand passed
+        explicitly at construction (pack-on-build) is never invalidated."""
+        mode = get_config().ladder_mode
+        cur = getattr(self, "_vvsect_mode", None)
+        if cur == "explicit":
+            return self._vvsect
+        if not hasattr(self, "_vvsect") or cur != mode:
             from ecw_cc_tpu.ops import ladder
             self._vvsect = ladder.make_vvvv_op(self.mycc.eris.vvvv)
+            self._vvsect_mode = mode
         return self._vvsect
 
     def SCF_device(self, L, ts=None, ls=None, td=None, ld=None, alpha=None,
@@ -773,7 +798,8 @@ class Solver_CCSD:
         ld = self.ldini if ld is None else jnp.asarray(ld, dtype=dt)
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
-               get_config().hybrid_fast, get_config().hybrid_switch)
+               get_config().hybrid_fast, get_config().hybrid_switch,
+               get_config().ladder_mode)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -828,7 +854,8 @@ class Solver_CCSD:
         dt = self.fock.dtype
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
-               get_config().hybrid_fast, get_config().hybrid_switch)
+               get_config().hybrid_fast, get_config().hybrid_switch,
+               get_config().ladder_mode)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
