@@ -525,7 +525,12 @@ class Solver_CCSD:
                 np.asarray(conv_ite), np.asarray(rdm1),
                 [np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)])
 
-    def _build_device_solver(self, diis, use_l1):
+    def _build_device_solver(self, diis, use_l1, batched=False):
+        # batched=True (SCF_batch's vmapped lanes) keeps the per-lane freeze
+        # selects; the unbatched solve skips them at TRACE time — the loop
+        # cond already guarantees active=True inside the body, and the
+        # freeze's jnp.where over the DIIS history buffers alone copies
+        # ~1.3 GB/iteration at pVTZ.
         vexp_fn = make_gs_vexp_device(self.myVexp)
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
@@ -565,8 +570,15 @@ class Solver_CCSD:
                  k, status, Ep_h, Delta_h, vmax_h, conv_h, rdm1_out, Lw,
                  alpha_v) = carry
                 # under vmap (SCF_batch) the while_loop runs until EVERY lane
-                # is done; finished lanes must freeze (mirrors cond)
-                active = (Dconv > thres) & (status == 0)
+                # is done; finished lanes must freeze (mirrors cond).  In the
+                # unbatched solve the cond guarantees active=True, so the
+                # freeze selects are skipped at trace time (batched=False).
+                if batched:
+                    active = (Dconv > thres) & (status == 0)
+                    frz = lambda a, b: jnp.where(active, a, b)
+                else:
+                    active = jnp.asarray(True)
+                    frz = lambda a, b: a
                 ts, ls, td, ld = ts_in, ls_in, td_in, ld_in
                 dstate, conv = dstate_in, conv_in
                 conv_old = conv
@@ -620,23 +632,21 @@ class Solver_CCSD:
                 conv = conv_vec(ts, ls, td, ld, fsp)
                 Dconv_new = jnp.where(ite > 0,
                                       jnp.linalg.norm(conv - conv_old), Dconv)
-                # freeze finished lanes (no-op in the unbatched solve: the
-                # loop cond guarantees active=True inside the body)
-                ts = jnp.where(active, ts, ts_in)
-                ls = jnp.where(active, ls, ls_in)
-                td = jnp.where(active, td, td_in)
-                ld = jnp.where(active, ld, ld_in)
-                dstate = jax.tree.map(
-                    lambda a, b: jnp.where(active, a, b), dstate, dstate_in)
-                conv = jnp.where(active, conv, conv_in)
-                Dconv = jnp.where(active, Dconv_new, Dconv)
+                # freeze finished lanes (trace-time no-op unbatched)
+                ts = frz(ts, ts_in)
+                ls = frz(ls, ls_in)
+                td = frz(td, td_in)
+                ld = frz(ld, ld_in)
+                dstate = jax.tree.map(frz, dstate, dstate_in)
+                conv = frz(conv, conv_in)
+                Dconv = frz(Dconv_new, Dconv)
                 Ep_h = Ep_h.at[k].set(Ep)
                 Delta_h = Delta_h.at[k].set(Delta)
                 vmax_h = vmax_h.at[k].set(vmax)
                 conv_h = conv_h.at[k].set(Dconv)
                 status_new = jnp.where(ite >= maxiter, 2,
                                        jnp.where(Dconv > 1.0, 3, status))
-                status = jnp.where(active, status_new, status)
+                status = frz(status_new, status)
                 ite = jnp.where(active & (status == 0), ite + 1, ite)
                 k = jnp.where(active, k + 1, k)
                 return (ts, ls, td, ld, dstate, conv, Dconv, ite, k,
@@ -711,11 +721,16 @@ class Solver_CCSD:
                     # under vmap the loop runs until EVERY lane leaves the
                     # fast phase; lanes already past the handoff must freeze
                     # on the FAST predicate (body_impl's own freeze uses the
-                    # final thres and would keep them stepping)
-                    active = fast_active(carry, stall)
+                    # final thres and would keep them stepping).  Unbatched,
+                    # cond_fast guarantees active=True: skip at trace time.
                     new = body_fast_inner(carry)
-                    carry = jax.tree.map(
-                        lambda a, b: jnp.where(active, a, b), new, carry)
+                    if batched:
+                        active = fast_active(carry, stall)
+                        carry = jax.tree.map(
+                            lambda a, b: jnp.where(active, a, b), new, carry)
+                    else:
+                        active = jnp.asarray(True)
+                        carry = new
                     Dconv = carry[6]
                     # skip the first body call: ite>0 gating leaves Dconv at
                     # its 1.0 placeholder there — it must not seed the
@@ -855,12 +870,12 @@ class Solver_CCSD:
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
-               get_config().ladder_mode)
+               get_config().ladder_mode, "batched")
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
             self._device_solvers[key] = self._build_device_solver(
-                diis, alpha is not None)
+                diis, alpha is not None, batched=True)
         run = self._device_solvers[key]
         nL = len(Larray)
         Lw = jnp.asarray(np.stack([self.myVexp.L_check(float(L))[0]
