@@ -488,8 +488,19 @@ class ECW:
 
     def CCS_ES(self, L, method="scf", conv="rl", exp_data=None, conv_thres=1e-5,
                maxiter=40, diis="", L_loop=False, nbr_cube_file=0,
-               target_rdm1_GS=None, print_ite=True, maxdiis=15, mindiis=2):
-        """Coupled multi-state ES solve. Reference Main.py:818-950."""
+               target_rdm1_GS=None, print_ite=True, maxdiis=15, mindiis=2,
+               davidson=False):
+        """Coupled multi-state ES solve. Reference Main.py:818-950.
+
+        method: 'scf'    — host-orchestrated coupled SCF (reference
+                           Solver_ES.SCF),
+                'device' — the fully-jitted while_loop solver
+                           (SolverES_Device: rdm1s, Vexp refresh, coupled
+                           t/lambda and vmapped per-state r/l updates all
+                           on device — the TPU production path),
+                'diag'   — the diagonalization variant (reference branch
+                           Main.py:892-894; SCF_diag rebuilt from intent,
+                           davidson=True for the matrix-free solver)."""
         if exp_data is None:
             exp_data = self.exp_data
             if len(exp_data) == 1:
@@ -516,15 +527,25 @@ class ECW:
         Solver = Solver_ES(self.myccs, Vexp, conv_var=conv, conv_thres=conv_thres,
                            maxiter=maxiter, diis=diis, maxdiis=maxdiis,
                            mindiis=mindiis, rn_ini=self.r_ini)
+        if method == "scf":
+            solve = lambda L_, amp=None: Solver.SCF(
+                L_, dic_amp_ini=amp, print_ite=print_ite)
+        elif method == "device":
+            from ecw_cc_tpu.solvers.es import SolverES_Device
+            dev = SolverES_Device(Solver)
+            solve = lambda L_, amp=None: dev.SCF(L_, dic_amp_ini=amp, diis=diis)
+        elif method == "diag":
+            solve = lambda L_, amp=None: Solver.SCF_diag(
+                L_, dic_amp_ini=amp, print_ite=print_ite, davidson=davidson)
+        else:
+            raise SyntaxError("method must be 'scf', 'device' or 'diag'")
         print()
         print("########################################")
         print("#  Results using SCF for ES calculation ")
         print("########################################")
         print()
         if not L_loop:
-            if method != "scf":
-                raise SyntaxError("method must be 'scf' ('diag' is SCF_diag)")
-            Conv_text, dic_amp, Delta, Ep, rdm1_GS = Solver.SCF(L, print_ite=print_ite)
+            Conv_text, dic_amp, Delta, Ep, rdm1_GS = solve(L)
             if target_rdm1_GS is not None:
                 diff = np.subtract(target_rdm1_GS, rdm1_GS)
                 self.Delta_rdm1 = (np.sum(np.abs(diff))
@@ -537,8 +558,7 @@ class ECW:
         self.Delta_rdm1 = [] if target_rdm1_GS is not None else None
         for lamb in L:
             print("LAMBDA= ", lamb)
-            Conv_text, dic_amp, Delta, Ep, rdm1_GS = Solver.SCF(
-                L=lamb, dic_amp_ini=dic_amp, print_ite=print_ite)
+            Conv_text, dic_amp, Delta, Ep, rdm1_GS = solve(lamb, dic_amp)
             if self.out_dir is not None:
                 fout = os.path.join(self.out_dir, f"L{lamb:.2f}")
                 output.cube_rdm1(rdm1_GS, self.mo_coeff, self.mol, fout)

@@ -311,6 +311,17 @@ def make_gs_vexp_device(exp: Exp):
         trace_mats["v1e"] = _trace_mat(exp.v1e_int)
     if exp.dip_int is not None:
         trace_mats["dip"] = jnp.stack([_trace_mat(exp.dip_int[c]) for c in range(3)])
+    if exp.F_int is not None and "F" in names:
+        # structure factors (reference exp_pot.py:324-341, with the R/G
+        # shape bug fixed as on the host path): complex FT integrals split
+        # into real/imag trace operators; the potential matrix is the real
+        # part of the MO-transformed FT integral (dic_int['F'])
+        trace_mats["F"] = (
+            jnp.stack([_trace_mat(np.ascontiguousarray(np.real(fa)))
+                       for fa in exp.F_int]),
+            jnp.stack([_trace_mat(np.ascontiguousarray(np.imag(fa)))
+                       for fa in exp.F_int]))
+        nh_F = len(exp.h)
 
     def device_update(rdm1, L):
         v = jnp.zeros_like(rdm1)
@@ -355,6 +366,24 @@ def make_gs_vexp_device(exp: Exp):
                 delta = delta + jnp.sum(jnp.where(jnp.abs(exp_val) > 1e-6, diff / den, 0.0))
                 dmat = diff[:, None, None] * A_pot
                 v = v + w * jnp.sum(dmat, axis=0)
+                vmax = vmax + jnp.sum(jnp.max(jnp.abs(dmat), axis=(1, 2)))
+            elif name == "F":
+                Fre, Fim = trace_mats["F"]
+                F_pot = pot_mats["F"].astype(rdm1.dtype)  # (nh, dim, dim)
+                cre = jnp.einsum("hij,ji->h", Fre.astype(rdm1.dtype), rdm1)
+                cim = jnp.einsum("hij,ji->h", Fim.astype(rdm1.dtype), rdm1)
+                tgt = np.asarray(targets[i])
+                t_re = jnp.asarray(np.real(tgt), dtype=rdm1.dtype)
+                t_im = jnp.asarray(np.imag(tgt), dtype=rdm1.dtype)
+                diff = jnp.sqrt((t_re - cre) ** 2 + (t_im - cim) ** 2)
+                # host Delta() quirk replicated: every component's deviation
+                # is normalized by |exp[1]| (default comp_idx=1)
+                ref = abs(complex(np.asarray(tgt).ravel()[1])) if tgt.size > 1 \
+                    else abs(complex(np.asarray(tgt).ravel()[0]))
+                if ref > 1e-6:
+                    delta = delta + jnp.sum(diff) / ref
+                dmat = diff[:, None, None] * F_pot
+                v = v + w * (2.0 / nh_F) * jnp.sum(dmat, axis=0)
                 vmax = vmax + jnp.sum(jnp.max(jnp.abs(dmat), axis=(1, 2)))
             else:
                 raise NotImplementedError(

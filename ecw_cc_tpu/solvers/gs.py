@@ -33,7 +33,7 @@ from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
 from ecw_cc_tpu.models.scf import HostDIIS
 from ecw_cc_tpu.utils.metrics import IterationMetrics
 
-_DEVICE_PROPS = ("mat", "Ek", "v1e", "dip")
+_DEVICE_PROPS = ("mat", "Ek", "v1e", "dip", "F")
 
 
 def _record_metrics(solver_obj, name, L, Ep_it, Delta_it, conv_it):

@@ -495,3 +495,40 @@ def test_ccsd_gs_parallel_mode(h2o_631g):
     ep_par = run("parallel")
     ep_seq = run("sweep")
     assert np.allclose(ep_par, ep_seq, atol=1e-9)
+
+
+def test_F_target_device_solver_matches_host(h2o_sto3g):
+    """Structure-factor ('F') constrained GS solve on the DEVICE while_loop
+    path (r2 VERDICT missing #3): make_gs_vexp_device supports 'F' and
+    SCF_device matches the host-orchestrated loop to 1e-8.  (Reference
+    exp_pot.py:324-341 — its R/G shape bug fixed on both paths here.)"""
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+    from ecw_cc_tpu.utils import props
+
+    mol, ghf, eris_host, eris_dev = h2o_sto3g
+    rdm1_ao = ghf.make_rdm1()
+    h = [[1, 1, 1], [0, 1, 1], [1, 0, 1]]
+    rec = np.asarray([10.0, 10.0, 10.0])
+    F_target = props.structure_factor(mol, h, rdm1_ao, mo_coeff=ghf.mo_coeff,
+                                      g=True, aobasis=True, rec_vec=rec)
+    F_target = [f * 1.05 for f in F_target]  # off HF so the potential acts
+    exp_data = [[["F", F_target, h, rec]]]
+
+    Vh = Exp(0.05, exp_data, mol, ghf.mo_coeff)
+    host = Solver_CCSD(GCC(eris_dev), Vh, conv="tl", conv_thres=1e-9,
+                       maxiter=60)
+    out_h = host._scf_host(0.05)
+    assert "Convergence reached" in out_h[0]
+
+    Vd = Exp(0.05, exp_data, mol, ghf.mo_coeff)
+    dev = Solver_CCSD(GCC(eris_dev), Vd, conv="tl", conv_thres=1e-9,
+                      maxiter=60)
+    assert dev._device_ok, "'F' must be device-eligible now"
+    out_d = dev.SCF_device(0.05)
+    assert "Convergence reached" in out_d[0]
+    assert abs(out_h[1][-1] - out_d[1][-1]) < 1e-8          # Ep
+    assert np.max(np.abs(out_h[4] - out_d[4])) < 1e-8       # rdm1
+    for a, b in zip(out_h[5], out_d[5]):                    # amplitudes
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-7

