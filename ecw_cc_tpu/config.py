@@ -52,9 +52,11 @@ class Config:
     # 'highest' iterations — same fixed point as 'highest'.
     iter_precision: str = "highest"
     hybrid_switch: float = 1e-4
-    # cond(S) above which the f32 device ERI transform falls back to the
-    # exact host f64 transform (even the two-stage orthogonalized f32 scheme
-    # catastrophically cancels; measured: 4.8e4 fine, 7.5e5 broken).
+    # RETIRED (kept for API compatibility): the r2 cond(S) gate for the
+    # host-f64 ERI-transform fallback.  The S^{-1/2} half of the transform
+    # now always runs in f64 on the host (models/eris.build_eris_device),
+    # so the f32 device build is accurate at any realistic cond(S) and no
+    # fallback exists.
     eri_f32_cond_max: float = 1e5
     # Precision of the hybrid fast leg ('default' = single-pass bf16
     # matmuls, 'high' = 3-pass, 'bf16' = single-pass + bf16 storage).

@@ -191,30 +191,30 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     PRECISION: a DIRECT f32 AO->MO transform catastrophically cancels for
     ill-conditioned (diffuse) bases — at C2H2/6-311++G(2d,2p) the MO
     coefficients reach ~1e2 (cond(S) ~ 1e4) and the f32-summed oovv came out
-    orders of magnitude wrong, diverging CCSD.  The transform therefore runs
-    in TWO STAGES through the orthonormalized AO basis:
+    orders of magnitude wrong, diverging CCSD.  The transform is therefore
+    COMPENSATED by splitting it through the orthonormalized AO basis,
 
-        mo = X U,   X = S^{-1/2}  (condition sqrt(cond S) ~ 45),
-                    U = S^{1/2} mo  (unit-S-norm columns, |U| <= 1)
+        mo = X U,   X = S^{-1/2}  (carries ALL the ill-conditioning),
+                    U = S^{1/2} mo  (exactly orthonormal columns, |U| <= 1),
 
-    Each stage is benignly conditioned, so f32 with full-precision
-    accumulation keeps ~6 significant digits where the direct transform lost
-    everything.  (A true-f64 device transform was tried first: the TPU f64
-    emulation expands each matmul into split passes whose temps OOMed the
-    chip at this size.)
-
-    EVEN the two-stage scheme breaks down when cond(S) is extreme: measured
-    at C2H2/6-311++G(2d,2p) (cond(S) = 7.5e5) the f32 blocks came out with
-    O(10x) relative errors in ovvv/vvvv and CCSD diverged, while
-    C2H2/cc-pVTZ (cond 4.8e4) keeps f64 parity to ~1e-5.  Above
-    config.eri_f32_cond_max (default 1e5, between the two measured points)
-    the build falls back to the HOST f64 transform (exact, ~2 min at
-    nao=74) and stages the f32 blocks from it.
+    and running the X half on the HOST in f64 (nao-dimensional spatial
+    dgemm quarters, ~20 GFLOP at nao=74 — about a second of BLAS; this is
+    NOT the old ~2 min G-format host fallback, which worked in the doubled
+    148-dim basis).  The orthonormal-basis AO tensor is then rounded to f32
+    (pure representation error, no cancellation left to amplify), uploaded
+    (same bytes as the AO tensor upload the all-device path paid), and the
+    benign U half + block slicing/packing run on device as before.  Block
+    accuracy is ~1e-6 relative for ANY realistic cond(S): measured 2e-6
+    max-abs at C2H2/6-311++G(2d,2p) (cond(S)=7.5e5), where the previous
+    all-f32 two-stage scheme produced O(10x) errors and CCSD diverged.
+    The cond(S)-gated host-f64 fallback (r2) is gone — nothing to fall
+    back to.  (A true-f64 device transform was tried in r2: the TPU f64
+    emulation's split-pass temps OOMed the chip at this size.)
     """
     import jax
     import jax.numpy as jnp
 
-    from ecw_cc_tpu.config import get_config, setup_jax
+    from ecw_cc_tpu.config import setup_jax
 
     setup_jax()
     nao = mol.nao
@@ -222,25 +222,52 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     nocc = int(np.sum(ghf.mo_occ > 0))
     S = mol.intor("ovlp")
     w, V = np.linalg.eigh(S)
-    cond_S = float(w[-1] / w[0])
-    if dtype == "float32" and cond_S > get_config().eri_f32_cond_max:
-        eris = build_eris(mol, ghf).to_device(dtype="float32")
-        if not pack_ladder:
-            return eris
-        from ecw_cc_tpu.ops.ladder import PackedVVVV, pack_vvvv
-
-        wc = jax.jit(pack_vvvv)(eris.vvvv).wc
-        wc.block_until_ready()
-        eris = eris._replace(
-            vvvv=jnp.zeros((eris.nvir, 0, 0, 0), jnp.float32))
-        return eris, PackedVVVV(wc=wc)
-
-    eri_ao = jnp.asarray(mol.intor("int2e"), dtype=dtype)
     mo_np = np.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:],
                        dtype=np.float64)
     Xh = (V * (w ** -0.5)) @ V.T           # S^{-1/2}
-    U = ((V * (w ** 0.5)) @ V.T) @ mo_np   # S^{1/2} mo, unit-S-norm columns
-    stages = [jnp.asarray(Xh, dtype=dtype), jnp.asarray(U, dtype=dtype)]
+    U = ((V * (w ** 0.5)) @ V.T) @ mo_np   # S^{1/2} mo, orthonormal columns
+
+    # X half on host, f64 (exact where cancellation lives).  Each quarter is
+    # ONE dgemm whose output is already in cycled-contiguous order — the
+    # moveaxis+reshape formulation paid a 240 MB strided copy per stage.
+    Corth = mol.intor("int2e")
+    for _ in range(4):
+        n = Corth.shape[0]
+        Corth = np.ascontiguousarray(
+            Corth.reshape(n, -1).T @ Xh).reshape(
+                Corth.shape[1:] + (nao,))
+    # The tunnel is the build bottleneck (measured 0.7-3.5 MB/s): upload
+    # only the 8-fold-symmetric unique elements (the symmetric-X transform
+    # preserves (pq|rs) permutational symmetry), npair(npair+1)/2 floats
+    # instead of nao^4 — 7.8x fewer bytes — and unpack on device with two
+    # row-gathers.
+    npair = nao * (nao + 1) // 2
+    tu = np.asarray([p * nao + q for p in range(nao) for q in range(p + 1)])
+    Mp_host = Corth.reshape(nao * nao, nao * nao)[np.ix_(tu, tu)]
+    v_packed = jnp.asarray(Mp_host[np.tril_indices(npair)], dtype=dtype)
+    del Corth, Mp_host
+
+    p_ar = np.arange(nao)
+    pq_host = np.where(
+        p_ar[:, None] >= p_ar[None, :],
+        p_ar[:, None] * (p_ar[:, None] + 1) // 2 + p_ar[None, :],
+        p_ar[None, :] * (p_ar[None, :] + 1) // 2 + p_ar[:, None],
+    ).reshape(-1)
+    pq_idx = jnp.asarray(pq_host, dtype=jnp.int32)
+
+    @jax.jit
+    def unpack(v):
+        x = jnp.arange(npair, dtype=jnp.int32)
+        T = jnp.where(x[:, None] >= x[None, :],
+                      x[:, None] * (x[:, None] + 1) // 2 + x[None, :],
+                      x[None, :] * (x[None, :] + 1) // 2 + x[:, None])
+        Mp = v[T]                                   # (npair, npair)
+        M = jnp.take(jnp.take(Mp, pq_idx, 0), pq_idx, 1)
+        return M.reshape(nao, nao, nao, nao)
+
+    C = unpack(v_packed)
+    del v_packed
+
     spin = np.asarray(ghf.orbspin)
     allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype=dtype)
     fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
@@ -255,12 +282,11 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
             (mat.T @ t.reshape(t.shape[0], -1)).reshape(
                 (mat.shape[1],) + t.shape[1:]), 0, 3)
 
-    C = eri_ao
-    del eri_ao
-    for mat in stages:
-        for _ in range(4):
-            C = quarter(mat, C)
-            C.block_until_ready()
+    # U half on device (orthonormal columns: no amplification in f32)
+    U_dev = jnp.asarray(U, dtype=dtype)
+    for _ in range(4):
+        C = quarter(U_dev, C)
+        C.block_until_ready()
 
     o, v = slice(0, nocc), slice(nocc, nmo)
     sl = {"o": o, "v": v}
@@ -275,23 +301,26 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
         return (allow[sl[a0], :][:, sl[a1]][:, :, None, None]
                 * allow[sl[a2], :][:, sl[a3]][None, None, :, :])
 
-    # ONE program for all 14 small blocks (each remote compile costs
-    # seconds on the axon backend; per-block jits were compile-bound)
-    @jax.jit
-    def small_blocks(C):
-        out = {}
-        for name in names:
-            p, q, r, s = name
-            t1 = (C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]
-                  * block_mask(p, r, q, s))           # (p,r,q,s)
-            t2 = (C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]
-                  * block_mask(p, s, q, r))           # (p,s,q,r)
-            out[name] = (jnp.transpose(t1, (0, 2, 1, 3))
-                         - jnp.transpose(t2, (0, 2, 3, 1))).astype(dtype)
-        return out
+    # ONE PROGRAM PER BLOCK: the r2 merged 14-block program hit a
+    # pathological XLA compile at the flagship shape (nmo=148: >9 min in
+    # .compile(), measured r3), while per-block programs compile in ~1 s
+    # each and cache individually in the persistent compile cache.
+    from functools import partial
 
-    blocks = small_blocks(C)
-    jax.block_until_ready(blocks)
+    @partial(jax.jit, static_argnums=(1,))
+    def one_block(C, name):
+        p, q, r, s = name
+        t1 = (C[sl[p]][:, sl[r]][:, :, sl[q]][:, :, :, sl[s]]
+              * block_mask(p, r, q, s))           # (p,r,q,s)
+        t2 = (C[sl[p]][:, sl[s]][:, :, sl[q]][:, :, :, sl[r]]
+              * block_mask(p, s, q, r))           # (p,s,q,r)
+        return (jnp.transpose(t1, (0, 2, 1, 3))
+                - jnp.transpose(t2, (0, 2, 3, 1))).astype(dtype)
+
+    blocks = {}
+    for name in names:
+        blocks[name] = one_block(C, name)
+        blocks[name].block_until_ready()
 
     # vvvv in fixed-width slabs over the first virtual index: bounds the
     # transient slice/transpose buffers AND compiles one slab program reused
