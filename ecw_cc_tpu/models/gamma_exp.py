@@ -30,23 +30,39 @@ import jax as _jax
 
 
 @_jax.jit
-def _l_step(eris, t1, t2, l1, l2):
-    l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off")
+def _l_step(eris, vvvv_op, t1, t2, l1, l2):
+    l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off",
+                                vvvv_op=vvvv_op)
     return l1n, l2n, jnp.linalg.norm(l1n) + jnp.linalg.norm(l2n)
 
 
-def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200):
+def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None):
     """GS Lambda amplitudes (textbook equations), jitted per step (eager
     loops dispatch op-by-op over the axon tunnel — CLAUDE.md gotcha)."""
     l1, l2 = t1, t2
     l_old = None
     for _ in range(max_cycle):
-        l1, l2, nrm = _l_step(eris, t1, t2, l1, l2)
+        l1, l2, nrm = _l_step(eris, vvvv_op, t1, t2, l1, l2)
         nrm = float(nrm)
         if l_old is not None and abs(nrm - l_old) < conv_tol:
             break
         l_old = nrm
     return l1, l2
+
+
+def _build_eris_auto(mol, ghf):
+    """(eris, vvvv_op) for target-generation CC solves: in the f32
+    production mode, the device build with pack-on-build — the dense
+    (v,v,v,v) block is NEVER materialized on any target-generation path
+    (reference hot spot CCSD.py:396-402); in f64 parity mode, the exact
+    host build (dense, vvvv_op=None)."""
+    from ecw_cc_tpu.config import get_config
+
+    if get_config().dtype == "float32":
+        from ecw_cc_tpu.models.eris import build_eris_device
+
+        return build_eris_device(mol, ghf, dtype="float32", pack_ladder=True)
+    return build_eris(mol, ghf).to_device(), None
 
 
 def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
@@ -57,10 +73,10 @@ def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
     from ecw_cc_tpu.ops import ccsd_t
 
     ghf = GHF(mf)
-    eris = build_eris(mol, ghf).to_device()
+    eris, vvvv_op = _build_eris_auto(mol, ghf)
     t1, t2, e_cc = ccsd_t.solve_ccsd(eris, conv_tol=conv_tol,
-                                     max_cycle=max_cycle)
-    l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle)
+                                     max_cycle=max_cycle, vvvv_op=vvvv_op)
+    l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle, vvvv_op=vvvv_op)
     rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
     return e_cc, rdm1_mo, ghf
 
@@ -126,20 +142,16 @@ class Gexp:
             return
         if self.method.upper().replace("(", "").replace(")", "") == "CCSDT":
             from ecw_cc_tpu.ops import ccsd_t
-            from ecw_cc_tpu.config import get_config
 
             ghf = GHF(self.mf_def)
-            if get_config().dtype == "float32":
-                from ecw_cc_tpu.models.eris import build_eris_device
-                eris = build_eris_device(self.mol_def, ghf, dtype="float32")
-            else:
-                eris = build_eris(self.mol_def, ghf).to_device()
-            t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+            eris, vvvv_op = _build_eris_auto(self.mol_def, ghf)
+            t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op)
             et = float(ccsd_t.energy_t(eris, t1, t2))
             self.ECCSD_def = e_cc
             self.ECCSD_t_def = e_cc + et
             self.Eexp = self.EHF_def + e_cc + et
-            rdm1_mo_g = np.asarray(ccsd_t.ccsd_t_rdm1_response(eris, t1, t2))
+            rdm1_mo_g = np.asarray(ccsd_t.ccsd_t_rdm1_response(
+                eris, t1, t2, vvvv_op=vvvv_op))
             # symmetrize (the response density of a real functional)
             rdm1_mo_g = 0.5 * (rdm1_mo_g + rdm1_mo_g.T)
             rdm1_ao_g = convert.mo_to_ao(rdm1_mo_g, ghf.mo_coeff)
@@ -240,13 +252,14 @@ class ESexp:
         from ecw_cc_tpu.ops import eom as eom_ops
 
         ghf = GHF(self.mf)
-        eris = build_eris(self.mol, ghf).to_device()
-        t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+        eris, vvvv_op = _build_eris_auto(self.mol, ghf)
+        t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op)
         # GS Lambda (textbook equations; plain-CCSD target generation)
-        l1, l2 = solve_lambda(eris, t1, t2)
+        l1, l2 = solve_lambda(eris, t1, t2, vvvv_op=vvvv_op)
 
         omegas, Rs, Ls = eom_ops.eom_ccsd(eris, t1, t2, nroots=nbr_ES,
-                                          tol=tol, left=True)
+                                          tol=tol, left=True,
+                                          vvvv_op=vvvv_op)
         self.ECCSD = float(e_cc)
         self.gamma_tr_mo = []
         self.ini_r = []

@@ -124,19 +124,26 @@ def energy_t(eris, t1, t2, fsp=None):
     return acc / 36.0
 
 
-def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True):
+def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True,
+                           vvvv_op=None):
     """The SCF update map G(t; f) (flattened) and E = E_CCSD (+ E_T).
 
     The fixed point t* = G(t*, f) defines the amplitudes; using the MAP (not
     the residual) keeps the implicit-function Jacobian (I - dG/dt)
     nonsingular: the residual form has a singular Jacobian because the t2
-    antisymmetry makes its constraint rows redundant."""
+    antisymmetry makes its constraint rows redundant.
+
+    vvvv_op: optional non-dense ladder operand (pack-on-build ERIs).  Safe
+    under the adjoint solve: the packed map agrees with the dense one on
+    antisymmetric t2 and both maps' t2 outputs are antisymmetric by
+    construction, so they share the same fixed-point branch t*(f) — the
+    implicit gradient is identical."""
     dim = nocc + nvir
     f = fvec.reshape(dim, dim)
     n1 = nocc * nvir
     t1 = tvec[:n1].reshape(nocc, nvir)
     t2 = tvec[n1:].reshape(nocc, nocc, nvir, nvir)
-    G1, G2 = ccsd_ops.tupdate(eris, t1, t2, fsp=f)
+    G1, G2 = ccsd_ops.tupdate(eris, t1, t2, fsp=f, vvvv_op=vvvv_op)
     E = ccsd_ops.energy(eris, t1, t2, f)
     if with_t:
         E = E + energy_t(eris, t1, t2, f)
@@ -144,7 +151,7 @@ def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True):
 
 
 def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
-                         maxiter=300):
+                         maxiter=300, vvvv_op=None):
     """Unrelaxed response density of E_CCSD(+T) in the MO G basis (with the
     HF diagonal added), via adjoint implicit differentiation of the SCF
     fixed-point map:
@@ -160,26 +167,26 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     # gotcha: closure-captured device arrays ship with the program); the
     # linearization happens inside the jit, traced once per compile
     @partial(jax.jit, static_argnames=("wt",))
-    def grad_E(er, tv, fv, wt):
+    def grad_E(er, vs, tv, fv, wt):
         gE_t = jax.grad(lambda a, b: _update_map_and_energy(
-            er, a, b, nocc, nvir, wt)[1], argnums=0)(tv, fv)
+            er, a, b, nocc, nvir, wt, vs)[1], argnums=0)(tv, fv)
         gE_f = jax.grad(lambda a, b: _update_map_and_energy(
-            er, a, b, nocc, nvir, wt)[1], argnums=1)(tv, fv)
+            er, a, b, nocc, nvir, wt, vs)[1], argnums=1)(tv, fv)
         return gE_t, gE_f
 
     @partial(jax.jit, static_argnames=("wt",))
-    def matvec_t(er, tv, fv, v, wt):
+    def matvec_t(er, vs, tv, fv, v, wt):
         _, vjp = jax.vjp(lambda a: _update_map_and_energy(
-            er, a, fv, nocc, nvir, wt)[0], tv)
+            er, a, fv, nocc, nvir, wt, vs)[0], tv)
         return vjp(v)[0]
 
     @partial(jax.jit, static_argnames=("wt",))
-    def vjp_fock(er, tv, fv, v, wt):
+    def vjp_fock(er, vs, tv, fv, v, wt):
         _, vjp = jax.vjp(lambda b: _update_map_and_energy(
-            er, tv, b, nocc, nvir, wt)[0], fv)
+            er, tv, b, nocc, nvir, wt, vs)[0], fv)
         return vjp(v)[0]
 
-    dE_dt, dE_df = grad_E(eris, tvec, f0, with_t)
+    dE_dt, dE_df = grad_E(eris, vvvv_op, tvec, f0, with_t)
 
     # w = dE/dt + (dG/dt)^T w  — same contraction structure as the Lambda
     # equations; fixed-point iteration with ON-DEVICE DIIS (only the norm
@@ -187,10 +194,10 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     from ecw_cc_tpu.ops import diis as diis_ops
 
     @jax.jit
-    def _w_step(er, tv, fv, b, w, dstate):
+    def _w_step(er, vs, tv, fv, b, w, dstate):
         # b (= dE/dt) as an ARGUMENT: a closure would bake a multi-MB
         # constant into the program shipped to the remote compiler
-        w_new = b + matvec_t(er, tv, fv, w, with_t)
+        w_new = b + matvec_t(er, vs, tv, fv, w, with_t)
         nrm = jnp.linalg.norm(w_new - w)
         dstate, w_d = diis_ops.diis_update(dstate, w_new, 2)
         return w_new, w_d, dstate, nrm
@@ -198,14 +205,16 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     w = dE_dt
     dstate = diis_ops.diis_init(w.size, space=10, dtype=w.dtype)
     for _ in range(maxiter):
-        w_new, w_d, dstate, nrm = _w_step(eris, tvec, f0, dE_dt, w, dstate)
+        w_new, w_d, dstate, nrm = _w_step(eris, vvvv_op, tvec, f0, dE_dt, w,
+                                          dstate)
         if float(nrm) < tol:
             w = w_new
             break
         w = w_d
 
     # gamma = dE/df + w^T dG/df
-    gamma = (dE_df + vjp_fock(eris, tvec, f0, w, with_t)).reshape(dim, dim)
+    gamma = (dE_df + vjp_fock(eris, vvvv_op, tvec, f0, w,
+                              with_t)).reshape(dim, dim)
     hf = jnp.diag(jnp.concatenate([jnp.ones(nocc, gamma.dtype),
                                    jnp.zeros(nvir, gamma.dtype)]))
     return gamma + hf

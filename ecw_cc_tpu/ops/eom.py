@@ -29,33 +29,41 @@ from ecw_cc_tpu.utils.linalg import davidson_nosym
 
 
 @jax.jit
-def _sigma_right(eris, fsp, t1, t2, r1, r2):
+def _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2):
     # eris/amplitudes are jit ARGUMENTS, not closure constants: a closure
     # would bake the full ERI set (GBs at production sizes) into the HLO
     # shipped to the remote compiler (CLAUDE.md gotcha)
     def res(a, b):
-        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True)
+        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True,
+                                vvvv_op=vvvv_op)
 
     _, s = jax.jvp(res, (t1, t2), (r1, r2))
     return s
 
 
 @jax.jit
-def _sigma_left(eris, fsp, t1, t2, l1, l2):
+def _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2):
     def res(a, b):
-        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True)
+        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True,
+                                vvvv_op=vvvv_op)
 
     _, vjp = jax.vjp(res, t1, t2)
     return vjp((l1, l2))
 
 
-def make_sigma(eris, t1, t2, fsp=None):
-    """(sigma_right, sigma_left) wrappers at the converged amplitudes."""
+def make_sigma(eris, t1, t2, fsp=None, vvvv_op=None):
+    """(sigma_right, sigma_left) wrappers at the converged amplitudes.
+
+    vvvv_op: optional non-dense ladder operand (pack-on-build ERIs).  Exact
+    for the Davidson iterates: right tangents are antisymmetric (where the
+    packed route equals the dense ladder), and for antisymmetric cotangents
+    the packed route's upper-triangle-doubled transpose collapses to the
+    dense transpose under the mv_left output antisymmetrization."""
     def sigma(r1, r2):
-        return _sigma_right(eris, fsp, t1, t2, r1, r2)
+        return _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2)
 
     def sigma_left(l1, l2):
-        return _sigma_left(eris, fsp, t1, t2, l1, l2)
+        return _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2)
 
     return sigma, sigma_left
 
@@ -81,7 +89,7 @@ def koopman_guesses(eris, nroots, alpha_only=True):
 
 
 def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
-             max_space=30, max_cycle=120, left=False):
+             max_space=30, max_cycle=120, left=False, vvvv_op=None):
     """EOM-EE-CCSD roots by Davidson on the autodiff sigma.
 
     :return: (omegas, list of (r1, r2)) — or (omegas, Rs, Ls) with left=True,
@@ -89,7 +97,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     """
     nocc, nvir = t1.shape
     nov = nocc * nvir
-    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp)
+    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp, vvvv_op=vvvv_op)
     mo_e = np.diag(np.asarray(eris.fock))
     d1 = (mo_e[None, nocc:] - mo_e[:nocc, None]).ravel()
     eia = mo_e[:nocc, None] - mo_e[None, nocc:]

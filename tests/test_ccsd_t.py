@@ -101,3 +101,42 @@ def test_energy_t_scan_matches_dense(h2o_sto3g):
     e_scan = float(ccsd_t.energy_t(eris, t1, t2))
     assert abs(e_dense - e_scan) < 1e-12
     assert e_scan < 0  # (T) lowers the energy for a normal closed shell
+
+
+def test_response_density_packed_ladder_matches_dense(h2o_system):
+    """ccsd_t_rdm1_response with a packed vvvv_op (pack-on-build target
+    generation, r3 VERDICT item 6) must equal the dense-path density: the
+    packed and dense update maps share the same antisymmetric fixed-point
+    branch, so the implicit adjoint gradient is identical."""
+    from ecw_cc_tpu.ops import ladder
+
+    eris, t1, t2, e_cc = h2o_system
+    packed = ladder.pack_vvvv(eris.vvvv)
+    g_d = np.asarray(ccsd_t.ccsd_t_rdm1_response(eris, t1, t2))
+    g_p = np.asarray(ccsd_t.ccsd_t_rdm1_response(eris, t1, t2,
+                                                 vvvv_op=packed))
+    assert np.max(np.abs(g_d - g_p)) < 1e-9
+
+
+def test_target_generation_never_builds_dense_vvvv():
+    """In the f32 production mode every target-generation path builds
+    pack-on-build ERIs: the GEris carries the (nvir,0,0,0) placeholder and
+    the dense v^4 block is never materialized (r3 VERDICT item 6)."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.gamma_exp import _build_eris_auto
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.scf import RHF, GHF
+    from ecw_cc_tpu.ops.ladder import PackedVVVV
+
+    mol = Molecule("h2o", "sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    old = cfg.get_config().dtype
+    try:
+        cfg.set_config(dtype="float32")
+        eris, vvvv_op = _build_eris_auto(mol, ghf)
+    finally:
+        cfg.set_config(dtype=old)
+    assert eris.vvvv.size == 0
+    assert isinstance(vvvv_op, PackedVVVV)

@@ -66,3 +66,26 @@ def test_build_es_exp_eom(h2o_sto3g):
     nocc = int(np.sum(ecw.mo_occ > 0))
     assert len(ecw.r_ini) == 1
     assert ecw.r_ini[0].shape == (nocc, dim - nocc)
+
+
+def test_eom_packed_ladder_matches_dense(h2o_sto3g):
+    """vvvv_op threading (pack-on-build ERIs for ES/EOM target generation,
+    r3 VERDICT item 6): the packed ladder inside the autodiff sigma must
+    reproduce the dense omegas AND the dense left eigenvectors — the vjp
+    transpose of the packed route is only equivalent under the mv_left
+    output antisymmetrization (see make_sigma docstring)."""
+    from ecw_cc_tpu.ops import ladder
+
+    mol, ghf, eris_host, eris = h2o_sto3g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris)
+    packed = ladder.pack_vvvv(eris.vvvv)
+    om_d, Rs_d, Ls_d = eom.eom_ccsd(eris, t1, t2, nroots=2, tol=1e-9,
+                                    left=True)
+    om_p, Rs_p, Ls_p = eom.eom_ccsd(eris, t1, t2, nroots=2, tol=1e-9,
+                                    left=True, vvvv_op=packed)
+    assert np.allclose(om_d, om_p, atol=1e-8)
+    for k in range(2):
+        for a, b in zip(Rs_d[k] + Ls_d[k], Rs_p[k] + Ls_p[k]):
+            # eigenvectors defined up to sign
+            s = np.sign(np.vdot(a.ravel(), b.ravel()))
+            assert np.allclose(a, s * b, atol=1e-6)
