@@ -240,3 +240,52 @@ def test_batched_hybrid_lane_freeze(h2o_631g):
                 assert np.allclose(a, b, atol=1e-8)
     finally:
         cfg.set_config(iter_precision=old)
+
+
+def test_sharded_packed_ladder_scale_proof():
+    """Scale proof at real pVTZ shapes (r3 VERDICT item 8): the packed
+    ladder operand sharded over tp=8 really shrinks the per-device vvvv
+    footprint to 1/tp, and the compiled sharded contraction contains NO
+    all-gather of the big operand (the all-gather-free claim of
+    parallel/sharding.py, checked in the HLO rather than asserted in
+    prose).  f32 at nvir=162: dense vvvv 2.75 GB -> packed 680 MB total
+    -> 85 MB per device at tp=8."""
+    import re
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+    from ecw_cc_tpu.parallel.sharding import shard_vvvv_op
+
+    nocc, nvir = 14, 162                      # C2H2/cc-pVTZ spin-orbital
+    p = nvir * (nvir - 1) // 2                # 13041
+    rng = np.random.default_rng(0)
+    wc = jnp.asarray(rng.random((p, p), dtype=np.float32) * 1e-3)
+    packed = ladder.PackedVVVV(wc=wc)
+    mesh = make_mesh(n_dp=1)                  # tp=8
+    sh = shard_vvvv_op(packed, mesh)
+
+    # per-device footprint: rows padded to a multiple of tp, then 1/tp each
+    tp = mesh.shape["tp"]
+    rows = sh.wc.shape[0]
+    assert rows == p + (-p) % tp
+    shard_shapes = {s.data.shape for s in sh.wc.addressable_shards}
+    assert shard_shapes == {(rows // tp, p)}
+    per_dev = rows // tp * p * 4
+    assert per_dev * tp >= wc.nbytes          # covers the whole operand
+    assert per_dev <= wc.nbytes // tp + p * 4 * tp  # ~1/tp each (+pad)
+
+    x = jnp.asarray(
+        rng.random((nocc, nocc, nvir, nvir), dtype=np.float32) * 1e-2)
+    x = x - jnp.transpose(x, (0, 1, 3, 2))
+    x = jax.device_put(x, NamedSharding(mesh, P()))
+
+    # compile-time analysis (numerics of the sharded route are pinned at
+    # small sizes by the other tests in this file)
+    fn = jax.jit(ladder.packed_vvvv_contract)
+    compiled = fn.lower(sh, x).compile()
+    hlo = compiled.as_text()
+    # the big operand must never be all-gathered: no all-gather touching a
+    # pair-axis-sized dimension (13041 or its padded 13048)
+    for m in re.finditer(r"all-gather[^\n]*", hlo):
+        assert str(p) not in m.group(0) and str(rows) not in m.group(0), \
+            m.group(0)
