@@ -1,0 +1,380 @@
+"""Raw CC residual equations by programmatic Wick contraction.
+
+The reference ships hand-transcribed "raw" (unfactorized) CC equations as an
+independent check of its factorized kernels, including a CCSDT set its
+solvers never use (CC_raw_equations.py:523-640).  Re-transcribing hundreds
+of einsum terms would be both error-prone and a copy; instead this module
+DERIVES the raw equations:
+
+    R_mu = <mu| (H_N e^T)_C |0>,   mu in {singles, doubles, triples}
+
+by enumerating full Wick pairings of the second-quantized operator string
+<0| (mu)^+  H_N  T_{n1} ... T_{nk} |0> with the Fermi-vacuum contraction
+rules, collecting each surviving pairing into an einsum term (subscript
+string, tensor labels, signed coefficient).  Connectedness is automatic:
+pure excitation operators cannot contract with each other, so every T
+factor must contract with H or the pairing vanishes — exactly the linked-
+cluster restriction.
+
+The generated CCSD equations are certified term-for-term against the
+factorized Stanton kernels (ops/ccsd.tupdate(equation=True)) at random
+amplitudes, which certifies the generator itself; the CCSDT equations then
+come from the same machinery and are validated by solving them for a
+3-electron system, where CCSDT is exact (== FCI).
+
+Evaluation is jnp.einsum over the generated term list — jit-safe, TPU-ready
+(tiny systems only; this is a validation oracle, not a production solver).
+
+Conventions: H_N = sum f_pq {p+ q} + 1/4 sum <pq||rs> {p+ q+ s r} with f the
+effective (normal-ordered) Fock matrix used by the CC kernels; T_n carries
+1/(n!)^2 t^{ab..}_{ij..} a+ i b+ j ...; the k-fold cluster product carries
+the multiset factor prod 1/m_j! from e^T.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import Counter
+from math import factorial
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# operator strings
+#
+# An elementary operator is (kind, space, index) with kind 'c' (creation
+# a+_p) or 'a' (annihilation a_p) and space 'o' or 'v'.  Indices are symbols
+# tagged with the tensor slot they belong to, so a full pairing directly
+# yields an einsum subscript assignment.
+# ---------------------------------------------------------------------------
+
+class Op:
+    __slots__ = ("kind", "space", "sym")
+
+    def __init__(self, kind, space, sym):
+        self.kind = kind      # 'c' or 'a'
+        self.space = space    # 'o' / 'v' / 'g' (general: either space)
+        self.sym = sym        # (tensor_id, slot)
+
+    def __repr__(self):
+        return f"{self.kind}{self.space}[{self.sym}]"
+
+
+def _contractable(left: Op, right: Op):
+    """Nonzero Fermi-vacuum contraction of (left, right) with left earlier
+    in the string: a_a a+_b = delta_ab (virtual), a+_i a_j = delta_ij
+    (occupied).  'g' (general) indices match either rule; the resulting
+    space is returned (None if zero)."""
+    sl, sr = left.space, right.space
+    if left.kind == "a" and right.kind == "c":
+        if sl in ("v", "g") and sr in ("v", "g"):
+            return "v"
+        return None
+    if left.kind == "c" and right.kind == "a":
+        if sl in ("o", "g") and sr in ("o", "g"):
+            return "o"
+        return None
+    return None
+
+
+def _pairings(ops):
+    """Yield (pairs, sign) over all nonzero full Wick pairings.
+
+    pairs: tuple of ((i, j), space) index pairs into `ops` (i < j).
+    sign: (-1)^crossings.
+    """
+    n = len(ops)
+    if n % 2:
+        return
+    order = list(range(n))
+
+    def rec(remaining, acc, sign):
+        if not remaining:
+            yield tuple(acc), sign
+            return
+        i = remaining[0]
+        for kj, j in enumerate(remaining[1:], start=1):
+            sp = _contractable(ops[i], ops[j])
+            if sp is None:
+                continue
+            # crossing-number sign: pairing (i, j) crosses the kj-1
+            # remaining operators between them
+            s = sign * (-1) ** (kj - 1)
+            yield from rec(remaining[1:kj] + remaining[kj + 1:],
+                           acc + [((i, j), sp)], s)
+
+    yield from rec(order, [], 1)
+
+
+# ---------------------------------------------------------------------------
+# term assembly
+# ---------------------------------------------------------------------------
+
+def _h_parts():
+    """Normal-ordered H pieces as (tensor_name, ops, prefactor).
+
+    f: f_pq {p+ q};  v: 1/4 <pq||rs> {p+ q+ s r}.  String order matters for
+    signs and must match the normal-ordered operator order."""
+    f_ops = [Op("c", "g", ("f", 0)), Op("a", "g", ("f", 1))]
+    v_ops = [Op("c", "g", ("v", 0)), Op("c", "g", ("v", 1)),
+             Op("a", "g", ("v", 3)), Op("a", "g", ("v", 2))]
+    return [("f", f_ops, 1.0), ("v", v_ops, 0.25)]
+
+
+def _t_ops(n, tid):
+    """T_n cluster operator string a+ i a+ j ... with tensor t{n}[i,j,..,a,b,..]
+    (occupied slots first, then virtual — matching t2[i,j,a,b] storage)."""
+    ops = []
+    for k in range(n):
+        ops.append(Op("c", "v", (tid, n + k)))   # a+_{a_k}
+        ops.append(Op("a", "o", (tid, k)))       # a_{i_k}
+    return ops
+
+
+def _mu_ops(n, tid="mu"):
+    """<mu|: the adjoint of the excitation a+_a a_i b+ j ... -> the bra
+    string  ... j+ b i+ a  = reversed daggers.  mu tensor slots mirror
+    t_n: occupied first, virtual second."""
+    ops = []
+    for k in reversed(range(n)):
+        ops.append(Op("c", "o", (tid, k)))       # i_k^+
+        ops.append(Op("a", "v", (tid, n + k)))   # a_{a_k}
+    return ops
+
+
+_ANTISYM = {"f": (), "v": ((0, 1), (2, 3)), "t1": (),
+            "t2": ((0, 1), (2, 3)), "t3": ((0, 1, 2), (3, 4, 5))}
+
+
+def _sort_sign(letters):
+    """(parity sign, sorted letters) of sorting by selection sort."""
+    ls = list(letters)
+    sign = 1
+    for i in range(len(ls)):
+        k = min(range(i, len(ls)), key=lambda j: ls[j])
+        if k != i:
+            ls[i], ls[k] = ls[k], ls[i]
+            sign = -sign
+    return sign, ls
+
+
+def _canon_term(coeff, pieces, out):
+    """Canonicalize a term: sort antisymmetric tensor slots (sign-tracked),
+    exploit v's (pq)<->(rs) pair-swap symmetry, sort the piece list, and
+    relabel dummy indices in traversal order — iterated to a fixed point.
+    Merges the dummy-relabeled duplicates the raw enumeration produces
+    (equivalent-but-unmerged leftovers are harmless, just slower)."""
+    occ_letters = "ijklmnop"
+    vir_letters = "abcdefgh"
+    pieces = list(pieces)
+    sign = 1
+    for _ in range(6):
+        canon = []
+        for name, ss in pieces:
+            s = list(ss)
+            for group in _ANTISYM[name]:
+                sg, g_sorted = _sort_sign([s[k] for k in group])
+                sign *= sg
+                for k, c in zip(group, g_sorted):
+                    s[k] = c
+            if name == "v" and s[2:] < s[:2]:
+                s = s[2:] + s[:2]
+            canon.append((name, "".join(s)))
+        canon.sort()
+        # relabel dummies in order of first appearance (free mu letters
+        # in `out` are pinned)
+        mapping = {c: c for c in out}
+        free_o = iter(c for c in occ_letters if c not in out)
+        free_v = iter(c for c in vir_letters if c not in out)
+        for name, ss in canon:
+            for c in ss:
+                if c not in mapping:
+                    mapping[c] = (next(free_o) if c in occ_letters
+                                  else next(free_v))
+        relab = [(name, "".join(mapping[c] for c in ss))
+                 for name, ss in canon]
+        if relab == pieces:
+            break
+        pieces = relab
+    return sign * coeff, tuple(pieces), out
+
+
+def generate_terms(mu_level, t_levels=(1, 2, 3), max_rank=4):
+    """All einsum terms of <mu_level| (H_N e^T)_C |0>.
+
+    :return: list of (coeff, [(tensor, subscripts), ...], out_subscripts)
+        where subscripts use 'ijklmn' for occupied and 'abcdef' for virtual
+        symbols; out_subscripts are the free mu indices (occ then vir).
+    """
+    terms = Counter()
+    occ_letters = "ijklmnop"
+    vir_letters = "abcdefgh"
+
+    for hname, h_ops, h_pref in _h_parts():
+        n_h = len(h_ops)
+        n_mu = 2 * mu_level
+        for k in range(0, n_h + 1):
+            for combo in itertools.combinations_with_replacement(
+                    t_levels, k):
+                # T-T contractions vanish identically, so every T index
+                # must pair with mu or H (and vice versa) — prune
+                # impossible operator counts before enumerating
+                nt = 2 * sum(combo)
+                if nt > n_mu + n_h or n_mu > n_h + nt or n_h > n_mu + nt:
+                    continue
+                if (nt + n_mu + n_h) % 2:
+                    continue
+                # e^T multiset factor
+                mult = Counter(combo)
+                fac = h_pref
+                for m in mult.values():
+                    fac /= float(factorial(m))
+                for n in combo:
+                    fac /= float(factorial(n)) ** 2
+                t_ops_all = []
+                t_names = []
+                for idx, n in enumerate(combo):
+                    tid = f"t{n}#{idx}"
+                    t_names.append((tid, f"t{n}", n))
+                    t_ops_all.extend(_t_ops(n, tid))
+                ops = _mu_ops(mu_level) + h_ops + t_ops_all
+                for pairs, sign in _pairings(ops):
+                    # linked-cluster: every T factor must touch H
+                    touched = set()
+                    ok = True
+                    for (i, j), sp in pairs:
+                        ti = ops[i].sym[0]
+                        tj = ops[j].sym[0]
+                        in_h_i = n_mu <= i < n_mu + n_h
+                        in_h_j = n_mu <= j < n_mu + n_h
+                        if in_h_i and tj.startswith("t"):
+                            touched.add(tj)
+                        if in_h_j and ti.startswith("t"):
+                            touched.add(ti)
+                        # mu must not contract with itself / T with itself
+                        if ti == tj:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    if any(tid not in touched for tid, _, _ in t_names):
+                        continue
+                    # assign letters per contraction
+                    sub = {}
+                    no, nv = 0, 0
+                    for (i, j), sp in pairs:
+                        if sp == "o":
+                            letter = occ_letters[no]
+                            no += 1
+                        else:
+                            letter = vir_letters[nv]
+                            nv += 1
+                        sub[ops[i].sym] = letter
+                        sub[ops[j].sym] = letter
+                    # build einsum pieces
+                    pieces = []
+                    if hname == "f":
+                        pieces.append(("f", sub[("f", 0)] + sub[("f", 1)]))
+                    else:
+                        pieces.append(("v", "".join(
+                            sub[("v", s)] for s in range(4))))
+                    for tid, tname, n in t_names:
+                        pieces.append((tname, "".join(
+                            sub[(tid, s)] for s in range(2 * n))))
+                    out = "".join(sub[("mu", s)] for s in range(2 * mu_level))
+                    c, cpieces, out = _canon_term(sign * fac, pieces, out)
+                    terms[(cpieces, out)] += c
+    out_terms = []
+    for (pieces, out), coeff in terms.items():
+        if abs(coeff) > 1e-12:
+            out_terms.append((coeff, list(pieces), out))
+    return out_terms
+
+
+def evaluate_terms(terms, f, v, t1=None, t2=None, t3=None, xp=np):
+    """Evaluate a generated term list with concrete tensors.
+
+    f: effective Fock (nmo, nmo); v: <pq||rs> antisymmetrized (nmo^4);
+    t1/t2/t3: amplitudes in occ-then-vir storage (t2[i,j,a,b], ...).
+    Slices f/v blocks per subscript spaces.  Returns the residual array
+    with mu's (occ.., vir..) axes."""
+    nocc = t1.shape[0] if t1 is not None else t2.shape[0]
+    occ, vir = slice(0, nocc), slice(nocc, None)
+    tens = {"t1": t1, "t2": t2, "t3": t3}
+
+    def block(name, subs):
+        src = f if name == "f" else v
+        sl = tuple(occ if c in "ijklmnop" else vir for c in subs)
+        return src[sl]
+
+    out = None
+    for coeff, pieces, out_subs in terms:
+        operands = []
+        subs = []
+        for name, ss in pieces:
+            if name in ("f", "v"):
+                operands.append(block(name, ss))
+            else:
+                if tens[name] is None:
+                    operands = None
+                    break
+                operands.append(tens[name])
+            subs.append(ss)
+        if operands is None:
+            continue
+        expr = ",".join(subs) + "->" + out_subs
+        # optimize=True: 3-operand terms (e.g. v.t3.t3) are intractable
+        # under the naive nested-loop contraction path
+        val = coeff * xp.einsum(expr, *operands, optimize=True)
+        out = val if out is None else out + val
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CCSDT solver on the generated equations (validation-scale only)
+# ---------------------------------------------------------------------------
+
+def solve_raw_cc(f, v, nocc, levels=(1, 2, 3), conv_tol=1e-10,
+                 max_cycle=200, damp=0.0):
+    """Jacobi-solve the generated raw equations for t1 (+t2 +t3).
+
+    Returns (amps dict, E_corr).  Intended for tiny validation systems
+    (3-electron CCSDT == FCI); production solves use the factorized
+    kernels."""
+    nmo = f.shape[0]
+    nvir = nmo - nocc
+    eps = np.diag(f)
+    eia = eps[:nocc, None] - eps[None, nocc:]
+    amps = {}
+    if 1 in levels:
+        amps["t1"] = np.zeros((nocc, nvir))
+    if 2 in levels:
+        amps["t2"] = np.zeros((nocc, nocc, nvir, nvir))
+    if 3 in levels:
+        amps["t3"] = np.zeros((nocc,) * 3 + (nvir,) * 3)
+    term_sets = {n: generate_terms(n, t_levels=levels) for n in levels}
+    e_terms = generate_terms(0, t_levels=levels)
+
+    denoms = {}
+    if 1 in levels:
+        denoms[1] = eia
+    if 2 in levels:
+        denoms[2] = eia[:, None, :, None] + eia[None, :, None, :]
+    if 3 in levels:
+        denoms[3] = (eia[:, None, None, :, None, None]
+                     + eia[None, :, None, None, :, None]
+                     + eia[None, None, :, None, None, :])
+
+    e_old = 0.0
+    for _ in range(max_cycle):
+        res = {n: evaluate_terms(term_sets[n], f, v, **amps)
+               for n in levels}
+        for n in levels:
+            amps[f"t{n}"] = (1 - damp) * (
+                amps[f"t{n}"] + res[n] / denoms[n]) + damp * amps[f"t{n}"]
+        e = float(evaluate_terms(e_terms, f, v, **amps))
+        if abs(e - e_old) < conv_tol:
+            break
+        e_old = e
+    return amps, e
