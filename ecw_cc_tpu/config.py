@@ -64,6 +64,12 @@ class Config:
     # end-to-end (measured pVTZ diis='tl': 947 ms vs 976 'highest' vs 1566
     # with a 'default' fast leg whose noise defeats DIIS).
     hybrid_fast: str = "high"
+    # Round-3 soup optimizations in the device solver iteration: stacked
+    # t+lambda ladder GEMM (the 680 MB packed operand read once/iteration)
+    # and pre-permuted loop-invariant ERI views for the hot o^3v^3 terms
+    # (ops/ccsd.SoupViews).  Exact restructurings — same math, different
+    # association; parity is tested either way.
+    soup_opt: bool = True
 
 
 _config = Config(

@@ -20,12 +20,59 @@ dot_general or a Pallas MXU kernel.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
+import jax
 import jax.numpy as jnp
 
 from ecw_cc_tpu.ops.l1reg import subdiff
 from ecw_cc_tpu.ops.ladder import ladder_contract
 
 einsum = jnp.einsum
+
+
+# ---------------------------------------------------------------------------
+# Pre-permuted ERI views for the o^3 v^3 "soup" (round-3 throughput work)
+#
+# Several hot contractions consume the 238 MB (at pVTZ) ovvv block in an
+# index order that forces a transpose (or a strided read) inside every
+# iteration.  The permutations are loop-INVARIANT: building them once per
+# solve (outside the while_loop — XLA hoists them; ~2 ms one-time) turns
+# each consumer into a plain MXU dot on a contiguous operand.  The views are
+# optional everywhere (views=None keeps the reference-ordered einsum path,
+# which the host/f64 parity tests exercise).
+# ---------------------------------------------------------------------------
+
+class SoupViews(NamedTuple):
+    """Loop-invariant pre-permuted operands for tupdate/lupdate.
+
+    ovvv_vo: ovvv.transpose(1,0,3,2) — (v,o,v,v).  Serves BOTH the m3
+        'kcba,ijck->ijab' term (rows (c,k), cols (a,b)) and the Zl chain
+        'ibmd,mbad->ia' (rows (b,m,d), col (a)) — same layout, two reshapes.
+    xy_rhs: (v*v, o*o + o*v) = [oovv^(ef),(mn) | ovvv^(ef),(mb)] — the two
+        tau.(ef) contractions (quadratic X and the ladder's t1 correction Y)
+        as ONE stacked M=o^2 GEMM."""
+    ovvv_vo: jax.Array
+    xy_rhs: jax.Array
+
+
+def make_soup_views(eris):
+    nocc, nvir = eris.ooov.shape[0], eris.ovvv.shape[1]
+    xy_rhs = jnp.concatenate(
+        [jnp.transpose(eris.oovv, (2, 3, 0, 1)).reshape(nvir * nvir,
+                                                        nocc * nocc),
+         jnp.transpose(eris.ovvv, (2, 3, 0, 1)).reshape(nvir * nvir,
+                                                        nocc * nvir)],
+        axis=1)
+    return SoupViews(
+        ovvv_vo=jnp.transpose(eris.ovvv, (1, 0, 3, 2)),
+        xy_rhs=xy_rhs)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=a.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -181,14 +228,19 @@ def cc_Wovvo(eris, t1, t2):
 # ---------------------------------------------------------------------------
 
 def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
-            vvvv_op=None):
+            vvvv_op=None, views=None, ladder_pre=None):
     """T1/T2 SCF update (or equation values) with optional L1 regularization
     on the doubles. Reference CCSD.py:248-338.
 
     vvvv_op: optional non-dense route for the <ab||ef> ladder
     (ops/ladder.py): a PackedVVVV (antisymmetry-packed, exact 4x-fewer
     FLOPs) or the (aa, bb, ab) spin sectors — selected by
-    ladder.make_vvvv_op per config.ladder_mode."""
+    ladder.make_vvvv_op per config.ladder_mode.
+
+    views: optional SoupViews — pre-permuted loop-invariant ERI layouts
+    (make_soup_views); fuses the quadratic X and the ladder's Y into one
+    stacked GEMM.  ladder_pre: the bare-vvvv ladder term precomputed by the
+    solver's stacked t+lambda GEMM (ops/ladder.stacked_packed_contract)."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
@@ -206,7 +258,16 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     # once through the Woooo correction, once through the Wvvvv correction
     # (each 0.125) — so compute X once and apply it with weight 0.25; the
     # ladder (skip_quad=True) and the bare Woooo then omit their halves.
-    X = einsum("ijef,mnef->ijmn", tau, eris.oovv)
+    # With views, X and the ladder's Y intermediate are ONE stacked GEMM
+    # against the pre-permuted [oovv|ovvv] right-hand block.
+    if views is not None:
+        no2 = nocc * nocc
+        XY = _dot(tau.reshape(no2, nvir * nvir), views.xy_rhs)
+        X = XY[:, :no2].reshape(nocc, nocc, nocc, nocc)
+        Y = XY[:, no2:].reshape(nocc, nocc, nocc, nvir)
+    else:
+        X = einsum("ijef,mnef->ijmn", tau, eris.oovv)
+        Y = None
     tmp = einsum("je,mnie->mnij", t1, eris.ooov)
     Woooo = eris.oooo + tmp - tmp.transpose(0, 1, 3, 2)
 
@@ -236,7 +297,8 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     # hot vvvv ladder: 0.5 * tau_ijef Wvvvv_abef, fused (tau & W corrections;
     # the quadratic piece was applied above via X)
     t2new = t2new + ladder_contract(eris, t1, t2, tau,
-                                    vvvv_op=vvvv_op, skip_quad=True)
+                                    vvvv_op=vvvv_op, skip_quad=True,
+                                    L1_pre=ladder_pre, Y_pre=Y)
     tmp = einsum("imae,mbej->ijab", t2, Wovvo)
     tmp = tmp + einsum("ie,ma,mbje->ijab", t1, t1, eris.ovov)
     tmp = tmp - tmp.transpose(1, 0, 2, 3)
@@ -325,7 +387,7 @@ def Linter(eris, t1, t2, fsp=None, cheap=False):
 
 
 def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
-            energy_term="ref", vvvv_op=None):
+            energy_term="ref", vvvv_op=None, views=None, ladder_pre=None):
     """Lambda1/Lambda2 SCF update. Reference CCSD.py:419-535.
 
     energy_term: 'ref' reproduces the reference's `l1new += -l1new * E`
@@ -335,7 +397,12 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     vvvv_op: optional non-dense ladder route (ops/ladder.py: PackedVVVV
     or spin sectors) for the lambda ladder 'ijcd,cdab->ijab'.  (The wvvvo
     intermediate is never materialized on ANY route — its pieces are folded
-    into l1new below with reassociated chains.)"""
+    into l1new below with reassociated chains.)
+
+    views: optional SoupViews (pre-permuted ovvv for the m3 'kcba' term and
+    the Zl chain).  ladder_pre: the lambda-side bare-vvvv ladder term
+    precomputed by the solver's stacked t+lambda GEMM (note it is computed
+    from the l2 PASSED HERE — callers must stack with the same l2)."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
@@ -363,8 +430,16 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     tmp = einsum("ijcd,klcd->ijkl", l2, tau)
     m3 = m3 + 0.25 * einsum("klab,ijkl->ijab", oovv, tmp)
     tmp = einsum("ijcd,kd->ijck", l2, t1)
-    m3 = m3 - einsum("kcba,ijck->ijab", eris.ovvv, tmp)
-    if vvvv_op is not None:
+    if views is not None:
+        # rows (ij), cols (c,k) against the pre-permuted ovvv (c,k,a,b)
+        m3 = m3 - _dot(tmp.reshape(nocc * nocc, nvir * nocc),
+                       views.ovvv_vo.reshape(nvir * nocc, nvir * nvir)
+                       ).reshape(nocc, nocc, nvir, nvir)
+    else:
+        m3 = m3 - einsum("kcba,ijck->ijab", eris.ovvv, tmp)
+    if ladder_pre is not None:
+        m3 = m3 + ladder_pre
+    elif vvvv_op is not None:
         # lambda ladder via the packed/sector route ((ab)<->(cd) pair-swap
         # symmetry makes it the same contraction as the t2 ladder)
         from ecw_cc_tpu.ops.ladder import apply_vvvv_op
@@ -408,7 +483,14 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     l1new = l1new - 0.25 * einsum("ikjl,jlka->ia", tmp, eris.ooov)
     l1new = l1new + 0.5 * einsum("ikbc,kacb->ia", l2, eris.ovvv)
     Zl = einsum("ikbc,kmcd->ibmd", l2, t2)
-    l1new = l1new - einsum("ibmd,mbad->ia", Zl, eris.ovvv)
+    if views is not None:
+        # rows (i), cols (b,m,d) against the same pre-permuted ovvv
+        # (b,m,d,a) — one reshape away from the m3 view above
+        l1new = l1new - _dot(
+            Zl.reshape(nocc, nvir * nocc * nvir),
+            views.ovvv_vo.reshape(nvir * nocc * nvir, nvir))
+    else:
+        l1new = l1new - einsum("ibmd,mbad->ia", Zl, eris.ovvv)
     tmp = (t1 + einsum("kc,kjcb->jb", l1, t2)
            - einsum("bd,jd->jb", tmp1vv, t1)
            - einsum("lj,lb->jb", mij, t1))

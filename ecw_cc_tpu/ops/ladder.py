@@ -265,6 +265,30 @@ def apply_vvvv_op(vvvv_op, x):
     return sector_vvvv_contract(vvvv_op, x)
 
 
+def stacked_packed_contract(packed, x1, x2):
+    """Both per-iteration ladders (t side on tau, lambda side on l2) as ONE
+    (2 o^2, p) x (p, p) GEMM: the (p, p) packed operand — the largest block
+    in HBM (680 MB at pVTZ) — is read once per iteration instead of twice,
+    and the GEMM M doubles (196 -> 392), halving MXU M-padding waste.
+
+    Returns (y1, y2) == (packed_vvvv_contract(packed, x1),
+    packed_vvvv_contract(packed, x2)).  Requires x1/x2 antisymmetric in
+    their last two indices (tau, t2, l2 all are)."""
+    o, _, v, _ = x1.shape
+    p = v * (v - 1) // 2
+    xc = jnp.concatenate([_pack_pairs(x1.reshape(o * o, v * v), v),
+                          _pack_pairs(x2.reshape(o * o, v * v), v)], axis=0)
+    yc = jax.lax.dot_general(
+        xc, packed.wc,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=x1.dtype)
+    if packed.wc.shape[0] != p:
+        yc = yc[:, :p]
+    z = _unpack_pairs(yc, v).reshape(2, o, o, v, v)
+    z = z - jnp.swapaxes(z, -1, -2)
+    return z[0], z[1]
+
+
 def resolve_mode(nvir):
     """config.ladder_mode with 'auto' resolved for this nvir: packed at
     nvir >= ladder_packed_min_nvir (measured crossover), dense below."""
@@ -298,15 +322,23 @@ def make_vvvv_op(vvvv):
     raise ValueError(f"unknown ladder_mode {mode!r}")
 
 
-def ladder_contract(eris, t1, t2, tau, vvvv_op=None, skip_quad=False):
+def ladder_contract(eris, t1, t2, tau, vvvv_op=None, skip_quad=False,
+                    L1_pre=None, Y_pre=None):
     """0.5 * einsum('ijef,abef->ijab', tau, Wvvvv) without materializing Wvvvv.
 
     skip_quad=True omits the quadratic 0.125 tau.oovv.tau correction (L3):
     tupdate fuses it with the identical term arising from the Woooo
-    correction and applies both in one contraction."""
+    correction and applies both in one contraction.
+
+    L1_pre: the bare-vvvv ladder already computed elsewhere (e.g. the
+    stacked t+lambda GEMM, stacked_packed_contract) — skips this call's own
+    route.  Y_pre: the tau.ovvv intermediate 'ijef,mbef->ijmb' already
+    computed (tupdate's stacked X|Y GEMM against pre-permuted views)."""
     nocc, nvir = t1.shape
 
-    if vvvv_op is not None:
+    if L1_pre is not None:
+        L1 = L1_pre
+    elif vvvv_op is not None:
         L1 = apply_vvvv_op(vvvv_op, tau)
     else:
         tau_r = tau.reshape(nocc * nocc, nvir * nvir)
@@ -323,7 +355,8 @@ def ladder_contract(eris, t1, t2, tau, vvvv_op=None, skip_quad=False):
     # antisymmetrization is folded into two output-index-swapped einsums
     # instead of a transpose of the o^2 v^2 result (measured ~0.3 ms at
     # pVTZ — these terms sit at their M=196-row matmul roofline otherwise)
-    Y = einsum("ijef,mbef->ijmb", tau, eris.ovvv)
+    Y = Y_pre if Y_pre is not None else einsum("ijef,mbef->ijmb", tau,
+                                               eris.ovvv)
     L2 = (einsum("ijmb,ma->ijab", Y, -0.5 * t1)
           + einsum("ijma,mb->ijab", Y, 0.5 * t1))
 

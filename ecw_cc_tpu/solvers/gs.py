@@ -29,6 +29,7 @@ from ecw_cc_tpu.config import get_config
 from ecw_cc_tpu.ops import ccs as ccs_ops
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.ops import diis as diis_ops
+from ecw_cc_tpu.ops import ladder as ladder_ops
 from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
 from ecw_cc_tpu.models.scf import HostDIIS
 from ecw_cc_tpu.utils.metrics import IterationMetrics
@@ -550,12 +551,17 @@ class Solver_CCSD:
         # the remote compile service on the axon backend)
         hybrid_switch = get_config().hybrid_switch
         hybrid_fast = get_config().hybrid_fast
+        soup_opt = get_config().soup_opt
 
         @jax.jit
         def run(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
             return _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v)
 
         def _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
+            # loop-invariant pre-permuted ERI views (hoisted out of the
+            # while_loop by XLA; ~2 ms one-time vs a 238 MB transpose per
+            # iteration in the einsum path)
+            views0 = ccsd_ops.make_soup_views(eris) if soup_opt else None
             def conv_vec(ts, ls, td, ld, fsp):
                 if conv_kind == "tl":
                     return jnp.concatenate(
@@ -591,20 +597,31 @@ class Solver_CCSD:
                 fsp = eris.fock - V
                 Ep = ccsd_ops.energy(eris, ts, td, fsp)
                 alpha = alpha_v if use_l1 else None
-                # upd = (eris', vvsect', cast): run ONLY the t/lambda
-                # updates on alternate operands (the 'bf16' mode: bf16-
-                # stored blocks + amplitudes halve the HBM traffic of the
-                # bandwidth-bound o^3v^3 soup; rdm1/Vexp/energy/DIIS/conv
-                # stay f32).  Denominator division stays f32: er_u.fock is
-                # kept f32, so eia/eijab promote the result back.
-                er_u, vv_u, cast = (eris, vvsect, None) if upd is None else upd
+                # upd = (eris', vvsect', cast, views'): run ONLY the
+                # t/lambda updates on alternate operands (the 'bf16' mode:
+                # bf16-stored blocks + amplitudes halve the HBM traffic of
+                # the bandwidth-bound o^3v^3 soup; rdm1/Vexp/energy/DIIS/
+                # conv stay f32).  Denominator division stays f32: er_u.fock
+                # is kept f32, so eia/eijab promote the result back.
+                er_u, vv_u, cast, views_u = ((eris, vvsect, None, views0)
+                                             if upd is None else upd)
                 fsp_u = fsp if cast is None else fsp.astype(cast)
                 ts_u = ts if cast is None else ts.astype(cast)
                 td_u = td if cast is None else td.astype(cast)
                 ls_u = ls if cast is None else ls.astype(cast)
                 ld_u = ld if cast is None else ld.astype(cast)
+                # both per-iteration vvvv ladders depend only on PRE-update
+                # amplitudes (tau on the t side, l2 on the lambda side):
+                # with the packed route they run as ONE stacked GEMM so the
+                # (p, p) operand — the largest block in HBM — is read once
+                ladder_t = ladder_l = None
+                if soup_opt and isinstance(vv_u, ladder_ops.PackedVVVV):
+                    tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
+                    ladder_t, ladder_l = ladder_ops.stacked_packed_contract(
+                        vv_u, tau_st, ld_u)
                 ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
-                                          alpha=alpha, vvvv_op=vv_u)
+                                          alpha=alpha, vvvv_op=vv_u,
+                                          views=views_u, ladder_pre=ladder_t)
                 # tupdate's f32 denominator division promoted the fresh
                 # ts/td back to f32; re-cast so the lambda update's
                 # t-operands are genuinely bf16-stored too (the HBM saving
@@ -614,7 +631,8 @@ class Solver_CCSD:
                 ls, ld = ccsd_ops.lupdate(er_u, tsl, tdl, ls_u, ld_u,
                                           fsp=fsp_u, alpha=alpha,
                                           energy_term=energy_term,
-                                          vvvv_op=vv_u)
+                                          vvvv_op=vv_u, views=views_u,
+                                          ladder_pre=ladder_l)
                 dt0 = ts_in.dtype
                 ts, td = ts.astype(dt0), td.astype(dt0)
                 ls, ld = ls.astype(dt0), ld.astype(dt0)
@@ -814,7 +832,7 @@ class Solver_CCSD:
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
-               get_config().ladder_mode)
+               get_config().ladder_mode, get_config().soup_opt)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -870,7 +888,7 @@ class Solver_CCSD:
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
-               get_config().ladder_mode, "batched")
+               get_config().ladder_mode, get_config().soup_opt, "batched")
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:

@@ -22,7 +22,26 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
+import ecw_cc_tpu.config as _cfg
 from ecw_cc_tpu.models.molecule import Molecule
+
+
+@pytest.fixture(autouse=True)
+def _restore_global_config():
+    """Tests that exercise the f32/TPU production paths (entry module,
+    precision modes, ladder modes) mutate the global Config and the jax
+    x64/matmul flags; a leak flips later f64 parity tests into f32 (seen:
+    test_graft_entry's in-process entry() disabling x64 for the whole
+    suite).  Snapshot and restore around EVERY test."""
+    import dataclasses
+
+    snap = dataclasses.asdict(_cfg.get_config())
+    x64 = jax.config.jax_enable_x64
+    prec = jax.config.jax_default_matmul_precision
+    yield
+    _cfg.set_config(**snap)
+    jax.config.update("jax_enable_x64", x64)
+    jax.config.update("jax_default_matmul_precision", prec)
 from ecw_cc_tpu.models.scf import RHF, GHF
 from ecw_cc_tpu.models.eris import build_eris
 

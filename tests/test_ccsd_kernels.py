@@ -246,3 +246,84 @@ def test_tupdate_lupdate_sector_path_matches_dense(h2o_631g):
     l1s, l2s = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_op=sect)
     assert np.allclose(np.asarray(l1d), np.asarray(l1s), atol=1e-12)
     assert np.allclose(np.asarray(l2d), np.asarray(l2s), atol=1e-12)
+
+
+def test_tupdate_lupdate_soup_views_match_reference_path(h2o_631g):
+    """Round-3 soup optimizations — pre-permuted SoupViews (stacked X|Y GEMM,
+    m3-kcba and Zl-chain layout dots) and the stacked t+lambda ladder
+    (stacked_packed_contract feeding ladder_pre) — are exact restructurings:
+    the updates must equal the reference-ordered einsum path to f64
+    round-off."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops import ladder
+
+    _, ghf, _, eris = h2o_631g
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    eia = mo_e[:nocc, None] - mo_e[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t2 = jnp.asarray(np.asarray(eris.oovv) / eijab)
+    rng = np.random.default_rng(11)
+    t1 = jnp.asarray(rng.standard_normal((nocc, nvir)) * 0.01)
+    l1, l2 = t1 * 0.5, t2 * 0.5
+    packed = ladder.pack_vvvv(eris.vvvv)
+    views = ccsd_ops.make_soup_views(eris)
+    tau = ccsd_ops.make_tau(t2, t1, t1)
+    lad_t, lad_l = ladder.stacked_packed_contract(packed, tau, l2)
+
+    # stacked ladder == two independent packed contracts
+    assert np.allclose(np.asarray(lad_t),
+                       np.asarray(ladder.packed_vvvv_contract(packed, tau)),
+                       atol=1e-12)
+    assert np.allclose(np.asarray(lad_l),
+                       np.asarray(ladder.packed_vvvv_contract(packed, l2)),
+                       atol=1e-12)
+
+    t1d, t2d = ccsd_ops.tupdate(eris, t1, t2)
+    t1v, t2v = ccsd_ops.tupdate(eris, t1, t2, vvvv_op=packed, views=views,
+                                ladder_pre=lad_t)
+    assert np.allclose(np.asarray(t1d), np.asarray(t1v), atol=1e-12)
+    assert np.allclose(np.asarray(t2d), np.asarray(t2v), atol=1e-12)
+
+    l1d, l2d = ccsd_ops.lupdate(eris, t1, t2, l1, l2)
+    l1v, l2v = ccsd_ops.lupdate(eris, t1, t2, l1, l2, vvvv_op=packed,
+                                views=views, ladder_pre=lad_l)
+    assert np.allclose(np.asarray(l1d), np.asarray(l1v), atol=1e-12)
+    assert np.allclose(np.asarray(l2d), np.asarray(l2v), atol=1e-12)
+
+
+def test_device_solver_soup_opt_matches_plain(h2o_631g):
+    """SCF_device with config.soup_opt on == off (same iterations, same
+    fixed point) on the packed pack-on-build route — the production path."""
+    import ecw_cc_tpu.config as cfg
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, _ = h2o_631g
+    er_p, packed = build_eris_device(mol, ghf, dtype="float64",
+                                     pack_ladder=True)
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve():
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        solver = Solver_CCSD(GCC(er_p), exp, conv="tl", conv_thres=1e-8,
+                             diis="tl", maxiter=60, vvvv_op=packed)
+        return solver.SCF_device(0.05)
+
+    old = cfg.get_config().soup_opt
+    try:
+        cfg.set_config(soup_opt=True)
+        text_a, Ep_a, _, _, rdm1_a, amps_a = solve()
+        cfg.set_config(soup_opt=False)
+        text_b, Ep_b, _, _, rdm1_b, amps_b = solve()
+    finally:
+        cfg.set_config(soup_opt=old)
+    assert "Convergence reached" in text_a
+    assert len(Ep_a) == len(Ep_b)
+    assert abs(Ep_a[-1] - Ep_b[-1]) < 1e-10
+    assert np.allclose(rdm1_a, rdm1_b, atol=1e-9)
+    for a, b in zip(amps_a, amps_b):
+        assert np.allclose(a, b, atol=1e-9)
