@@ -78,6 +78,7 @@ _config = Config(
     use_pallas=os.environ.get("ECW_CC_TPU_PALLAS", "0") == "1",
     ladder_mode=os.environ.get("ECW_CC_TPU_LADDER", "auto"),
     iter_precision=os.environ.get("ECW_CC_TPU_ITERPREC", "highest"),
+    soup_opt=os.environ.get("ECW_CC_TPU_SOUP", "1") != "0",
 )
 
 

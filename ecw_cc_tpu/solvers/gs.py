@@ -683,7 +683,9 @@ class Solver_CCSD:
                     for f in type(eris)._fields})
                 vvsect_bf = (None if vvsect is None else
                              jax.tree.map(lambda a: a.astype(bf), vvsect))
-                upd_bf = (eris_bf, vvsect_bf, bf)
+                views_bf = (ccsd_ops.make_soup_views(eris_bf)
+                            if soup_opt else None)
+                upd_bf = (eris_bf, vvsect_bf, bf, views_bf)
 
             def make_body(prec):
                 # trace-time context: stamps the chosen matmul precision on
