@@ -51,9 +51,18 @@ class SoupViews(NamedTuple):
         'ibmd,mbad->ia' (rows (b,m,d), col (a)) — same layout, two reshapes.
     xy_rhs: (v*v, o*o + o*v) = [oovv^(ef),(mn) | ovvv^(ef),(mb)] — the two
         tau.(ef) contractions (quadratic X and the ladder's t1 correction Y)
-        as ONE stacked M=o^2 GEMM."""
+        as ONE stacked M=o^2 GEMM.
+    ovvv_mefa: ovvv.transpose(0,2,3,1) — serves the T1 'imef,maef->ia' dot,
+        Linter's v5 'kbdc,jkcd->bj' and the l1 'ikbc,kacb->ia' /
+        'icab,bc->ia' chains (amplitude-side 20 MB transposes replace the
+        238 MB ovvv ones).
+    ovvv_jcba: ovvv.transpose(0,3,1,2) — Linter's v1 'jbac,jc->ba'.
+    vovv_mfae: vovv.transpose(1,3,0,2) — cc_Fvv's 'mf,amef->ae'."""
     ovvv_vo: jax.Array
     xy_rhs: jax.Array
+    ovvv_mefa: jax.Array
+    ovvv_jcba: jax.Array
+    vovv_mfae: jax.Array
 
 
 def make_soup_views(eris):
@@ -66,7 +75,10 @@ def make_soup_views(eris):
         axis=1)
     return SoupViews(
         ovvv_vo=jnp.transpose(eris.ovvv, (1, 0, 3, 2)),
-        xy_rhs=xy_rhs)
+        xy_rhs=xy_rhs,
+        ovvv_mefa=jnp.transpose(eris.ovvv, (0, 2, 3, 1)),
+        ovvv_jcba=jnp.transpose(eris.ovvv, (0, 3, 1, 2)),
+        vovv_mfae=jnp.transpose(eris.vovv, (1, 3, 0, 2)))
 
 
 def _dot(a, b):
@@ -174,13 +186,19 @@ def make_tau(t2, t1a, t1b, fac=1.0):
     return t2 + t1t1 - t1t1.transpose(0, 1, 3, 2)
 
 
-def cc_Fvv(eris, t1, t2, fsp, tau_t=None):
-    nocc = t1.shape[0]
+def cc_Fvv(eris, t1, t2, fsp, tau_t=None, views=None):
+    nocc, nvir = t1.shape
     fov, fvv = fsp[:nocc, nocc:], fsp[nocc:, nocc:]
     if tau_t is None:
         tau_t = make_tau(t2, t1, t1, fac=0.5)
-    return (fvv - 0.5 * einsum("me,ma->ae", fov, t1)
-            + einsum("mf,amef->ae", t1, eris.vovv)
+    if views is not None:
+        # 'mf,amef->ae' against the pre-permuted (m,f),(a,e) vovv view
+        t1_vovv = _dot(t1.reshape(1, nocc * nvir),
+                       views.vovv_mfae.reshape(nocc * nvir, nvir * nvir)
+                       ).reshape(nvir, nvir)
+    else:
+        t1_vovv = einsum("mf,amef->ae", t1, eris.vovv)
+    return (fvv - 0.5 * einsum("me,ma->ae", fov, t1) + t1_vovv
             - 0.5 * einsum("mnaf,mnef->ae", tau_t, eris.oovv))
 
 
@@ -213,10 +231,17 @@ def cc_Wvvvv(eris, t1, t2):
     return W + einsum("mnab,mnef->abef", tau, 0.25 * eris.oovv)
 
 
-def cc_Wovvo(eris, t1, t2):
+def cc_Wovvo(eris, t1, t2, views=None):
     eris_ovvo = -eris.ovov.transpose(0, 1, 3, 2)
     eris_oovo = -eris.ooov.transpose(0, 1, 3, 2)
-    W = einsum("jf,mbef->mbej", t1, eris.ovvv)
+    if views is not None:
+        # contract ovvv's LAST axis directly: (m,b,e),(f) x (f),(j) — no
+        # 238 MB relayout (XLA's einsum otherwise transposes the big side)
+        nocc, nvir = t1.shape
+        W = _dot(eris.ovvv.reshape(nocc * nvir * nvir, nvir), t1.T
+                 ).reshape(nocc, nvir, nvir, nocc)
+    else:
+        W = einsum("jf,mbef->mbej", t1, eris.ovvv)
     W = W - einsum("nb,mnej->mbej", t1, eris_oovo)
     W = W - 0.5 * einsum("jnfb,mnef->mbej", t2, eris.oovv)
     W = W - einsum("jf,nb,mnef->mbej", t1, t1, eris.oovv)
@@ -250,10 +275,10 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
 
     tau = make_tau(t2, t1, t1)
     tau_t = make_tau(t2, t1, t1, fac=0.5)
-    Fvv = cc_Fvv(eris, t1, t2, fsp, tau_t=tau_t)
+    Fvv = cc_Fvv(eris, t1, t2, fsp, tau_t=tau_t, views=views)
     Foo = cc_Foo(eris, t1, t2, fsp, tau_t=tau_t)
     Fov = cc_Fov(eris, t1, t2, fsp)
-    Wovvo = cc_Wovvo(eris, t1, t2)
+    Wovvo = cc_Wovvo(eris, t1, t2, views=views)
     # The quadratic tau.oovv.tau term enters Stanton's t2 equation twice —
     # once through the Woooo correction, once through the Wvvvv correction
     # (each 0.125) — so compute X once and apply it with weight 0.25; the
@@ -276,11 +301,18 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
         Foo = Foo - jnp.diag(diag_oo)
 
     # T1
+    if views is not None:
+        # 'imef,maef->ia': t2 native (i),(m,e,f) against the (m,e,f),(a)
+        # pre-permuted ovvv view
+        t2_ovvv = _dot(t2.reshape(nocc, nocc * nvir * nvir),
+                       views.ovvv_mefa.reshape(nocc * nvir * nvir, nvir))
+    else:
+        t2_ovvv = einsum("imef,maef->ia", t2, eris.ovvv)
     t1new = (einsum("ie,ae->ia", t1, Fvv)
              - einsum("ma,mi->ia", t1, Foo)
              + einsum("imae,me->ia", t2, Fov)
              - einsum("nf,naif->ia", t1, eris.ovov)
-             - 0.5 * einsum("imef,maef->ia", t2, eris.ovvv)
+             - 0.5 * t2_ovvv
              - 0.5 * einsum("mnae,mnie->ia", t2, eris.ooov)
              + fov)
 
@@ -304,7 +336,13 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
     tmp = tmp - tmp.transpose(1, 0, 2, 3)
     tmp = tmp - tmp.transpose(0, 1, 3, 2)
     t2new = t2new + tmp
-    tmp = einsum("ie,jeba->ijab", t1, eris.ovvv)
+    if views is not None:
+        # 'ie,jeba->ijab' == t1 x ovvv_vo[(e),(j,a,b)] (the m3/Zl view
+        # reshaped once more — ovvv_vo[e,j,a,b] = ovvv[j,e,b,a])
+        tmp = _dot(t1, views.ovvv_vo.reshape(nvir, nocc * nvir * nvir)
+                   ).reshape(nocc, nocc, nvir, nvir)
+    else:
+        tmp = einsum("ie,jeba->ijab", t1, eris.ovvv)
     t2new = t2new + (tmp - tmp.transpose(1, 0, 2, 3))
     tmp = einsum("ma,ijmb->ijab", t1, eris.ooov)
     t2new = t2new - (tmp - tmp.transpose(0, 1, 3, 2))
@@ -329,7 +367,7 @@ def tupdate(eris, t1, t2, fsp=None, alpha=None, equation=False,
 # Lambda intermediates + update (reference CCSD.py:419-623; PySCF gccsd_lambda)
 # ---------------------------------------------------------------------------
 
-def Linter(eris, t1, t2, fsp=None, cheap=False):
+def Linter(eris, t1, t2, fsp=None, cheap=False, views=None):
     """Lambda intermediates. Reference CCSD.py:543-623.
 
     cheap=True skips the wvvvo intermediate entirely — a (v,v,v,o) tensor
@@ -337,16 +375,28 @@ def Linter(eris, t1, t2, fsp=None, cheap=False):
     folds each of its pieces into l1new with reassociated O(o^3 v^3)-or-
     cheaper chains instead (exact, no v^3 o intermediate, and the
     O(o^2 v^4) einsum('kbad,jkcd->bcaj') piece never appears).  v4 is
-    returned so lupdate can fold the v4.t1 piece."""
-    nocc = t1.shape[0]
+    returned so lupdate can fold the v4.t1 piece.
+
+    views (SoupViews): routes the three ovvv contractions (v1, v5, the
+    wovvo t1 term) through pre-permuted/contiguous layouts so no per-
+    iteration relayout of the 238 MB ovvv block is emitted; v5's dot
+    exploits t2's antisymmetry in its last two indices (sign flip in
+    place of a big transpose)."""
+    nocc, nvir = t1.shape
     fsp = eris.fock if fsp is None else fsp
     foo, fov = fsp[:nocc, :nocc], fsp[:nocc, nocc:]
     fvo, fvv = fsp[nocc:, :nocc], fsp[nocc:, nocc:]
 
     tau = t2 + 2.0 * einsum("ia,jb->ijab", t1, t1)
 
-    v1 = (fvv - einsum("ja,jb->ba", fov, t1)
-          - einsum("jbac,jc->ba", eris.ovvv, t1)
+    if views is not None:
+        # 'jbac,jc->ba' against the (j,c),(b,a) pre-permuted view
+        t1_ovvv = _dot(t1.reshape(1, nocc * nvir),
+                       views.ovvv_jcba.reshape(nocc * nvir, nvir * nvir)
+                       ).reshape(nvir, nvir)
+    else:
+        t1_ovvv = einsum("jbac,jc->ba", eris.ovvv, t1)
+    v1 = (fvv - einsum("ja,jb->ba", fov, t1) - t1_ovvv
           + 0.5 * einsum("jkca,jkbc->ba", eris.oovv, tau))
     v2 = (foo + einsum("ib,jb->ij", fov, t1)
           - einsum("kijb,kb->ij", eris.ooov, t1)
@@ -357,17 +407,40 @@ def Linter(eris, t1, t2, fsp=None, cheap=False):
     tmp = fov - einsum("kldc,ld->kc", eris.oovv, t1)
     v5 = v5 + einsum("kc,kb,jc->bj", tmp, t1, t1)
     v5 = v5 - 0.5 * einsum("kljc,klbc->bj", eris.ooov, t2)
-    v5 = v5 + 0.5 * einsum("kbdc,jkcd->bj", eris.ovvv, t2)
+    if views is not None:
+        # 0.5*'kbdc,jkcd->bj' == -0.5*(t2 x ovvv_mefa).T: t2[j,(k,d,c)] =
+        # -t2[j,(k,c,d)] (antisymmetry), view[(k,d,c),b] = ovvv[k,b,d,c]
+        v5 = v5 - 0.5 * _dot(
+            t2.reshape(nocc, nocc * nvir * nvir),
+            views.ovvv_mefa.reshape(nocc * nvir * nvir, nvir)).T
+    else:
+        v5 = v5 + 0.5 * einsum("kbdc,jkcd->bj", eris.ovvv, t2)
 
     w3 = (v5 + einsum("jcbk,jb->ck", v4, t1)
           + einsum("cb,jb->cj", v1, t1)
           - einsum("jk,jb->bk", v2, t1))
 
     woooo = 0.5 * eris.oooo + 0.25 * v3 + einsum("jilc,kc->jilk", eris.ooov, t1)
+    if views is not None:
+        # contract ovvv's LAST axis directly (same trick as cc_Wovvo)
+        ovvv_t1 = _dot(eris.ovvv.reshape(nocc * nvir * nvir, nvir), t1.T
+                       ).reshape(nocc, nvir, nvir, nocc)
+    else:
+        ovvv_t1 = einsum("jcbd,kd->jcbk", eris.ovvv, t1)
     wovvo = (v4 - einsum("ljdb,lc,kd->jcbk", eris.oovv, t1, t1)
              - einsum("ljkb,lc->jcbk", eris.ooov, t1)
-             + einsum("jcbd,kd->jcbk", eris.ovvv, t1))
-    wovoo = (0.25 * einsum("icdb,jkdb->icjk", eris.ovvv, tau)
+             + ovvv_t1)
+    if views is not None:
+        # 'icdb,jkdb->icjk' as dot(A, B^T): both operands' contracted cols
+        # are their native trailing (d,b) axes — XLA otherwise relayouts
+        # the 238 MB ovvv side instead of the o^2 v^2 tau side
+        ovvv_tau = _dot(
+            eris.ovvv.reshape(nocc * nvir, nvir * nvir),
+            tau.reshape(nocc * nocc, nvir * nvir).T
+            ).reshape(nocc, nvir, nocc, nocc)
+    else:
+        ovvv_tau = einsum("icdb,jkdb->icjk", eris.ovvv, tau)
+    wovoo = (0.25 * ovvv_tau
              + 0.5 * einsum("jkic->icjk", eris.ooov)
              + einsum("icbk,jb->icjk", v4, t1)
              - einsum("lijb,klcb->icjk", eris.ooov, t2))
@@ -406,7 +479,7 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     nocc, nvir = t1.shape
     fock = eris.fock
     fsp = fock if fsp is None else fsp
-    imds = Linter(eris, t1, t2, fsp=fsp, cheap=True)
+    imds = Linter(eris, t1, t2, fsp=fsp, cheap=True, views=views)
     fov = fsp[:nocc, nocc:]
     diag_vv = jnp.diag(fock)[nocc:]
     diag_oo = jnp.diag(fock)[:nocc]
@@ -458,7 +531,14 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     tmp1vv = mba + einsum("ka,kb->ba", l1, t1)
     tmp = tmp + einsum("ca,ijcb->ijab", tmp1vv, oovv)
     l2new = l2new - (tmp - tmp.transpose(0, 1, 3, 2))
-    tmp = einsum("ic,jcba->jiba", l1, eris.ovvv)
+    if views is not None:
+        # 'ic,jcba->jiba': l1 x ovvv_vo[(c),(j,a,b)] gives X[i,j,a,b];
+        # the needed (j,i,b,a) axis order is a small o^2 v^2 transpose
+        # of X instead of a 238 MB ovvv relayout
+        tmp = _dot(l1, views.ovvv_vo.reshape(nvir, nocc * nvir * nvir)
+                   ).reshape(nocc, nocc, nvir, nvir).transpose(1, 0, 3, 2)
+    else:
+        tmp = einsum("ic,jcba->jiba", l1, eris.ovvv)
     tmp = tmp + einsum("kiab,jk->ijab", l2, v2)
     tmp1oo = mij + einsum("ic,kc->ik", l1, t1)
     tmp = tmp - einsum("ik,kjab->ijab", tmp1oo, oovv)
@@ -481,7 +561,14 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
     l1new = l1new - einsum("ikcj,jcak->ia", tmp, imds["v4"])
     tmp = einsum("ikbc,jlbc->ikjl", l2, tau)
     l1new = l1new - 0.25 * einsum("ikjl,jlka->ia", tmp, eris.ooov)
-    l1new = l1new + 0.5 * einsum("ikbc,kacb->ia", l2, eris.ovvv)
+    if views is not None:
+        # 0.5*'ikbc,kacb->ia' == -0.5*(l2 x ovvv_mefa): l2[i,(k,c,b)] =
+        # -l2[i,(k,b,c)] (antisymmetry), view[(k,c,b),a] = ovvv[k,a,c,b]
+        l1new = l1new - 0.5 * _dot(
+            l2.reshape(nocc, nocc * nvir * nvir),
+            views.ovvv_mefa.reshape(nocc * nvir * nvir, nvir))
+    else:
+        l1new = l1new + 0.5 * einsum("ikbc,kacb->ia", l2, eris.ovvv)
     Zl = einsum("ikbc,kmcd->ibmd", l2, t2)
     if views is not None:
         # rows (i), cols (b,m,d) against the same pre-permuted ovvv
@@ -495,7 +582,14 @@ def lupdate(eris, t1, t2, l1, l2, fsp=None, alpha=None, equation=False,
            - einsum("bd,jd->jb", tmp1vv, t1)
            - einsum("lj,lb->jb", mij, t1))
     l1new = l1new + einsum("jiba,jb->ia", oovv, tmp)
-    l1new = l1new + einsum("icab,bc->ia", eris.ovvv, tmp1vv)
+    if views is not None:
+        # 'icab,bc->ia': rows (i,a), cols (b,c) of the same mefa view
+        # (view[i,a,b,c] = ovvv[i,c,a,b]) — a contiguous GEMV
+        l1new = l1new + _dot(
+            views.ovvv_mefa.reshape(nocc * nvir, nvir * nvir),
+            tmp1vv.reshape(nvir * nvir, 1)).reshape(nocc, nvir)
+    else:
+        l1new = l1new + einsum("icab,bc->ia", eris.ovvv, tmp1vv)
     l1new = l1new - einsum("jika,kj->ia", eris.ooov, tmp1oo)
     tmp = fov - einsum("kjba,jb->ka", oovv, t1)
     l1new = l1new - einsum("ik,ka->ia", mij, tmp)
