@@ -70,6 +70,13 @@ class Config:
     # (ops/ccsd.SoupViews).  Exact restructurings — same math, different
     # association; parity is tested either way.
     soup_opt: bool = True
+    # Spin-sorted MO layout for the f32 production ERI build (alpha first
+    # within occ and vir; ops/ladder.spin_sort_perm): the packed ladder
+    # operand becomes block-diagonal over spin sectors (SectoredVVVV — an
+    # exact further 2.67x FLOP / 2.67x HBM cut on the dominant GEMM) with
+    # zero per-iteration permutation cost.  Amplitude/rdm1 boundaries stay
+    # in the reference (alternating) convention (Solver_CCSD(mo_perm=...)).
+    spin_sorted: bool = True
 
 
 _config = Config(
@@ -79,6 +86,7 @@ _config = Config(
     ladder_mode=os.environ.get("ECW_CC_TPU_LADDER", "auto"),
     iter_precision=os.environ.get("ECW_CC_TPU_ITERPREC", "highest"),
     soup_opt=os.environ.get("ECW_CC_TPU_SOUP", "1") != "0",
+    spin_sorted=os.environ.get("ECW_CC_TPU_SORTED", "1") != "0",
 )
 
 

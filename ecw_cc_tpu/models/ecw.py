@@ -78,21 +78,38 @@ class ECW:
         from ecw_cc_tpu.config import get_config
         self._eris_host = None
         self.vvvv_op = None
+        self.mo_perm = None
         if get_config().dtype == "float32":
             from ecw_cc_tpu.models.eris import build_eris_device
-            from ecw_cc_tpu.ops.ladder import resolve_mode
+            from ecw_cc_tpu.ops.ladder import resolve_mode, spin_sort_perm
             if resolve_mode(self.nvir) == "packed":
                 # never materialize the dense v^4 block (4x HBM cut); the
-                # packed operand is threaded into the CCSD solvers
+                # packed operand is threaded into the CCSD solvers.  With
+                # spin_sorted (default) the MO layout is spin-sorted and
+                # the operand is the block-diagonal SectoredVVVV (a further
+                # exact 2.67x FLOP/HBM cut on the ladder GEMM); all public
+                # amplitudes/rdm1s stay in the reference convention via
+                # Solver_CCSD(mo_perm=...).
+                sort = bool(get_config().spin_sorted)
                 self.eris, self.vvvv_op = build_eris_device(
-                    mol, ghf, dtype="float32", pack_ladder=True)
+                    mol, ghf, dtype="float32", pack_ladder=True,
+                    sort_spin=sort)
+                if sort:
+                    self.mo_perm = spin_sort_perm(ghf.orbspin, self.nocc)
             else:
                 self.eris = build_eris_device(mol, ghf, dtype="float32")
         else:
             self._eris_host = build_eris(mol, ghf, int_thresh=int_thresh)
             self.eris = self._eris_host.to_device()
         self._int_thresh = int_thresh
-        self.fock = np.asarray(self.eris.fock)
+        self._eris_alt_cache = None
+        if self.mo_perm is not None:
+            # host-visible quantities stay in the reference (alternating)
+            # MO convention; only the device eris/solver internals are sorted
+            ip = np.argsort(self.mo_perm)
+            self.fock = np.asarray(self.eris.fock)[np.ix_(ip, ip)]
+        else:
+            self.fock = np.asarray(self.eris.fock)
 
         # target data
         self.target_rdm1_GS = None
@@ -247,7 +264,7 @@ class ECW:
         if not self.HF_prop[0]:
             self.HF_prop[0].append(None)
         if self.myccs is None:
-            self.myccs = Gccs(self.eris)
+            self.myccs = Gccs(self._eris_alt())
         if rini_list is None:
             r1, de = linalg.koopman_init_guess(np.diag(self.fock), self.mo_occ,
                                                val_core, koop_idx=rini_koop_idx)
@@ -262,6 +279,23 @@ class ECW:
     # ------------------------------------------------------------------
     # Solvers (reference Main.py:490-950)
     # ------------------------------------------------------------------
+
+    def _eris_alt(self):
+        """The eris in the reference (alternating) MO layout.  With the
+        spin-sorted production build this derives an alternating view once
+        (device gathers, cached) for consumers without sorted-layout
+        support (CCS/ES solvers — no v^4 ladder, so they gain nothing from
+        the sorted sectors); otherwise it is self.eris itself."""
+        if self.mo_perm is None:
+            return self.eris
+        if self._eris_alt_cache is None:
+            from ecw_cc_tpu.models.eris import permute_geris
+            po = self.mo_perm[:self.nocc]
+            pv = self.mo_perm[self.nocc:] - self.nocc
+            self._eris_alt_cache = permute_geris(
+                self.eris, np.argsort(po), np.argsort(pv),
+                np.argsort(self.mo_perm))
+        return self._eris_alt_cache
 
     def _tl_init(self, tl1ini):
         nocc, nvir = self.nocc, self.nvir
@@ -305,8 +339,8 @@ class ECW:
         idx_L_print = np.round(np.linspace(0, len(Larray) - 1, nbr_cube_file)).astype(int)
 
         if self.myccs is None:
-            self.myccs = Gccs(self.eris)
-        mygrad = ccs_gradient(self.eris) if method in ("newton", "descend") else None
+            self.myccs = Gccs(self._eris_alt())
+        mygrad = ccs_gradient(self._eris_alt()) if method in ("newton", "descend") else None
 
         Solve = Solver_CCS(self.myccs, VXexp, conv=conv, conv_thres=conv_thres,
                            tsini=tsini, lsini=lsini, diis=diis, maxdiis=diis_max,
@@ -413,6 +447,7 @@ class ECW:
         Solve = Solver_CCSD(self.myccsd, VXexp, conv=conv, conv_thres=conv_thres,
                             tsini=tsini, lsini=lsini, diis=diis, maxdiis=diis_max,
                             maxiter=maxiter, vvvv_op=self.vvvv_op,
+                            mo_perm=self.mo_perm,
                             eris_host=self.eris_host if refine else None)
         td = ld = None
         Result = None
@@ -512,7 +547,7 @@ class ECW:
         if self.r_ini is None:
             print("Initial amplitudes will be taken from Koopman's guess")
         if self.myccs is None:
-            self.myccs = Gccs(self.eris)
+            self.myccs = Gccs(self._eris_alt())
 
         if L_loop:
             if isinstance(L, float):

@@ -169,8 +169,78 @@ def _packed_rows_from_slab(slab4, eff, lo, hi):
     return _pack_pairs(jnp.concatenate(rows, axis=0), v)
 
 
-def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
+def permute_geris(eris: GEris, o_idx, v_idx, f_idx) -> GEris:
+    """Apply occ/vir index maps (output_index -> input_index) to every block
+    of a GEris (device gathers; one-time relayout).  f_idx is the combined
+    map for the (dim, dim) fock.  Used to derive an alternating-layout view
+    from a spin-sorted build (for consumers without sorted-layout support);
+    a zero-size vvvv placeholder is passed through."""
+    import jax.numpy as jnp
+
+    o_idx = jnp.asarray(o_idx)
+    v_idx = jnp.asarray(v_idx)
+    f_idx = jnp.asarray(f_idx)
+    fields = {}
+    for name in GEris._fields:
+        arr = getattr(eris, name)
+        if name == "fock":
+            fields[name] = arr[f_idx][:, f_idx]
+            continue
+        if arr.size == 0:
+            fields[name] = arr
+            continue
+        for ax, kind in enumerate(name):
+            arr = jnp.take(arr, o_idx if kind == "o" else v_idx, axis=ax)
+        fields[name] = arr
+    return GEris(**fields)
+
+
+def _sector_rows_from_slab(slab4, eff, lo, hi, ma):
+    """Sectored ladder rows from one sorted-layout <ab||ef> slab (w, v, v, v)
+    covering a = eff..eff+w-1 (cf. _packed_rows_from_slab): returns
+    (aa_rows, ab_rows, bb_rows) — the wc_aa / w_ab / wc_bb row groups of
+    ops/ladder.SectoredVVVV for lo <= a < hi.  In the sorted layout every
+    sector slice is contiguous; spin-forbidden blocks are never read."""
+    import jax.numpy as jnp
+
+    from ecw_cc_tpu.ops.ladder import _pack_pairs
+
+    v = slab4.shape[1]
+    mb = v - ma
+    aa, ab, bb = [], [], []
+    for a in range(lo, hi):
+        row = slab4[a - eff]
+        if a < ma:
+            if a + 1 < ma:
+                aa.append(row[a + 1:ma, :ma, :ma].reshape(ma - a - 1, ma * ma))
+            ab.append(row[ma:, :ma, ma:].reshape(mb, ma * mb))
+        elif a + 1 < v:
+            bb.append(row[a + 1:, ma:, ma:].reshape(v - a - 1, mb * mb))
+
+    def cat(rows, pack_m, ncols):
+        if not rows:
+            return jnp.zeros((0, ncols), slab4.dtype)
+        out = jnp.concatenate(rows, axis=0)
+        return _pack_pairs(out, pack_m) if pack_m else out
+
+    return (cat(aa, ma, ma * (ma - 1) // 2),
+            cat(ab, 0, ma * mb),
+            cat(bb, mb, mb * (mb - 1) // 2))
+
+
+def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False,
+                      sort_spin=False):
     """Build the G-format antisymmetrized ERI blocks ON the device.
+
+    sort_spin=True permutes the MO order by spin WITHIN the occupied and
+    virtual blocks (alpha first; ops/ladder.spin_sort_perm) BEFORE the
+    transform, so every block comes out in the spin-SORTED layout where
+    sector slices are contiguous.  With pack_ladder=True the ladder operand
+    is then the block-diagonal SectoredVVVV (2.67x fewer ladder FLOPs and
+    2.67x less wc HBM than PackedVVVV; ops/ladder.py).  Consumers must run
+    amplitudes in the sorted convention and permute rdm1/targets at the
+    host boundary (Solver_CCSD(mo_perm=...) does); the permutation is
+    recomputable as spin_sort_perm(ghf.orbspin, nocc).
 
     pack_ladder=True never materializes the dense (v,v,v,v) block: each
     transform slab is reduced straight to its antisymmetry-packed ladder
@@ -224,6 +294,17 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     w, V = np.linalg.eigh(S)
     mo_np = np.asarray(ghf.mo_coeff[:nao] + ghf.mo_coeff[nao:],
                        dtype=np.float64)
+    spin_host = np.asarray(ghf.orbspin)
+    mo_energy = np.asarray(ghf.mo_energy)
+    ma = 0
+    if sort_spin:
+        from ecw_cc_tpu.ops.ladder import spin_sort_perm
+
+        perm = spin_sort_perm(spin_host, nocc)
+        mo_np = np.ascontiguousarray(mo_np[:, perm])
+        spin_host = spin_host[perm]
+        mo_energy = mo_energy[perm]
+        ma = int(np.sum(spin_host[nocc:] == 0))   # alpha virtuals (sorted first)
     Xh = (V * (w ** -0.5)) @ V.T           # S^{-1/2}
     U = ((V * (w ** 0.5)) @ V.T) @ mo_np   # S^{1/2} mo, orthonormal columns
 
@@ -268,9 +349,9 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
     C = unpack(v_packed)
     del v_packed
 
-    spin = np.asarray(ghf.orbspin)
+    spin = spin_host
     allow = jnp.asarray((spin[:, None] == spin[None, :]), dtype=dtype)
-    fock = jnp.asarray(np.diag(ghf.mo_energy), dtype=dtype)
+    fock = jnp.asarray(np.diag(mo_energy), dtype=dtype)
 
     # Memory-lean staging: each quarter transform is its own program (peak =
     # in + out, freed between stages); physicists' blocks are sliced straight
@@ -341,6 +422,27 @@ def build_eris_device(mol, ghf, dtype="float32", pack_ladder=False):
         t1 = t1 * (m_ae[:, :, None, None] * allow_vv[None, None, :, :])
         return (jnp.transpose(t1, (0, 2, 1, 3))
                 - jnp.transpose(t1, (0, 2, 3, 1))).astype(dtype)
+
+    if pack_ladder and sort_spin:
+        from ecw_cc_tpu.ops.ladder import SectoredVVVV
+
+        extract = jax.jit(_sector_rows_from_slab, static_argnums=(1, 2, 3, 4))
+        groups = ([], [], [])
+        for lo in starts:
+            eff = min(lo, nvir - width)     # dynamic_slice clamp, made static
+            part = slab(C, lo)
+            rows = extract(part, eff, lo, min(lo + width, nvir), ma)
+            for g, r in zip(groups, rows):
+                r.block_until_ready()
+                g.append(r)
+            del part
+        wc_aa, w_ab, wc_bb = (jnp.concatenate(g, axis=0) for g in groups)
+        wc_bb.block_until_ready()
+        del groups
+        blocks["vvvv"] = jnp.zeros((nvir, 0, 0, 0), dtype)
+        blocks["fock"] = fock
+        return GEris(**blocks), SectoredVVVV(wc_aa=wc_aa, wc_bb=wc_bb,
+                                             w_ab=w_ab)
 
     if pack_ladder:
         from ecw_cc_tpu.ops.ladder import PackedVVVV

@@ -279,7 +279,7 @@ class Exp:
 # Device-side fused GS Vexp update (used inside jitted solver loops)
 # ---------------------------------------------------------------------------
 
-def make_gs_vexp_device(exp: Exp):
+def make_gs_vexp_device(exp: Exp, perm=None):
     """Compile the GS Vexp update into a pure function
         (rdm1, L) -> (Vexp00, Delta, vmax)
     for use inside lax.while_loop.  Supports the GS property set
@@ -291,18 +291,36 @@ def make_gs_vexp_device(exp: Exp):
         reference utilities.py:311-339) -> exp.dic_int;
       - property VALUES are Tr(A_ao gamma_ao), equivalent to contracting the
         properly transformed operator C^T A_G C with gamma_mo.
+
+    perm: optional MO permutation (new_from_old; ops/ladder.spin_sort_perm)
+    when the consumer's rdm1 lives in the spin-SORTED layout: every MO-basis
+    matrix (mat targets, potential/trace operators, HF reference rdm1) is
+    permuted ONCE at setup so the returned update consumes/produces sorted-
+    layout matrices.  All Delta/vmax scalars are permutation-invariant.
     """
     import jax.numpy as jnp
 
+    if perm is None:
+        pmat = lambda M: M
+    else:
+        P = np.asarray(perm)
+        pmat = lambda M: np.asarray(M)[np.ix_(P, P)]
+
     names = list(exp.prop_names[0])
-    targets = [exp.exp_data[0][i][1] for i in range(len(names))]
-    pot_mats = {k: jnp.asarray(np.real(v)) for k, v in exp.dic_int.items()}
-    hf_props = exp.HF_prop[0]
+    targets = [exp.exp_data[0][i][1] if n != "mat"
+               else pmat(exp.exp_data[0][i][1])
+               for i, n in enumerate(names)]
+    pot_mats = {k: jnp.asarray(
+        np.real(v)[..., :, :] if perm is None
+        else np.real(np.asarray(v))[..., P, :][..., :, P])
+        for k, v in exp.dic_int.items()}
+    hf_props = [p if (names[i] != "mat" or p is None) else pmat(p)
+                for i, p in enumerate(exp.HF_prop[0])]
     C = np.asarray(exp.mo_coeff)
 
     def _trace_mat(A_ao):
         A_g = convert.convert_r_to_g_rdm1(A_ao) * 2.0  # block-diag expand (no 1/2)
-        return jnp.asarray(C.T @ A_g @ C)
+        return jnp.asarray(pmat(C.T @ A_g @ C))
 
     trace_mats = {}
     if exp.Ek_int is not None:

@@ -83,17 +83,26 @@ def shard_vvvv_op(vvvv_op, mesh):
         return None
     import jax.numpy as jnp
 
-    from ecw_cc_tpu.ops.ladder import PackedVVVV
+    from ecw_cc_tpu.ops.ladder import PackedVVVV, SectoredVVVV
+
+    tp = mesh.shape["tp"]
+
+    def pad_rows(w):
+        pad = (-w.shape[0]) % tp
+        if pad:
+            w = jnp.concatenate(
+                [w, jnp.zeros((pad, w.shape[1]), w.dtype)], axis=0)
+        return jax.device_put(w, NamedSharding(mesh, P("tp", None)))
 
     if isinstance(vvvv_op, PackedVVVV):
-        wc = vvvv_op.wc
-        tp = mesh.shape["tp"]
-        pad = (-wc.shape[0]) % tp
-        if pad:
-            wc = jnp.concatenate(
-                [wc, jnp.zeros((pad, wc.shape[1]), wc.dtype)], axis=0)
-        return PackedVVVV(wc=jax.device_put(
-            wc, NamedSharding(mesh, P("tp", None))))
+        return PackedVVVV(wc=pad_rows(vvvv_op.wc))
+    if isinstance(vvvv_op, SectoredVVVV):
+        # each sector GEMM is independently row-sharded (output pairs);
+        # the contraction (column) axes stay local -> no collective in the
+        # ladder itself, same as the packed rule
+        return SectoredVVVV(wc_aa=pad_rows(vvvv_op.wc_aa),
+                            wc_bb=pad_rows(vvvv_op.wc_bb),
+                            w_ab=pad_rows(vvvv_op.w_ab))
     return tuple(
         jax.device_put(s, NamedSharding(mesh, P("tp", None, None, None)))
         for s in vvvv_op)

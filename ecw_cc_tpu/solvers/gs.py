@@ -37,6 +37,17 @@ from ecw_cc_tpu.utils.metrics import IterationMetrics
 _DEVICE_PROPS = ("mat", "Ek", "v1e", "dip", "F")
 
 
+def _perm2(t, o_idx, v_idx):
+    """Apply occ/vir index maps to a (nocc, nvir) amplitude (works for jnp
+    and np arrays; used for the spin-sorted <-> alternating layout moves)."""
+    return t[o_idx][:, v_idx]
+
+
+def _perm4(t, o_idx, v_idx):
+    """Apply occ/vir index maps to a (nocc, nocc, nvir, nvir) amplitude."""
+    return t[o_idx][:, o_idx][:, :, v_idx][:, :, :, v_idx]
+
+
 def _record_metrics(solver_obj, name, L, Ep_it, Delta_it, conv_it):
     """Populate solver.last_metrics from the per-iteration histories
     (structured replacement for the reference's print-based tables; emits
@@ -405,13 +416,24 @@ class Solver_CCSD:
     def __init__(self, mycc, VX_exp, conv="tl", conv_thres=1e-6, tsini=None,
                  lsini=None, tdini=None, ldini=None, diis="", maxiter=40,
                  maxdiis=15, mindiis=2, energy_term="ref", eris_host=None,
-                 vvvv_op=None):
+                 vvvv_op=None, mo_perm=None):
         # vvvv_op: prebuilt ladder operand (e.g. the PackedVVVV from
         # build_eris_device(pack_ladder=True), where eris.vvvv is a
         # placeholder); default None derives it from eris.vvvv on first use.
+        #
+        # mo_perm: the MO permutation (new_from_old) that was applied to the
+        # eris layout (build_eris_device(sort_spin=True) ->
+        # ops/ladder.spin_sort_perm).  ALL public amplitude/rdm1 inputs and
+        # outputs of this solver stay in the reference (alternating)
+        # convention: the jitted run sorts amplitudes on entry and unsorts
+        # every output (a few cheap device gathers per SOLVE, not per
+        # iteration), and the device Vexp targets are permuted once at
+        # setup.  Internally the iteration runs entirely in the sorted
+        # layout, which is what the SectoredVVVV ladder route requires.
         if vvvv_op is not None:
             self._vvsect = vvvv_op
             self._vvsect_mode = "explicit"  # never invalidated by mode changes
+        self.mo_perm = None if mo_perm is None else np.asarray(mo_perm)
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.fock = mycc.fock
@@ -428,6 +450,12 @@ class Solver_CCSD:
             raise ValueError("Accepted convergence parameter is Ep, l or tl")
         self.conv = conv
         nocc, nvir = self.nocc, self.nvir
+        if self.mo_perm is not None:
+            self._po = self.mo_perm[:nocc]
+            self._pv = self.mo_perm[nocc:] - nocc
+            self._io = np.argsort(self._po)
+            self._iv = np.argsort(self._pv)
+            self._ip = np.argsort(self.mo_perm)
         dt = self.fock.dtype
         self.tsini = (jnp.zeros((nocc, nvir), dtype=dt) if tsini is None
                       else jnp.asarray(tsini, dtype=dt))
@@ -439,6 +467,10 @@ class Solver_CCSD:
             eijab = eia[:, None, :, None] + eia[None, :, None, :]
             tdini = mycc.eris.oovv / eijab
             ldini = tdini
+            if self.mo_perm is not None:
+                # eris are sorted; the public MP2 guess is alternating
+                tdini = _perm4(tdini, self._io, self._iv)
+                ldini = tdini
         self.tdini = jnp.asarray(tdini, dtype=dt)
         self.ldini = jnp.asarray(ldini, dtype=dt)
         self._device_ok = all(p in _DEVICE_PROPS
@@ -470,6 +502,12 @@ class Solver_CCSD:
         ls = self.lsini if ls is None else jnp.asarray(ls)
         td = self.tdini if td is None else jnp.asarray(td)
         ld = self.ldini if ld is None else jnp.asarray(ld)
+        if self.mo_perm is not None:
+            # sorted eris layout: iterate sorted, host Vexp in the public
+            # (alternating) convention (cf. _build_device_solver)
+            po, pv, io, iv = self._po, self._pv, self._io, self._iv
+            ts, ls = _perm2(ts, po, pv), _perm2(ls, po, pv)
+            td, ld = _perm4(td, po, pv), _perm4(ld, po, pv)
         diis = diis or self.diis
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
@@ -486,9 +524,16 @@ class Solver_CCSD:
             if diis == "rdm1":
                 rdm1 = jnp.asarray(
                     cl_diis.update(np.ravel(rdm1)).reshape(dim, dim))
-            Delta, vmax = VXexp.Vexp_update(np.asarray(rdm1), np.asarray(rdm1),
-                                            (0, 0), L=L)
-            fsp = jnp.asarray(self.fock - VXexp.Vexp[0, 0])
+            if self.mo_perm is not None:
+                rdm1 = jnp.asarray(np.asarray(rdm1)[np.ix_(self._ip, self._ip)])
+                Delta, vmax = VXexp.Vexp_update(np.asarray(rdm1),
+                                                np.asarray(rdm1), (0, 0), L=L)
+                V = VXexp.Vexp[0, 0][np.ix_(self.mo_perm, self.mo_perm)]
+                fsp = jnp.asarray(np.asarray(self.fock) - V)
+            else:
+                Delta, vmax = VXexp.Vexp_update(np.asarray(rdm1),
+                                                np.asarray(rdm1), (0, 0), L=L)
+                fsp = jnp.asarray(self.fock - VXexp.Vexp[0, 0])
             Delta_ite.append((Delta, vmax))
             Ep_ite.append(float(mycc.energy(ts, td, fsp)))
             # thread the solver's ladder operand: with pack-on-build ERIs
@@ -522,6 +567,9 @@ class Solver_CCSD:
             Conv_text = (f"Convergence reached for lambda= {L} and "
                          f"alpha={alpha}, after {ite} iteration")
         _record_metrics(self, "CCSD", L, Ep_ite, Delta_ite, conv_ite)
+        if self.mo_perm is not None:
+            ts, ls = _perm2(ts, io, iv), _perm2(ls, io, iv)
+            td, ld = _perm4(td, io, iv), _perm4(ld, io, iv)
         return (Conv_text, np.asarray(Ep_ite), np.asarray(Delta_ite),
                 np.asarray(conv_ite), np.asarray(rdm1),
                 [np.asarray(ts), np.asarray(ls), np.asarray(td), np.asarray(ld)])
@@ -532,7 +580,12 @@ class Solver_CCSD:
         # cond already guarantees active=True inside the body, and the
         # freeze's jnp.where over the DIIS history buffers alone copies
         # ~1.3 GB/iteration at pVTZ.
-        vexp_fn = make_gs_vexp_device(self.myVexp)
+        vexp_fn = make_gs_vexp_device(self.myVexp, perm=self.mo_perm)
+        mo_perm = self.mo_perm
+        if mo_perm is not None:
+            po, pv = jnp.asarray(self._po), jnp.asarray(self._pv)
+            io, iv = jnp.asarray(self._io), jnp.asarray(self._iv)
+            ip = jnp.asarray(self._ip)
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
         maxiter = self.maxiter
@@ -558,6 +611,14 @@ class Solver_CCSD:
             return _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v)
 
         def _run_impl(eris, vvsect, L, ts0, ls0, td0, ld0, alpha_v):
+            # spin-sorted eris layout: public amplitudes arrive in the
+            # reference (alternating) convention — sort them ONCE here
+            # (gathers hoisted before the while_loop; outputs are unsorted
+            # symmetrically at the bottom).  The iteration itself never
+            # pays a permutation.
+            if mo_perm is not None:
+                ts0, ls0 = _perm2(ts0, po, pv), _perm2(ls0, po, pv)
+                td0, ld0 = _perm4(td0, po, pv), _perm4(ld0, po, pv)
             # loop-invariant pre-permuted ERI views (hoisted out of the
             # while_loop by XLA; ~2 ms one-time vs a 238 MB transpose per
             # iteration in the einsum path)
@@ -615,10 +676,13 @@ class Solver_CCSD:
                 # with the packed route they run as ONE stacked GEMM so the
                 # (p, p) operand — the largest block in HBM — is read once
                 ladder_t = ladder_l = None
-                if soup_opt and isinstance(vv_u, ladder_ops.PackedVVVV):
+                if soup_opt and isinstance(
+                        vv_u, (ladder_ops.PackedVVVV, ladder_ops.SectoredVVVV)):
                     tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
-                    ladder_t, ladder_l = ladder_ops.stacked_packed_contract(
-                        vv_u, tau_st, ld_u)
+                    stk = (ladder_ops.stacked_packed_contract
+                           if isinstance(vv_u, ladder_ops.PackedVVVV)
+                           else ladder_ops.stacked_sectored_contract)
+                    ladder_t, ladder_l = stk(vv_u, tau_st, ld_u)
                 ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
                                           alpha=alpha, vvvv_op=vv_u,
                                           views=views_u, ladder_pre=ladder_t)
@@ -794,6 +858,11 @@ class Solver_CCSD:
             (ts, ls, td, ld, _, _, Dconv, ite, k, status,
              Ep_h, Delta_h, vmax_h, conv_h, rdm1, _, _) = out
             status = jnp.where(status == 0, 1, status)
+            if mo_perm is not None:
+                # back to the public (alternating) convention
+                ts, ls = _perm2(ts, io, iv), _perm2(ls, io, iv)
+                td, ld = _perm4(td, io, iv), _perm4(ld, io, iv)
+                rdm1 = rdm1[ip][:, ip]
             return ts, ls, td, ld, rdm1, ite, k, status, Ep_h, Delta_h, vmax_h, conv_h
 
         return run

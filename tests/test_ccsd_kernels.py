@@ -144,6 +144,80 @@ def test_spin_sector_ladder_exact(h2o_631g):
     assert np.allclose(np.asarray(dense_l), np.asarray(sect), atol=1e-12)
 
 
+def test_sectored_ladder_exact(h2o_631g):
+    """SectoredVVVV (spin-SORTED layout: sectored + antisymmetry-packed,
+    ops/ladder.py) equals the dense ladder exactly, for both the direct and
+    stacked t+lambda contractions and the lambda orientation."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ladder
+
+    _, ghf, _, eris = h2o_631g
+    nocc, nvir = eris.nocc, eris.nvir
+    perm = ladder.spin_sort_perm(ghf.orbspin, nocc)
+    pv = perm[nocc:] - nocc
+    vs = np.asarray(eris.vvvv)[np.ix_(pv, pv, pv, pv)]     # sorted layout
+    ma = int(np.sum(np.asarray(ghf.orbspin)[nocc:][pv] == 0))
+    sect = ladder.pack_vvvv_sorted(jnp.asarray(vs), ma)
+    # spin-forbidden pair blocks never stored: 2.67x fewer pair-products
+    p = nvir * (nvir - 1) // 2
+    stored = sect.wc_aa.size + sect.wc_bb.size + sect.w_ab.size
+    assert stored < 0.5 * p * p
+
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((nocc, nocc, nvir, nvir))
+    x = x - x.transpose(0, 1, 3, 2)
+    dense = 0.5 * np.einsum("ijef,abef->ijab", x, vs)
+    got = np.asarray(ladder.sectored_vvvv_contract(sect, jnp.asarray(x)))
+    assert np.allclose(dense, got, atol=1e-12)
+    dense_l = 0.5 * np.einsum("ijcd,cdab->ijab", x, vs)
+    assert np.allclose(dense_l, got, atol=1e-12)
+
+    x2 = rng.standard_normal((nocc, nocc, nvir, nvir))
+    x2 = x2 - x2.transpose(0, 1, 3, 2)
+    y1, y2 = ladder.stacked_sectored_contract(sect, jnp.asarray(x),
+                                              jnp.asarray(x2))
+    assert np.allclose(dense, np.asarray(y1), atol=1e-12)
+    assert np.allclose(0.5 * np.einsum("ijef,abef->ijab", x2, vs),
+                       np.asarray(y2), atol=1e-12)
+
+
+def test_sorted_solver_matches_alternating(h2o_631g):
+    """The production while_loop solve on spin-SORTED pack-on-build ERIs
+    (SectoredVVVV + Solver_CCSD(mo_perm=...)) returns the SAME public
+    (alternating-convention) energies/rdm1/amplitudes as the plain solve —
+    f64 exactness, same iteration count."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, eris_host, eris = h2o_631g
+    nocc = eris.nocc
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(sort):
+        er, op = build_eris_device(mol, ghf, dtype="float64",
+                                   pack_ladder=True, sort_spin=sort)
+        if sort:
+            assert isinstance(op, ladder.SectoredVVVV)
+        perm = ladder.spin_sort_perm(ghf.orbspin, nocc) if sort else None
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        solver = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8,
+                             diis="tl", maxiter=60, vvvv_op=op, mo_perm=perm)
+        return solver.SCF_device(0.05)
+
+    text_r, Ep_r, _, _, rdm1_r, amps_r = solve(False)
+    text_s, Ep_s, _, _, rdm1_s, amps_s = solve(True)
+    assert "Convergence reached" in text_s
+    assert len(Ep_r) == len(Ep_s)
+    assert abs(Ep_r[-1] - Ep_s[-1]) < 1e-10
+    assert np.allclose(rdm1_r, rdm1_s, atol=1e-9)
+    for a, b in zip(amps_r, amps_s):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-9)
+
+
 def test_packed_ladder_exact(h2o_631g):
     """The antisymmetry-packed vvvv contraction equals the dense ladder for
     any operand antisymmetric in its last two indices (pure antisymmetry —

@@ -132,6 +132,55 @@ def test_sharded_packed_ladder_solve_matches_replicated(h2o_631g):
         assert np.allclose(a, b, atol=1e-9)
 
 
+def test_sharded_sectored_ladder_solve_matches_replicated(h2o_631g):
+    """Production solve on spin-SORTED pack-on-build ERIs with every
+    SectoredVVVV sector row-sharded over 'tp' (the multi-chip route for the
+    sorted production layout) equals the replicated sorted solve AND the
+    alternating-layout solve in the public convention."""
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+    from ecw_cc_tpu.parallel.sharding import (amp_shardings, shard_eris,
+                                              shard_vvvv_op)
+
+    mol, ghf, eris_host, _ = h2o_631g
+    er_s, sect = build_eris_device(mol, ghf, dtype="float64",
+                                   pack_ladder=True, sort_spin=True)
+    perm = ladder.spin_sort_perm(ghf.orbspin, er_s.nocc)
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(er, op, sharded):
+        exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+        solver = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8,
+                             diis="tl", maxiter=60, vvvv_op=op, mo_perm=perm)
+        kwargs = {}
+        if sharded:
+            mesh = make_mesh(n_dp=2)
+            sh = amp_shardings(mesh)
+            kwargs = dict(ts=jax.device_put(solver.tsini, sh["t1"]),
+                          ls=jax.device_put(solver.lsini, sh["l1"]),
+                          td=jax.device_put(solver.tdini, sh["t2"]),
+                          ld=jax.device_put(solver.ldini, sh["l2"]))
+        return solver.SCF_device(0.05, **kwargs)
+
+    text_r, Ep_r, _, _, rdm1_r, amps_r = solve(er_s, sect, sharded=False)
+    mesh = make_mesh(n_dp=2)
+    sect_sh = shard_vvvv_op(sect, mesh)
+    # sector rows padded to the tp multiple (paa=28, pab=64, tp=4)
+    assert sect_sh.wc_aa.shape[0] % mesh.shape["tp"] == 0
+    text_s, Ep_s, _, _, rdm1_s, amps_s = solve(
+        shard_eris(er_s, mesh), sect_sh, sharded=True)
+    assert "Convergence reached" in text_r
+    assert len(Ep_r) == len(Ep_s)
+    assert abs(Ep_r[-1] - Ep_s[-1]) < 1e-10
+    assert np.allclose(rdm1_r, rdm1_s, atol=1e-9)
+    for a, b in zip(amps_r, amps_s):
+        assert np.allclose(a, b, atol=1e-9)
+
+
 def test_sharded_packed_operand_pads_odd_p():
     """p = nvir(nvir-1)/2 is not divisible by tp for most nvir (13041 at
     cc-pVTZ); shard_vvvv_op must zero-pad the row axis and
