@@ -246,17 +246,25 @@ def build_host(basis):
     return mol, ghf
 
 
-def device_full_step(target, Lw):
-    """The production iteration body (same ops the while_loop solver runs)."""
+def device_full_step(target, Lw, sect_info=None):
+    """The production iteration body (same ops the while_loop solver runs).
+    sect_info: SectorInfo when the solver runs the sector-blocked kernels
+    (sorted layout) — the FLOP count must reflect the same path."""
     from ecw_cc_tpu.ops import ccsd as ccsd_ops
 
     def step(er, sect, t1, t2, l1, l2):
         rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
         fsp = er.fock - Lw * (target - rdm1)
         Ep = ccsd_ops.energy(er, t1, t2, fsp)
-        t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_op=sect)
-        l1n, l2n = ccsd_ops.lupdate(er, t1n, t2n, l1, l2, fsp=fsp,
+        if sect_info is not None:
+            from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
+            t1n, t2n = tupdate_sect(er, t1, t2, fsp, sect_info, vvvv_op=sect)
+            l1n, l2n = lupdate_sect(er, t1n, t2n, l1, l2, fsp, sect_info,
                                     vvvv_op=sect)
+        else:
+            t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_op=sect)
+            l1n, l2n = ccsd_ops.lupdate(er, t1n, t2n, l1, l2, fsp=fsp,
+                                        vvvv_op=sect)
         return t1n, t2n, l1n, l2n, Ep
 
     return step
@@ -367,7 +375,14 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     sect_shapes = (None if vvsect is None else
                    jax.tree.map(lambda s: jax.ShapeDtypeStruct(s.shape, dtype),
                                 vvsect))
-    step = device_full_step(target_np.astype(np.float32), np.float32(LW))
+    import ecw_cc_tpu.config as _cfg2
+    sect_info = None
+    if (mo_perm is not None and solver._sinfo is not None
+            and _cfg2.get_config().soup_sector
+            and solver._vexp_block_diagonal()):
+        sect_info = solver._sinfo
+    step = device_full_step(target_np.astype(np.float32), np.float32(LW),
+                            sect_info=sect_info)
     shapes = [jax.ShapeDtypeStruct(a.shape, dtype)
               for a in (args[0], args[2], args[1], args[3])]
     eris_shapes = GEris(**{f: jax.ShapeDtypeStruct(getattr(eris, f).shape, dtype)
@@ -381,13 +396,15 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
               "iters_timed": k}
 
     if vvsect is not None:
-        # FLOPs of the DENSE-ladder step too: the NumPy reference engine
-        # runs the dense route, so baseline extrapolation must not use the
-        # packed count (4x fewer ladder FLOPs)
+        # FLOPs of the DENSE step too (dense ladder AND dense kernels): the
+        # NumPy reference engine runs the dense route, so baseline
+        # extrapolation must not use the packed/sectored counts
         nv = eris.nvir
         eris_shapes_d = eris_shapes._replace(
             vvvv=jax.ShapeDtypeStruct((nv, nv, nv, nv), dtype))
-        flops_d = count_flops(step, eris_shapes_d, (None,) + tuple(shapes))
+        step_d = device_full_step(target_np.astype(np.float32),
+                                  np.float32(LW))
+        flops_d = count_flops(step_d, eris_shapes_d, (None,) + tuple(shapes))
         if np.isfinite(flops_d):
             result["flops_per_iter_dense"] = int(flops_d)
 

@@ -1,0 +1,203 @@
+"""Spin-sector-blocked einsum for the SORTED MO layout (TPU soup attack).
+
+Every G-format tensor in this framework that descends from a spin-free
+Hamiltonian and an RHF-derived GHF reference is spin-block sparse: an
+element is nonzero only when the spin multiset of its "bra" index half
+equals that of its "ket" half (<pq||rs>: {s_p,s_q}={s_r,s_s}, reference
+Eris.py:57 orbspin convention; amplitudes t2[ijab]: {s_i,s_j}={s_a,s_b};
+t1[ia]: s_i=s_a).  Only 6 of 16 spin blocks of a 4-index tensor are
+nonzero.
+
+In the spin-SORTED layout (ops/ladder.spin_sort_perm: alpha first within
+occ and vir) every spin block is a CONTIGUOUS sub-slice, so a contraction
+of such tensors decomposes into a few dense sub-block contractions with
+no gathers.  Because per-index spin assignments must be consistent across
+ALL operands, the contraction sectors are constrained and the output
+inherits its own sparsity: for the o^3 v^3 "soup" terms (t2 x oovv
+family) the FLOP count drops to 10/64 ~ 15.6% of the dense-layout GEMM
+and the operand reads to ~37.5%.  Exact dead-FLOP elimination, not an
+approximation.
+
+Design: `SpinBlocked` carries {spin-key: sub-array} with NO dense
+materialization, so chains of sectored contractions never write the
+structurally-zero blocks at all; `sector_einsum` enumerates the
+compatible assignments at TRACE time (host combinatorics, static under
+jit) and emits one small einsum per survivor.  Intermediates carry their
+TRUE support (the set of produced keys), so no balance assumption is ever
+applied to a derived tensor.
+
+Validity: exact when every primitive operand really has its assumed
+support — eris blocks and amplitudes do PROVIDED the Vexp potential is
+spin-block-diagonal (the solver checks the targets once at build time,
+ops/vexp.make_gs_vexp_device targets; all RHF-derived 'mat' targets are
+block-diagonal) — see is_block_diagonal.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SectorInfo(NamedTuple):
+    """Alpha/beta block sizes of the sorted layout (alpha first)."""
+    oa: int
+    ob: int
+    va: int
+    vb: int
+
+    @property
+    def nocc(self):
+        return self.oa + self.ob
+
+    @property
+    def nvir(self):
+        return self.va + self.vb
+
+
+def sector_info(orbspin_sorted, nocc) -> SectorInfo:
+    import numpy as np
+
+    s = np.asarray(orbspin_sorted)
+    return SectorInfo(int(np.sum(s[:nocc] == 0)), int(np.sum(s[:nocc] == 1)),
+                      int(np.sum(s[nocc:] == 0)), int(np.sum(s[nocc:] == 1)))
+
+
+def _slices(info):
+    return {
+        ("o", 0): slice(0, info.oa), ("o", 1): slice(info.oa, info.nocc),
+        ("v", 0): slice(0, info.va), ("v", 1): slice(info.va, info.nvir),
+    }
+
+
+def _balanced(spins):
+    """Balanced-halves spin rule: the multiset of the first half equals
+    that of the second (s0==s1 for 2 indices; {s0,s1}=={s2,s3} for 4 —
+    the <pq||rs> / amplitude rule)."""
+    h = len(spins) // 2
+    return sorted(spins[:h]) == sorted(spins[h:])
+
+
+class SpinBlocked:
+    """A spin-sector-blocked tensor in the sorted layout.
+
+    kinds: 'o'/'v' per axis; blocks: {key: sub-array} with key a tuple of
+    0 (alpha) / 1 (beta) per axis — ONLY the nonzero blocks are stored."""
+
+    __slots__ = ("kinds", "blocks", "info")
+
+    def __init__(self, kinds, blocks, info):
+        self.kinds = kinds
+        self.blocks = blocks
+        self.info = info
+
+    @classmethod
+    def from_dense(cls, arr, kinds, info, support=None):
+        """Slice the nonzero blocks out of a dense sorted-layout array.
+        support: iterable of keys (default: all balanced-halves keys)."""
+        sl = _slices(info)
+        if support is None:
+            support = [k for k in itertools.product((0, 1), repeat=len(kinds))
+                       if _balanced(k)]
+        blocks = {}
+        for key in support:
+            idx = tuple(sl[(kind, s)] for kind, s in zip(kinds, key))
+            sub = arr[idx]
+            if sub.size:
+                blocks[key] = sub
+        return cls(kinds, blocks, info)
+
+    def dense(self, dtype=None):
+        """Assemble the dense sorted-layout array (zeros elsewhere)."""
+        info = self.info
+        dim_of = {"o": info.nocc, "v": info.nvir}
+        shape = tuple(dim_of[k] for k in self.kinds)
+        some = next(iter(self.blocks.values()), None)
+        res = jnp.zeros(shape, dtype or (some.dtype if some is not None
+                                         else jnp.float32))
+        sl = _slices(info)
+        for key, val in self.blocks.items():
+            idx = tuple(sl[(k, s)] for k, s in zip(self.kinds, key))
+            res = res.at[idx].set(val.astype(res.dtype))
+        return res
+
+    def scale(self, c):
+        return SpinBlocked(self.kinds,
+                           {k: c * v for k, v in self.blocks.items()},
+                           self.info)
+
+    def __add__(self, other):
+        assert self.kinds == other.kinds
+        blocks = dict(self.blocks)
+        for k, v in other.blocks.items():
+            blocks[k] = blocks[k] + v if k in blocks else v
+        return SpinBlocked(self.kinds, blocks, self.info)
+
+    def transpose(self, *perm):
+        kinds = "".join(self.kinds[p] for p in perm)
+        blocks = {tuple(k[p] for p in perm): jnp.transpose(v, perm)
+                  for k, v in self.blocks.items()}
+        return SpinBlocked(kinds, blocks, self.info)
+
+
+def wrap(arr, kinds, info):
+    """SpinBlocked view of a primitive (balanced-halves) sorted tensor."""
+    return SpinBlocked.from_dense(arr, kinds, info)
+
+
+def sector_einsum(spec, *operands, info=None):
+    """einsum over SpinBlocked operands -> SpinBlocked output.
+
+    Enumerates per-letter spin assignments compatible with every operand's
+    stored support; emits one dense sub-einsum per survivor and sums into
+    output blocks.  Static combinatorics; exact."""
+    ins, out = spec.split("->")
+    in_specs = ins.split(",")
+    assert len(in_specs) == len(operands)
+    info = info or operands[0].info
+    kind_of = {}
+    for op, sub in zip(operands, in_specs):
+        assert len(sub) == len(op.kinds), (spec, sub, op.kinds)
+        for letter, kind in zip(sub, op.kinds):
+            assert kind_of.setdefault(letter, kind) == kind, (spec, letter)
+    letters = sorted(kind_of)
+
+    out_blocks = {}
+    for combo in itertools.product((0, 1), repeat=len(letters)):
+        sp = dict(zip(letters, combo))
+        subs = []
+        ok = True
+        for op, sub in zip(operands, in_specs):
+            key = tuple(sp[c] for c in sub)
+            if key not in op.blocks:
+                ok = False
+                break
+            subs.append(op.blocks[key])
+        if not ok:
+            continue
+        val = jnp.einsum(spec, *subs)
+        key = tuple(sp[c] for c in out)
+        if key in out_blocks:
+            out_blocks[key] = out_blocks[key] + val
+        else:
+            out_blocks[key] = val
+    out_kinds = "".join(kind_of[c] for c in out)
+    return SpinBlocked(out_kinds, out_blocks, info)
+
+
+def is_block_diagonal(mat, info, tol=0.0):
+    """True if a (dim, dim) matrix in the SORTED layout has no alpha-beta
+    coupling (the condition under which the solver's amplitudes keep their
+    spin structure and the sectored soup is exact).  Host-side check."""
+    import numpy as np
+
+    m = np.asarray(mat)
+    n = info.nocc + info.nvir
+    spin = np.zeros(n, dtype=int)
+    spin[info.oa:info.nocc] = 1
+    spin[info.nocc + info.va:] = 1
+    off = m[spin[:, None] != spin[None, :]]
+    return float(np.max(np.abs(off), initial=0.0)) <= tol

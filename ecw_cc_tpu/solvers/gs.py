@@ -28,6 +28,7 @@ import os
 from ecw_cc_tpu.config import get_config
 from ecw_cc_tpu.ops import ccs as ccs_ops
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
+from ecw_cc_tpu.ops import ccsd_sect
 from ecw_cc_tpu.ops import diis as diis_ops
 from ecw_cc_tpu.ops import ladder as ladder_ops
 from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
@@ -456,6 +457,16 @@ class Solver_CCSD:
             self._io = np.argsort(self._po)
             self._iv = np.argsort(self._pv)
             self._ip = np.argsort(self.mo_perm)
+            # sector sizes of the sorted layout, assuming the standard
+            # alternating [0,1,0,1,...] GHF orbspin the perm was built from
+            # (reference Eris.py:57): alpha = even original indices
+            from ecw_cc_tpu.ops.spinsect import SectorInfo
+            gv = nocc + self._pv          # global original vir indices
+            self._sinfo = SectorInfo(
+                int(np.sum(self._po % 2 == 0)), int(np.sum(self._po % 2 == 1)),
+                int(np.sum(gv % 2 == 0)), int(np.sum(gv % 2 == 1)))
+        else:
+            self._sinfo = None
         dt = self.fock.dtype
         self.tsini = (jnp.zeros((nocc, nvir), dtype=dt) if tsini is None
                       else jnp.asarray(tsini, dtype=dt))
@@ -475,6 +486,33 @@ class Solver_CCSD:
         self.ldini = jnp.asarray(ldini, dtype=dt)
         self._device_ok = all(p in _DEVICE_PROPS
                               for p in self.myVexp.prop_names[0])
+
+    def _vexp_block_diagonal(self):
+        """True if every GS target / potential matrix is spin-block-diagonal
+        in the SORTED layout — the condition under which the solver's
+        amplitudes keep their spin structure and the sector-blocked soup
+        kernels (ops/ccsd_sect.py) are exact.  Host-side, checked once per
+        built solver."""
+        from ecw_cc_tpu.ops.spinsect import is_block_diagonal
+
+        info = self._sinfo
+        P = self.mo_perm
+        exp = self.myVexp
+        mats = []
+        for i, n in enumerate(exp.prop_names[0]):
+            if n == "mat":
+                mats.append(np.asarray(exp.exp_data[0][i][1])[np.ix_(P, P)])
+        for v in exp.dic_int.values():
+            arr = np.real(np.asarray(v))
+            if arr.ndim == 2:
+                mats.append(arr[np.ix_(P, P)])
+            else:
+                mats.extend(a[np.ix_(P, P)]
+                            for a in arr.reshape(-1, *arr.shape[-2:]))
+        return all(
+            is_block_diagonal(m, info,
+                              tol=1e-10 * max(1.0, float(np.abs(m).max())))
+            for m in mats)
 
     def _conv_vec(self, ts, ls, td, ld, fsp):
         if self.conv == "tl":
@@ -582,10 +620,15 @@ class Solver_CCSD:
         # ~1.3 GB/iteration at pVTZ.
         vexp_fn = make_gs_vexp_device(self.myVexp, perm=self.mo_perm)
         mo_perm = self.mo_perm
+        sinfo = None
         if mo_perm is not None:
             po, pv = jnp.asarray(self._po), jnp.asarray(self._pv)
             io, iv = jnp.asarray(self._io), jnp.asarray(self._iv)
             ip = jnp.asarray(self._ip)
+            # sector-blocked soup kernels: exact only while the Vexp stays
+            # spin-block-diagonal (checked on the actual targets)
+            if get_config().soup_sector and self._vexp_block_diagonal():
+                sinfo = self._sinfo
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
         maxiter = self.maxiter
@@ -621,8 +664,10 @@ class Solver_CCSD:
                 td0, ld0 = _perm4(td0, po, pv), _perm4(ld0, po, pv)
             # loop-invariant pre-permuted ERI views (hoisted out of the
             # while_loop by XLA; ~2 ms one-time vs a 238 MB transpose per
-            # iteration in the einsum path)
-            views0 = ccsd_ops.make_soup_views(eris) if soup_opt else None
+            # iteration in the einsum path).  The sector-blocked kernels
+            # slice their own loop-invariant block views instead.
+            views0 = (ccsd_ops.make_soup_views(eris)
+                      if soup_opt and sinfo is None else None)
             def conv_vec(ts, ls, td, ld, fsp):
                 if conv_kind == "tl":
                     return jnp.concatenate(
@@ -683,20 +728,34 @@ class Solver_CCSD:
                            if isinstance(vv_u, ladder_ops.PackedVVVV)
                            else ladder_ops.stacked_sectored_contract)
                     ladder_t, ladder_l = stk(vv_u, tau_st, ld_u)
-                ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
-                                          alpha=alpha, vvvv_op=vv_u,
-                                          views=views_u, ladder_pre=ladder_t)
-                # tupdate's f32 denominator division promoted the fresh
-                # ts/td back to f32; re-cast so the lambda update's
-                # t-operands are genuinely bf16-stored too (the HBM saving
-                # this mode exists for)
-                tsl = ts if cast is None else ts.astype(cast)
-                tdl = td if cast is None else td.astype(cast)
-                ls, ld = ccsd_ops.lupdate(er_u, tsl, tdl, ls_u, ld_u,
-                                          fsp=fsp_u, alpha=alpha,
-                                          energy_term=energy_term,
-                                          vvvv_op=vv_u, views=views_u,
-                                          ladder_pre=ladder_l)
+                if sinfo is not None:
+                    # sector-blocked kernels (sorted layout, structured
+                    # Vexp): ~6x fewer soup FLOPs, exact (ops/ccsd_sect.py)
+                    ts, td = ccsd_sect.tupdate_sect(
+                        er_u, ts_u, td_u, fsp_u, sinfo, alpha=alpha,
+                        vvvv_op=vv_u, ladder_pre=ladder_t)
+                    tsl = ts if cast is None else ts.astype(cast)
+                    tdl = td if cast is None else td.astype(cast)
+                    ls, ld = ccsd_sect.lupdate_sect(
+                        er_u, tsl, tdl, ls_u, ld_u, fsp_u, sinfo,
+                        alpha=alpha, energy_term=energy_term, vvvv_op=vv_u,
+                        ladder_pre=ladder_l)
+                else:
+                    ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
+                                              alpha=alpha, vvvv_op=vv_u,
+                                              views=views_u,
+                                              ladder_pre=ladder_t)
+                    # tupdate's f32 denominator division promoted the fresh
+                    # ts/td back to f32; re-cast so the lambda update's
+                    # t-operands are genuinely bf16-stored too (the HBM
+                    # saving this mode exists for)
+                    tsl = ts if cast is None else ts.astype(cast)
+                    tdl = td if cast is None else td.astype(cast)
+                    ls, ld = ccsd_ops.lupdate(er_u, tsl, tdl, ls_u, ld_u,
+                                              fsp=fsp_u, alpha=alpha,
+                                              energy_term=energy_term,
+                                              vvvv_op=vv_u, views=views_u,
+                                              ladder_pre=ladder_l)
                 dt0 = ts_in.dtype
                 ts, td = ts.astype(dt0), td.astype(dt0)
                 ls, ld = ls.astype(dt0), ld.astype(dt0)
@@ -748,7 +807,7 @@ class Solver_CCSD:
                 vvsect_bf = (None if vvsect is None else
                              jax.tree.map(lambda a: a.astype(bf), vvsect))
                 views_bf = (ccsd_ops.make_soup_views(eris_bf)
-                            if soup_opt else None)
+                            if soup_opt and sinfo is None else None)
                 upd_bf = (eris_bf, vvsect_bf, bf, views_bf)
 
             def make_body(prec):
@@ -903,7 +962,8 @@ class Solver_CCSD:
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
-               get_config().ladder_mode, get_config().soup_opt)
+               get_config().ladder_mode, get_config().soup_opt,
+               get_config().soup_sector)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -959,7 +1019,8 @@ class Solver_CCSD:
         diis = diis or self.diis
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
-               get_config().ladder_mode, get_config().soup_opt, "batched")
+               get_config().ladder_mode, get_config().soup_opt,
+               get_config().soup_sector, "batched")
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:

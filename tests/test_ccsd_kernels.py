@@ -218,6 +218,145 @@ def test_sorted_solver_matches_alternating(h2o_631g):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-9)
 
 
+def _sorted_system(h2o_631g):
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ladder
+    from ecw_cc_tpu.ops.spinsect import SectorInfo
+
+    mol, ghf, eris_host, _ = h2o_631g
+    nocc = eris_host.nocc
+    er, sect = build_eris_device(mol, ghf, dtype="float64",
+                                 pack_ladder=True, sort_spin=True)
+    er_dense = build_eris_device(mol, ghf, dtype="float64", sort_spin=True)
+    perm = ladder.spin_sort_perm(ghf.orbspin, nocc)
+    spin = np.asarray(ghf.orbspin)[perm]
+    info = SectorInfo(int(np.sum(spin[:nocc] == 0)),
+                      int(np.sum(spin[:nocc] == 1)),
+                      int(np.sum(spin[nocc:] == 0)),
+                      int(np.sum(spin[nocc:] == 1)))
+    return mol, ghf, er, er_dense, sect, perm, info
+
+
+def _structured_amps(info, seed=5, scale=0.05):
+    import itertools
+    from ecw_cc_tpu.ops.spinsect import _balanced, _slices
+
+    rng = np.random.default_rng(seed)
+    o, v = info.nocc, info.nvir
+    sl = _slices(info)
+
+    def rand(kinds):
+        dims = {"o": o, "v": v}
+        arr = np.zeros(tuple(dims[k] for k in kinds))
+        for key in itertools.product((0, 1), repeat=len(kinds)):
+            if _balanced(key):
+                idx = tuple(sl[(k, s)] for k, s in zip(kinds, key))
+                arr[idx] = rng.standard_normal(arr[idx].shape) * scale
+        return arr
+
+    def asym(x):
+        x = x - x.transpose(1, 0, 2, 3)
+        return 0.5 * (x - x.transpose(0, 1, 3, 2))
+
+    return (rand("ov"), asym(rand("oovv")), rand("ov"), asym(rand("oovv")))
+
+
+def test_sectored_kernels_match_dense(h2o_631g):
+    """The sector-blocked t/lambda update twins (ops/ccsd_sect.py) equal
+    the dense kernels to machine epsilon — all alpha / energy_term
+    variants (the soup's 6.4x dead-FLOP elimination is exact)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    t1, t2, l1, l2 = map(jnp.asarray, _structured_amps(info))
+    fsp = er.fock
+    for alpha in (None, 0.1):
+        t1r, t2r = ccsd_ops.tupdate(er_dense, t1, t2, fsp=fsp, alpha=alpha)
+        t1s, t2s = tupdate_sect(er, t1, t2, fsp, info, alpha=alpha,
+                                vvvv_op=sect)
+        assert np.allclose(np.asarray(t1r), np.asarray(t1s), atol=1e-13)
+        assert np.allclose(np.asarray(t2r), np.asarray(t2s), atol=1e-13)
+        for eterm in ("ref", "off"):
+            l1r, l2r = ccsd_ops.lupdate(er_dense, t1r, t2r, l1, l2, fsp=fsp,
+                                        alpha=alpha, energy_term=eterm)
+            l1s, l2s = lupdate_sect(er, t1r, t2r, l1, l2, fsp, info,
+                                    alpha=alpha, energy_term=eterm,
+                                    vvvv_op=sect)
+            assert np.allclose(np.asarray(l1r), np.asarray(l1s), atol=1e-13)
+            assert np.allclose(np.asarray(l2r), np.asarray(l2s), atol=1e-13)
+
+
+def test_sectored_soup_solve_matches_dense(h2o_631g):
+    """Full production while_loop solve with the sector-blocked soup
+    kernels (config.soup_sector) equals the dense-kernel solve bit-for-bit
+    semantics at f64 — same iteration count, energies, rdm1, amplitudes."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(soup_sector):
+        old = cfg.get_config().soup_sector
+        try:
+            cfg.set_config(soup_sector=soup_sector)
+            exp = Exp(0.05, [[["mat", target]]], mol=mol,
+                      mo_coeff=ghf.mo_coeff)
+            sol = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8,
+                              diis="tl", maxiter=60, vvvv_op=sect,
+                              mo_perm=perm)
+            assert sol._vexp_block_diagonal()
+            return sol.SCF_device(0.05)
+        finally:
+            cfg.set_config(soup_sector=old)
+
+    a, b = solve(False), solve(True)
+    assert "Convergence reached" in b[0]
+    assert len(a[1]) == len(b[1])
+    assert abs(a[1][-1] - b[1][-1]) < 1e-12
+    assert np.allclose(a[4], b[4], atol=1e-12)
+    for x, y in zip(a[5], b[5]):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+
+
+def test_sectored_gate_spin_mixing_target(h2o_631g):
+    """A target rdm1 with alpha-beta coupling must DISABLE the sectored
+    soup (its structure assumption breaks) — the gate detects it and the
+    sorted solve still matches the alternating-layout reference solve."""
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    nmo = er.fock.shape[0]
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    rng = np.random.default_rng(0)
+    mix = rng.standard_normal((nmo, nmo)) * 1e-3
+    target = target + 0.5 * (mix + mix.T)   # breaks spin structure
+
+    exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    sol = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8, diis="tl",
+                      maxiter=60, vvvv_op=sect, mo_perm=perm)
+    assert not sol._vexp_block_diagonal()
+    res_s = sol.SCF_device(0.05)
+
+    er_a, packed = build_eris_device(mol, ghf, dtype="float64",
+                                     pack_ladder=True)
+    exp_a = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    sol_a = Solver_CCSD(GCC(er_a), exp_a, conv="tl", conv_thres=1e-8,
+                        diis="tl", maxiter=60, vvvv_op=packed)
+    res_a = sol_a.SCF_device(0.05)
+    assert len(res_s[1]) == len(res_a[1])
+    assert abs(res_s[1][-1] - res_a[1][-1]) < 1e-10
+    assert np.allclose(res_s[4], res_a[4], atol=1e-9)
+
+
 def test_packed_ladder_exact(h2o_631g):
     """The antisymmetry-packed vvvv contraction equals the dense ladder for
     any operand antisymmetric in its last two indices (pure antisymmetry —
