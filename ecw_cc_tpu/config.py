@@ -129,7 +129,13 @@ def setup_jax():
 
     Enables the persistent compilation cache (remote compiles on the axon
     backend cost ~5 s each; warm runs skip them entirely).  Override the
-    location with ECW_CC_TPU_JAX_CACHE; set it to '0' to disable."""
+    location with ECW_CC_TPU_JAX_CACHE; set it to '0' to disable.
+
+    The cache lives under a per-host subdirectory keyed on the CPU feature
+    set: XLA:CPU stores AOT-compiled machine code whose cache key does NOT
+    include the host ISA, so an entry written on one machine can SIGILL on
+    another (observed as cpu_aot_loader feature-mismatch warnings when the
+    repo moves hosts).  A new host simply starts a fresh subdirectory."""
     import jax
 
     jax.config.update("jax_enable_x64", bool(_config.x64))
@@ -139,8 +145,28 @@ def setup_jax():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"))
     if cache != "0":
-        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(cache, _host_fingerprint()))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def _host_fingerprint():
+    """8-hex digest of the host CPU feature flags (+ arch)."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(
+        (platform.machine() + "|" + flags).encode()).hexdigest()[:8]
+    return f"host-{digest}"
 
 
 def np_dtype():
