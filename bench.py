@@ -246,11 +246,13 @@ def build_host(basis):
     return mol, ghf
 
 
-def device_full_step(target, Lw, sect_info=None):
+def device_full_step(target, Lw, sect_info=None, sym=False):
     """The production iteration body (same ops the while_loop solver runs).
     sect_info: SectorInfo when the solver runs the sector-blocked kernels
-    (sorted layout) — the FLOP count must reflect the same path."""
+    (sorted layout); sym: the closed-shell mirror-symmetry mode — the FLOP
+    count must reflect the same path, incl. the balanced stacked ladder."""
     from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops import ladder as ladder_ops
 
     def step(er, sect, t1, t2, l1, l2):
         rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
@@ -258,9 +260,17 @@ def device_full_step(target, Lw, sect_info=None):
         Ep = ccsd_ops.energy(er, t1, t2, fsp)
         if sect_info is not None:
             from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
-            t1n, t2n = tupdate_sect(er, t1, t2, fsp, sect_info, vvvv_op=sect)
+            ladder_t = ladder_l = None
+            if isinstance(sect, ladder_ops.SectoredVVVV):
+                tau_st = ccsd_ops.make_tau(t2, t1, t1)
+                ladder_t, ladder_l = \
+                    ladder_ops.balanced_stacked_sectored_contract(
+                        sect, tau_st, l2, sect_info.oa, sym=sym)
+            t1n, t2n = tupdate_sect(er, t1, t2, fsp, sect_info, vvvv_op=sect,
+                                    ladder_pre=ladder_t, sym=sym)
             l1n, l2n = lupdate_sect(er, t1n, t2n, l1, l2, fsp, sect_info,
-                                    vvvv_op=sect)
+                                    vvvv_op=sect, ladder_pre=ladder_l,
+                                    sym=sym)
         else:
             t1n, t2n = ccsd_ops.tupdate(er, t1, t2, fsp=fsp, vvvv_op=sect)
             l1n, l2n = ccsd_ops.lupdate(er, t1n, t2n, l1, l2, fsp=fsp,
@@ -377,12 +387,15 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
                                 vvsect))
     import ecw_cc_tpu.config as _cfg2
     sect_info = None
+    sect_sym = False
     if (mo_perm is not None and solver._sinfo is not None
             and _cfg2.get_config().soup_sector
             and solver._vexp_block_diagonal()):
         sect_info = solver._sinfo
+        sect_sym = (_cfg2.get_config().soup_sym
+                    and solver._spin_restricted())
     step = device_full_step(target_np.astype(np.float32), np.float32(LW),
-                            sect_info=sect_info)
+                            sect_info=sect_info, sym=sect_sym)
     shapes = [jax.ShapeDtypeStruct(a.shape, dtype)
               for a in (args[0], args[2], args[1], args[3])]
     eris_shapes = GEris(**{f: jax.ShapeDtypeStruct(getattr(eris, f).shape, dtype)

@@ -36,14 +36,15 @@ def _S(spec, *ops):
     return sector_einsum(spec, *ops)
 
 
-def _wrap_eris(eris, info):
+def _wrap_eris(eris, info, sym=False):
     """SpinBlocked views of the ERI blocks (loop-invariant slices)."""
     sb = {}
     for name in ("oooo", "ooov", "oovv", "ovov", "ovvo", "ovvv", "ovoo",
                  "vovv"):
-        sb[name] = wrap(getattr(eris, name), name, info)
+        sb[name] = wrap(getattr(eris, name), name, info, sym=sym)
     # derived primitive layouts (reference conventions)
-    sb["oovo"] = wrap(-jnp.transpose(eris.ooov, (0, 1, 3, 2)), "oovo", info)
+    sb["oovo"] = wrap(-jnp.transpose(eris.ooov, (0, 1, 3, 2)), "oovo", info,
+                      sym=sym)
     return sb
 
 
@@ -55,7 +56,7 @@ def _tau_b(t2b, t1b, fac=1.0):
 
 
 def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
-                 ladder_pre=None, eris_sb=None):
+                 ladder_pre=None, eris_sb=None, sym=False):
     """Sector-blocked T1/T2 SCF update (twin of ops/ccsd.tupdate with
     views=None replaced by the blocked routes; same return protocol).
 
@@ -66,11 +67,11 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     fov = fsp[:nocc, nocc:]
     diag_vv = jnp.diag(fock)[nocc:]
     diag_oo = jnp.diag(fock)[:nocc]
-    sb = _wrap_eris(eris, info) if eris_sb is None else eris_sb
+    sb = _wrap_eris(eris, info, sym=sym) if eris_sb is None else eris_sb
 
-    t1b = wrap(t1, "ov", info)
-    t2b = wrap(t2, "oovv", info)
-    fovb = wrap(fov, "ov", info)
+    t1b = wrap(t1, "ov", info, sym=sym)
+    t2b = wrap(t2, "oovv", info, sym=sym)
+    fovb = wrap(fov, "ov", info, sym=sym)
     tau = _tau_b(t2b, t1b)
     tau_t = _tau_b(t2b, t1b, fac=0.5)
 
@@ -91,12 +92,12 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     Wovvo = Wovvo + _S("jnfb,mnef->mbej", t2b, sb["oovv"]).scale(-0.5)
     Wovvo = Wovvo + _S("jf,nb,mnef->mbej", t1b, t1b, sb["oovv"]).scale(-1.0)
     Wovvo = Wovvo + wrap(-jnp.transpose(eris.ovov, (0, 1, 3, 2)), "ovvo",
-                         info)
+                         info, sym=sym)
 
     # --- quadratic X (applied once at 0.25; cf. tupdate's X-fusion) ---
     X = _S("ijef,mnef->ijmn", tau, sb["oovv"])
     tmp = _S("je,mnie->mnij", t1b, sb["ooov"])
-    Woooo = (wrap(eris.oooo, "oooo", info) + tmp
+    Woooo = (wrap(eris.oooo, "oooo", info, sym=sym) + tmp
              + tmp.transpose(0, 1, 3, 2).scale(-1.0))
 
     Fvv_d = Fvv if alpha is not None else Fvv - jnp.diag(diag_vv)
@@ -105,7 +106,7 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     # --- T1 ---
     t1new = (einsum("ie,ae->ia", t1, Fvv_d)
              - einsum("ma,mi->ia", t1, Foo_d)
-             + _S("imae,me->ia", t2b, wrap(Fov, "ov", info)).dense()
+             + _S("imae,me->ia", t2b, wrap(Fov, "ov", info, sym=sym)).dense()
              - _S("nf,naif->ia", t1b, sb["ovov"]).dense()
              - 0.5 * _S("imef,maef->ia", t2b, sb["ovvv"]).dense()
              - 0.5 * _S("mnae,mnie->ia", t2b, sb["ooov"]).dense()
@@ -113,10 +114,10 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
 
     # --- T2 ---
     Ftmp = Fvv_d - 0.5 * einsum("mb,me->be", t1, Fov)
-    tmp = _S("ijae,be->ijab", t2b, wrap(Ftmp, "vv", info))
+    tmp = _S("ijae,be->ijab", t2b, wrap(Ftmp, "vv", info, sym=sym))
     t2new = tmp + tmp.transpose(0, 1, 3, 2).scale(-1.0)
     Ftmp = Foo_d + 0.5 * einsum("je,me->mj", t1, Fov)
-    tmp = _S("imab,mj->ijab", t2b, wrap(Ftmp, "oo", info))
+    tmp = _S("imab,mj->ijab", t2b, wrap(Ftmp, "oo", info, sym=sym))
     t2new = t2new + (tmp + tmp.transpose(1, 0, 2, 3).scale(-1.0)).scale(-1.0)
     t2new = t2new + sb["oovv"]
     t2new = t2new + _S("mnab,mnij->ijab", tau, Woooo).scale(0.5)
@@ -157,7 +158,7 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
 
 def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
                  energy_term="ref", vvvv_op=None, ladder_pre=None,
-                 eris_sb=None):
+                 eris_sb=None, sym=False):
     """Sector-blocked Lambda1/Lambda2 SCF update (twin of ops/ccsd.lupdate
     with the Linter cheap=True intermediates inlined; same return
     protocol, same 'ref' energy-term quirk)."""
@@ -166,13 +167,13 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
     fov = fsp[:nocc, nocc:]
     diag_vv = jnp.diag(fock)[nocc:]
     diag_oo = jnp.diag(fock)[:nocc]
-    sb = _wrap_eris(eris, info) if eris_sb is None else eris_sb
+    sb = _wrap_eris(eris, info, sym=sym) if eris_sb is None else eris_sb
 
-    t1b = wrap(t1, "ov", info)
-    t2b = wrap(t2, "oovv", info)
-    l1b = wrap(l1, "ov", info)
-    l2b = wrap(l2, "oovv", info)
-    fovb = wrap(fov, "ov", info)
+    t1b = wrap(t1, "ov", info, sym=sym)
+    t2b = wrap(t2, "oovv", info, sym=sym)
+    l1b = wrap(l1, "ov", info, sym=sym)
+    l2b = wrap(l2, "oovv", info, sym=sym)
+    fovb = wrap(fov, "ov", info, sym=sym)
 
     # ---- Linter (cheap=True) ----
     tau = t2b + _S("ia,jb->ijab", t1b.scale(2.0), t1b)
@@ -186,7 +187,7 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
           + 0.5 * _S("ikbc,jkbc->ij", sb["oovv"], tau).dense())
     v3 = _S("ijcd,klcd->ijkl", sb["oovv"], tau)
     v4 = _S("ljdb,klcd->jcbk", sb["oovv"], t2b) + sb["ovvo"]
-    v5 = fsp[nocc:, :nocc] + _S("kc,jkbc->bj", wrap(fov, "ov", info),
+    v5 = fsp[nocc:, :nocc] + _S("kc,jkbc->bj", wrap(fov, "ov", info, sym=sym),
                                 t2b).dense()
     tmpkc = fov - _S("kldc,ld->kc", sb["oovv"], t1b).dense()
     v5 = v5 + einsum("kc,kb,jc->bj", tmpkc, t1, t1)
@@ -197,14 +198,14 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
           + einsum("cb,jb->cj", v1, t1)
           - einsum("jk,jb->bk", v2, t1))
 
-    woooo = (wrap(eris.oooo, "oooo", info).scale(0.5) + v3.scale(0.25)
+    woooo = (wrap(eris.oooo, "oooo", info, sym=sym).scale(0.5) + v3.scale(0.25)
              + _S("jilc,kc->jilk", sb["ooov"], t1b))
     wovvo = (v4 + _S("ljdb,lc,kd->jcbk", sb["oovv"], t1b, t1b).scale(-1.0)
              + _S("ljkb,lc->jcbk", sb["ooov"], t1b).scale(-1.0)
              + _S("jcbd,kd->jcbk", sb["ovvv"], t1b))
     wovoo = (_S("icdb,jkdb->icjk", sb["ovvv"], tau).scale(0.25)
              + wrap(0.5 * jnp.transpose(eris.ooov, (2, 3, 0, 1)), "ovoo",
-                    info)
+                    info, sym=sym)
              + _S("icbk,jb->icjk", v4, t1b)
              + _S("lijb,klcb->icjk", sb["ooov"], t2b).scale(-1.0))
 
@@ -219,8 +220,8 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
         E = jnp.asarray(0.0, dtype=t1.dtype)
     if energy_term == "off":
         E = jnp.asarray(0.0, dtype=t1.dtype)
-    v1b = wrap(v1d, "vv", info)
-    v2b = wrap(v2d, "oo", info)
+    v1b = wrap(v1d, "vv", info, sym=sym)
+    v2b = wrap(v2d, "oo", info, sym=sym)
 
     # ---- Lambda2 ----
     mba = _S("klca,klcb->ba", l2b, t2b).scale(0.5)
@@ -236,7 +237,7 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
     else:
         from ecw_cc_tpu.ops.ladder import apply_vvvv_op
         m3d = m3d + apply_vvvv_op(vvvv_op, l2)
-    m3b = wrap(m3d, "oovv", info)
+    m3b = wrap(m3d, "oovv", info, sym=sym)
 
     l2new = sb["oovv"] + m3b
     fov1 = fovb + _S("kjcb,kc->jb", sb["oovv"], t1b)
@@ -262,7 +263,7 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
              - einsum("ja,ij->ia", l1, v2d)
              - _S("kjca,icjk->ia", l2b, wovoo).dense()
              + _S("ijab,jb->ia", m3b, t1b).dense()
-             + _S("jiba,bj->ia", l2b, wrap(w3, "vo", info)).dense())
+             + _S("jiba,bj->ia", l2b, wrap(w3, "vo", info, sym=sym)).dense())
     tmp = _S("ikbc,jb->ikcj", l2b, t1b)
     l1new = l1new - _S("ikcj,jcak->ia", tmp, v4).dense()
     tmp = _S("ikbc,jlbc->ikjl", l2b, tau)
@@ -274,12 +275,12 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
            - _S("bd,jd->jb", tmp1vv, t1b).dense()
            - _S("lj,lb->jb", mij, t1b).dense())
     l1new = l1new + _S("jiba,jb->ia", sb["oovv"],
-                       wrap(tmp, "ov", info)).dense()
+                       wrap(tmp, "ov", info, sym=sym)).dense()
     l1new = l1new + _S("icab,bc->ia", sb["ovvv"], tmp1vv).dense()
     l1new = l1new - _S("jika,kj->ia", sb["ooov"], tmp1oo).dense()
     tmpka = fov - _S("kjba,jb->ka", sb["oovv"], t1b).dense()
-    l1new = l1new - _S("ik,ka->ia", mij, wrap(tmpka, "ov", info)).dense()
-    l1new = l1new - _S("ca,ic->ia", mba, wrap(tmpka, "ov", info)).dense()
+    l1new = l1new - _S("ik,ka->ia", mij, wrap(tmpka, "ov", info, sym=sym)).dense()
+    l1new = l1new - _S("ca,ic->ia", mba, wrap(tmpka, "ov", info, sym=sym)).dense()
 
     l2new_d = l2new.dense()
     l1new = l1new - l1new * E

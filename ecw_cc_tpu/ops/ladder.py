@@ -413,6 +413,63 @@ def stacked_sectored_contract(sect, x1, x2):
     return z1, z2
 
 
+def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False):
+    """Both per-iteration ladders with spin-BALANCED row selection.
+
+    Requires the sorted layout AND x1/x2 with balanced spin support (the
+    solver's block-diagonal Vexp gate, ops/ccsd_sect.py): the alpha-alpha /
+    beta-beta column sectors receive only the (alpha,alpha) / (beta,beta)
+    occupied row pairs and the alpha-beta sector only the (alpha,beta)
+    rows — the (beta,alpha) output rows follow by ij-antisymmetry.  4x
+    fewer GEMM rows (and 4x fewer MXU M-tiles) than
+    stacked_sectored_contract; exact, the skipped rows are structural
+    zeros.
+
+    sym=True (closed-shell mirror symmetry, spinsect gate): the beta-beta
+    result EQUALS the alpha-alpha result at the same spatial indices, so
+    its GEMM is skipped and wc_bb is never read."""
+    o, _, v, _ = x1.shape
+    ma, mb = _sector_dims(sect, v)
+    ob = o - oa
+    assert not sym or (oa == ob and ma == mb), (
+        "sym requires equal alpha/beta sector sizes", oa, ob, ma, mb)
+    paa, pbb = ma * (ma - 1) // 2, mb * (mb - 1) // 2
+
+    def rows(x):
+        r_aa = _pack_pairs(x[:oa, :oa, :ma, :ma].reshape(oa * oa, ma * ma),
+                           ma)
+        r_ab = x[:oa, oa:, :ma, ma:].reshape(oa * ob, ma * mb)
+        if sym:
+            return r_aa, None, r_ab
+        r_bb = _pack_pairs(x[oa:, oa:, ma:, ma:].reshape(ob * ob, mb * mb),
+                           mb)
+        return r_aa, r_bb, r_ab
+
+    r1, r2 = rows(x1), rows(x2)
+    y_aa = _sector_mm(jnp.concatenate([r1[0], r2[0]]), sect.wc_aa, paa)
+    y_bb = (y_aa if sym else
+            _sector_mm(jnp.concatenate([r1[1], r2[1]]), sect.wc_bb, pbb))
+    y_ab = _sector_mm(jnp.concatenate([r1[2], r2[2]]), sect.w_ab, ma * mb)
+
+    Maa, Mbb, Mab = oa * oa, ob * ob, oa * ob
+
+    def assemble(k, dtype):
+        z = jnp.zeros((o, o, v, v), dtype)
+        z = z.at[:oa, :oa, :ma, :ma].set(
+            _unpack_pairs(y_aa[k * Maa:(k + 1) * Maa], ma)
+            .reshape(oa, oa, ma, ma))
+        z = z.at[oa:, oa:, ma:, ma:].set(
+            _unpack_pairs(y_bb[k * Mbb:(k + 1) * Mbb], mb)
+            .reshape(ob, ob, mb, mb))
+        ab = y_ab[k * Mab:(k + 1) * Mab].reshape(oa, ob, ma, mb)
+        z = z.at[:oa, oa:, :ma, ma:].set(ab)
+        # z[i_b, j_a, a_a, b_b] = -z[j_a, i_b, a_a, b_b] (ij-antisymmetry)
+        z = z.at[oa:, :oa, :ma, ma:].set(-jnp.transpose(ab, (1, 0, 2, 3)))
+        return z - jnp.transpose(z, (0, 1, 3, 2))
+
+    return assemble(0, x1.dtype), assemble(1, x2.dtype)
+
+
 def spin_sort_perm(orbspin, nocc):
     """Permutation (new_from_old MO indices) that sorts the G spin-orbital
     order by spin WITHIN the occupied and virtual blocks (alpha first,

@@ -31,6 +31,19 @@ support — eris blocks and amplitudes do PROVIDED the Vexp potential is
 spin-block-diagonal (the solver checks the targets once at build time,
 ops/vexp.make_gs_vexp_device targets; all RHF-derived 'mat' targets are
 block-diagonal) — see is_block_diagonal.
+
+SPIN-FLIP SYMMETRY (closed shell): for an RHF-derived GHF reference with
+spin-restricted operators, the global alpha<->beta flip maps every MO to
+its spatial twin, so each spin block EQUALS the block at the flipped key
+at the same spatial indices — the same array, no transpose (e.g.
+t2[i_b j_a a_b b_a] block == t2[i_a j_b a_a b_b] block).  `sym=True`
+SpinBlocked tensors store only one canonical block per mirror pair and
+`sector_einsum` skips the mirrored output blocks entirely — an exact
+further 2x FLOP cut on every contraction (the mirror blocks are assembled
+by reference in .dense()).  Validity gate: alpha/beta sector sizes equal
+AND every primitive operand numerically flip-symmetric (solver checks
+eris + Vexp targets once at build; see spin_flip_asymmetry /
+is_spin_restricted).
 """
 
 from __future__ import annotations
@@ -81,37 +94,66 @@ def _balanced(spins):
     return sorted(spins[:h]) == sorted(spins[h:])
 
 
+def _flip(key):
+    """The global alpha<->beta mirror of a spin key."""
+    return tuple(1 - s for s in key)
+
+
+def _is_canon(key):
+    """Canonical representative of a mirror pair (key != flip(key) always,
+    every flip changes every bit; the empty key is its own canon)."""
+    return key <= _flip(key)
+
+
 class SpinBlocked:
     """A spin-sector-blocked tensor in the sorted layout.
 
     kinds: 'o'/'v' per axis; blocks: {key: sub-array} with key a tuple of
-    0 (alpha) / 1 (beta) per axis — ONLY the nonzero blocks are stored."""
+    0 (alpha) / 1 (beta) per axis — ONLY the nonzero blocks are stored.
 
-    __slots__ = ("kinds", "blocks", "info")
+    sym=True (closed-shell spin-flip symmetry): only the canonical block
+    of each mirror pair is stored; `get(flip(key))` returns the SAME array
+    (equal content at equal spatial indices — no transpose involved)."""
 
-    def __init__(self, kinds, blocks, info):
+    __slots__ = ("kinds", "blocks", "info", "sym")
+
+    def __init__(self, kinds, blocks, info, sym=False):
         self.kinds = kinds
         self.blocks = blocks
         self.info = info
+        self.sym = sym
+
+    def get(self, key):
+        """The block at `key`, honoring the mirror identity when sym."""
+        val = self.blocks.get(key)
+        if val is None and self.sym:
+            val = self.blocks.get(_flip(key))
+        return val
 
     @classmethod
-    def from_dense(cls, arr, kinds, info, support=None):
+    def from_dense(cls, arr, kinds, info, support=None, sym=False):
         """Slice the nonzero blocks out of a dense sorted-layout array.
-        support: iterable of keys (default: all balanced-halves keys)."""
+        support: iterable of keys (default: all balanced-halves keys).
+        sym: store only the canonical half (the mirrored content of `arr`
+        is TRUSTED equal and never read)."""
         sl = _slices(info)
         if support is None:
             support = [k for k in itertools.product((0, 1), repeat=len(kinds))
                        if _balanced(k)]
+        if sym:
+            support = sorted({k if _is_canon(k) else _flip(k)
+                              for k in support})
         blocks = {}
         for key in support:
             idx = tuple(sl[(kind, s)] for kind, s in zip(kinds, key))
             sub = arr[idx]
             if sub.size:
                 blocks[key] = sub
-        return cls(kinds, blocks, info)
+        return cls(kinds, blocks, info, sym=sym)
 
     def dense(self, dtype=None):
-        """Assemble the dense sorted-layout array (zeros elsewhere)."""
+        """Assemble the dense sorted-layout array (zeros elsewhere; sym
+        tensors write each canonical block at its mirror key too)."""
         info = self.info
         dim_of = {"o": info.nocc, "v": info.nvir}
         shape = tuple(dim_of[k] for k in self.kinds)
@@ -120,32 +162,42 @@ class SpinBlocked:
                                          else jnp.float32))
         sl = _slices(info)
         for key, val in self.blocks.items():
-            idx = tuple(sl[(k, s)] for k, s in zip(self.kinds, key))
-            res = res.at[idx].set(val.astype(res.dtype))
+            keys = (key,) if not self.sym or _flip(key) == key \
+                else (key, _flip(key))
+            for k2 in keys:
+                idx = tuple(sl[(k, s)] for k, s in zip(self.kinds, k2))
+                res = res.at[idx].set(val.astype(res.dtype))
         return res
 
     def scale(self, c):
         return SpinBlocked(self.kinds,
                            {k: c * v for k, v in self.blocks.items()},
-                           self.info)
+                           self.info, sym=self.sym)
 
     def __add__(self, other):
         assert self.kinds == other.kinds
+        assert self.sym == other.sym, (
+            "mixed sym/non-sym SpinBlocked addition is ambiguous; wrap "
+            "both operands with the same sym flag")
         blocks = dict(self.blocks)
         for k, v in other.blocks.items():
             blocks[k] = blocks[k] + v if k in blocks else v
-        return SpinBlocked(self.kinds, blocks, self.info)
+        return SpinBlocked(self.kinds, blocks, self.info, sym=self.sym)
 
     def transpose(self, *perm):
         kinds = "".join(self.kinds[p] for p in perm)
-        blocks = {tuple(k[p] for p in perm): jnp.transpose(v, perm)
-                  for k, v in self.blocks.items()}
-        return SpinBlocked(kinds, blocks, self.info)
+        blocks = {}
+        for k, v in self.blocks.items():
+            key = tuple(k[p] for p in perm)
+            if self.sym and not _is_canon(key):
+                key = _flip(key)   # same content lives at the mirror key
+            blocks[key] = jnp.transpose(v, perm)
+        return SpinBlocked(kinds, blocks, self.info, sym=self.sym)
 
 
-def wrap(arr, kinds, info):
+def wrap(arr, kinds, info, sym=False):
     """SpinBlocked view of a primitive (balanced-halves) sorted tensor."""
-    return SpinBlocked.from_dense(arr, kinds, info)
+    return SpinBlocked.from_dense(arr, kinds, info, sym=sym)
 
 
 def sector_einsum(spec, *operands, info=None):
@@ -153,11 +205,18 @@ def sector_einsum(spec, *operands, info=None):
 
     Enumerates per-letter spin assignments compatible with every operand's
     stored support; emits one dense sub-einsum per survivor and sums into
-    output blocks.  Static combinatorics; exact."""
+    output blocks.  Static combinatorics; exact.
+
+    When EVERY operand is sym (closed-shell mirror symmetry), the output
+    is too: mirrored output keys are skipped entirely (their content
+    equals the canonical block) — half the sub-einsums.  A scalar output
+    instead keeps one representative of each mirrored assignment pair and
+    doubles it."""
     ins, out = spec.split("->")
     in_specs = ins.split(",")
     assert len(in_specs) == len(operands)
     info = info or operands[0].info
+    sym = all(op.sym for op in operands)
     kind_of = {}
     for op, sub in zip(operands, in_specs):
         assert len(sub) == len(op.kinds), (spec, sub, op.kinds)
@@ -168,24 +227,63 @@ def sector_einsum(spec, *operands, info=None):
     out_blocks = {}
     for combo in itertools.product((0, 1), repeat=len(letters)):
         sp = dict(zip(letters, combo))
+        okey = tuple(sp[c] for c in out)
+        if sym and (not _is_canon(okey) if out else not _is_canon(combo)):
+            continue   # the mirror assignment produces the mirror block
         subs = []
         ok = True
         for op, sub in zip(operands, in_specs):
-            key = tuple(sp[c] for c in sub)
-            if key not in op.blocks:
+            val = op.get(tuple(sp[c] for c in sub))
+            if val is None:
                 ok = False
                 break
-            subs.append(op.blocks[key])
+            subs.append(val)
         if not ok:
             continue
         val = jnp.einsum(spec, *subs)
-        key = tuple(sp[c] for c in out)
-        if key in out_blocks:
-            out_blocks[key] = out_blocks[key] + val
+        if sym and not out:
+            val = val + val   # the skipped mirror assignment's equal share
+        if okey in out_blocks:
+            out_blocks[okey] = out_blocks[okey] + val
         else:
-            out_blocks[key] = val
+            out_blocks[okey] = val
     out_kinds = "".join(kind_of[c] for c in out)
-    return SpinBlocked(out_kinds, out_blocks, info)
+    return SpinBlocked(out_kinds, out_blocks, info, sym=sym)
+
+
+def spin_flip_asymmetry(arr, kinds, info):
+    """max|block[key] - block[flip(key)]| over the balanced canonical keys
+    of a sorted-layout tensor — 0 iff the tensor is exactly closed-shell
+    mirror symmetric.  Jittable (device-side; fetch the scalar once)."""
+    if info.oa != info.ob or info.va != info.vb:
+        return jnp.asarray(jnp.inf, dtype=arr.dtype)
+    sl = _slices(info)
+    worst = jnp.asarray(0.0, dtype=arr.dtype)
+    for key in itertools.product((0, 1), repeat=len(kinds)):
+        if not _balanced(key) or not _is_canon(key):
+            continue
+        idx = tuple(sl[(k, s)] for k, s in zip(kinds, key))
+        mid = tuple(sl[(k, 1 - s)] for k, s in zip(kinds, key))
+        worst = jnp.maximum(worst, jnp.max(jnp.abs(arr[idx] - arr[mid])))
+    return worst
+
+
+def is_spin_restricted(mat, info, tol=0.0):
+    """True if a (dim, dim) sorted-layout matrix is spin-block-diagonal
+    AND its alpha-alpha block equals its beta-beta block (the closed-shell
+    mirror-symmetry condition for one-electron operators).  Host-side."""
+    import numpy as np
+
+    if info.oa != info.ob or info.va != info.vb:
+        return False
+    if not is_block_diagonal(mat, info, tol=tol):
+        return False
+    m = np.asarray(mat)
+    oa, no, va = info.oa, info.nocc, info.va
+    a_idx = np.concatenate([np.arange(0, oa), no + np.arange(0, va)])
+    b_idx = np.concatenate([np.arange(oa, no), no + va + np.arange(0, va)])
+    diff = m[np.ix_(a_idx, a_idx)] - m[np.ix_(b_idx, b_idx)]
+    return float(np.max(np.abs(diff), initial=0.0)) <= tol
 
 
 def is_block_diagonal(mat, info, tol=0.0):

@@ -484,6 +484,7 @@ class Solver_CCSD:
                 ldini = tdini
         self.tdini = jnp.asarray(tdini, dtype=dt)
         self.ldini = jnp.asarray(ldini, dtype=dt)
+        self._eris_sym_checked = None  # lazy device check (_spin_restricted)
         self._device_ok = all(p in _DEVICE_PROPS
                               for p in self.myVexp.prop_names[0])
 
@@ -496,6 +497,14 @@ class Solver_CCSD:
         from ecw_cc_tpu.ops.spinsect import is_block_diagonal
 
         info = self._sinfo
+        return all(
+            is_block_diagonal(m, info,
+                              tol=1e-10 * max(1.0, float(np.abs(m).max())))
+            for m in self._vexp_mats_sorted())
+
+    def _vexp_mats_sorted(self):
+        """The GS target + potential matrices, permuted to the sorted
+        layout (the inputs both structure gates inspect)."""
         P = self.mo_perm
         exp = self.myVexp
         mats = []
@@ -509,10 +518,52 @@ class Solver_CCSD:
             else:
                 mats.extend(a[np.ix_(P, P)]
                             for a in arr.reshape(-1, *arr.shape[-2:]))
-        return all(
-            is_block_diagonal(m, info,
-                              tol=1e-10 * max(1.0, float(np.abs(m).max())))
-            for m in mats)
+        return mats
+
+    def _spin_restricted(self):
+        """Closed-shell mirror-symmetry gate for the sym kernels
+        (ops/spinsect.py): equal alpha/beta sector sizes, every GS target /
+        potential matrix spin-restricted (block-diagonal AND alpha==beta),
+        and the ERI blocks numerically flip-symmetric (one device-side
+        check per built solver; an RHF-derived GHF passes at machine
+        epsilon, a broken-symmetry reference fails by O(1))."""
+        from ecw_cc_tpu.ops.spinsect import (is_spin_restricted,
+                                             spin_flip_asymmetry)
+
+        info = self._sinfo
+        if info is None or info.oa != info.ob or info.va != info.vb:
+            return False
+        if not all(
+                is_spin_restricted(
+                    m, info, tol=1e-10 * max(1.0, float(np.abs(m).max())))
+                for m in self._vexp_mats_sorted()):
+            return False
+        if self._eris_sym_checked is None:
+            eris = self.mycc.eris
+            eps = float(jnp.finfo(eris.oovv.dtype).eps)
+            worst = 0.0
+            d = np.asarray(jnp.diag(eris.fock))
+            no, va = info.nocc, info.va
+            worst = max(
+                float(np.max(np.abs(d[:info.oa] - d[info.oa:no]))),
+                float(np.max(np.abs(d[no:no + va] - d[no + va:]))))
+            scale = 1.0
+            for name in ("oooo", "ooov", "oovv", "ovov", "ovvo", "ovvv",
+                         "ovoo", "vovv"):
+                blk = getattr(eris, name)
+                worst = max(worst, float(spin_flip_asymmetry(blk, name,
+                                                             info)))
+                scale = max(scale, float(jnp.max(jnp.abs(blk))))
+            vv = getattr(self, "_vvsect", None)
+            if vv is not None and isinstance(vv, ladder_ops.SectoredVVVV):
+                if vv.wc_aa.shape != vv.wc_bb.shape:
+                    self._eris_sym_checked = False
+                    return False
+                worst = max(worst, float(jnp.max(jnp.abs(
+                    vv.wc_aa - vv.wc_bb))))
+                scale = max(scale, float(jnp.max(jnp.abs(vv.wc_aa))))
+            self._eris_sym_checked = worst <= 1e3 * eps * scale
+        return self._eris_sym_checked
 
     def _conv_vec(self, ts, ls, td, ld, fsp):
         if self.conv == "tl":
@@ -621,6 +672,7 @@ class Solver_CCSD:
         vexp_fn = make_gs_vexp_device(self.myVexp, perm=self.mo_perm)
         mo_perm = self.mo_perm
         sinfo = None
+        sym = False
         if mo_perm is not None:
             po, pv = jnp.asarray(self._po), jnp.asarray(self._pv)
             io, iv = jnp.asarray(self._io), jnp.asarray(self._iv)
@@ -629,6 +681,9 @@ class Solver_CCSD:
             # spin-block-diagonal (checked on the actual targets)
             if get_config().soup_sector and self._vexp_block_diagonal():
                 sinfo = self._sinfo
+                # mirror-symmetry mode: RHF-derived closed shell with
+                # spin-restricted Vexp (numerically gated incl. the eris)
+                sym = get_config().soup_sym and self._spin_restricted()
         nocc, nvir = self.nocc, self.nvir
         dim = nocc + nvir
         maxiter = self.maxiter
@@ -724,22 +779,32 @@ class Solver_CCSD:
                 if soup_opt and isinstance(
                         vv_u, (ladder_ops.PackedVVVV, ladder_ops.SectoredVVVV)):
                     tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
-                    stk = (ladder_ops.stacked_packed_contract
-                           if isinstance(vv_u, ladder_ops.PackedVVVV)
-                           else ladder_ops.stacked_sectored_contract)
-                    ladder_t, ladder_l = stk(vv_u, tau_st, ld_u)
+                    if isinstance(vv_u, ladder_ops.PackedVVVV):
+                        ladder_t, ladder_l = ladder_ops.stacked_packed_contract(
+                            vv_u, tau_st, ld_u)
+                    elif sinfo is not None:
+                        # balanced rows (+ mirror skip when sym): the
+                        # structurally-zero occupied row pairs never enter
+                        # the sector GEMMs — 4x fewer rows/M-tiles
+                        ladder_t, ladder_l = \
+                            ladder_ops.balanced_stacked_sectored_contract(
+                                vv_u, tau_st, ld_u, sinfo.oa, sym=sym)
+                    else:
+                        ladder_t, ladder_l = ladder_ops.stacked_sectored_contract(
+                            vv_u, tau_st, ld_u)
                 if sinfo is not None:
                     # sector-blocked kernels (sorted layout, structured
-                    # Vexp): ~6x fewer soup FLOPs, exact (ops/ccsd_sect.py)
+                    # Vexp): ~6x fewer soup FLOPs, exact (ops/ccsd_sect.py);
+                    # sym additionally skips every mirror spin block
                     ts, td = ccsd_sect.tupdate_sect(
                         er_u, ts_u, td_u, fsp_u, sinfo, alpha=alpha,
-                        vvvv_op=vv_u, ladder_pre=ladder_t)
+                        vvvv_op=vv_u, ladder_pre=ladder_t, sym=sym)
                     tsl = ts if cast is None else ts.astype(cast)
                     tdl = td if cast is None else td.astype(cast)
                     ls, ld = ccsd_sect.lupdate_sect(
                         er_u, tsl, tdl, ls_u, ld_u, fsp_u, sinfo,
                         alpha=alpha, energy_term=energy_term, vvvv_op=vv_u,
-                        ladder_pre=ladder_l)
+                        ladder_pre=ladder_l, sym=sym)
                 else:
                     ts, td = ccsd_ops.tupdate(er_u, ts_u, td_u, fsp=fsp_u,
                                               alpha=alpha, vvvv_op=vv_u,
@@ -963,7 +1028,7 @@ class Solver_CCSD:
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
                get_config().ladder_mode, get_config().soup_opt,
-               get_config().soup_sector)
+               get_config().soup_sector, get_config().soup_sym)
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:
@@ -1020,7 +1085,8 @@ class Solver_CCSD:
         key = (diis, alpha is not None, get_config().iter_precision,
                get_config().hybrid_fast, get_config().hybrid_switch,
                get_config().ladder_mode, get_config().soup_opt,
-               get_config().soup_sector, "batched")
+               get_config().soup_sector, get_config().soup_sym,
+               "batched")
         if not hasattr(self, "_device_solvers"):
             self._device_solvers = {}
         if key not in self._device_solvers:

@@ -262,6 +262,37 @@ def _structured_amps(info, seed=5, scale=0.05):
     return (rand("ov"), asym(rand("oovv")), rand("ov"), asym(rand("oovv")))
 
 
+def _mirror_amps(info, seed=11, scale=0.05):
+    """Balanced AND exactly spin-flip-symmetric random amplitudes (every
+    block equals its alpha<->beta mirror — the closed-shell structure the
+    sym kernels assume)."""
+    import itertools
+    from ecw_cc_tpu.ops.spinsect import _balanced, _flip, _slices
+
+    rng = np.random.default_rng(seed)
+    o, v = info.nocc, info.nvir
+    sl = _slices(info)
+
+    def rand(kinds):
+        dims = {"o": o, "v": v}
+        arr = np.zeros(tuple(dims[k] for k in kinds))
+        for key in itertools.product((0, 1), repeat=len(kinds)):
+            if _balanced(key) and key <= _flip(key):
+                idx = tuple(sl[(k, s)] for k, s in zip(kinds, key))
+                blk = rng.standard_normal(arr[idx].shape) * scale
+                arr[idx] = blk
+                arr[tuple(sl[(k, 1 - s)] for k, s in zip(kinds, key))] = blk
+        return arr
+
+    def asym(x):
+        # antisymmetrization preserves mirror symmetry (axis transposes
+        # commute with the global spin flip)
+        x = x - x.transpose(1, 0, 2, 3)
+        return 0.5 * (x - x.transpose(0, 1, 3, 2))
+
+    return (rand("ov"), asym(rand("oovv")), rand("ov"), asym(rand("oovv")))
+
+
 def test_sectored_kernels_match_dense(h2o_631g):
     """The sector-blocked t/lambda update twins (ops/ccsd_sect.py) equal
     the dense kernels to machine epsilon — all alpha / energy_term
@@ -355,6 +386,131 @@ def test_sectored_gate_spin_mixing_target(h2o_631g):
     assert len(res_s[1]) == len(res_a[1])
     assert abs(res_s[1][-1] - res_a[1][-1]) < 1e-10
     assert np.allclose(res_s[4], res_a[4], atol=1e-9)
+
+
+def test_sym_kernels_match_dense(h2o_631g):
+    """The closed-shell mirror-symmetry kernels (sym=True: only canonical
+    spin blocks computed, ops/spinsect.py) equal the dense kernels to
+    machine epsilon on mirror-symmetric amplitudes — all alpha /
+    energy_term variants."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    t1, t2, l1, l2 = map(jnp.asarray, _mirror_amps(info))
+    fsp = er.fock
+    for alpha in (None, 0.1):
+        t1r, t2r = ccsd_ops.tupdate(er_dense, t1, t2, fsp=fsp, alpha=alpha)
+        t1s, t2s = tupdate_sect(er, t1, t2, fsp, info, alpha=alpha,
+                                vvvv_op=sect, sym=True)
+        assert np.allclose(np.asarray(t1r), np.asarray(t1s), atol=1e-13)
+        assert np.allclose(np.asarray(t2r), np.asarray(t2s), atol=1e-13)
+        for eterm in ("ref", "off"):
+            l1r, l2r = ccsd_ops.lupdate(er_dense, t1r, t2r, l1, l2, fsp=fsp,
+                                        alpha=alpha, energy_term=eterm)
+            l1s, l2s = lupdate_sect(er, t1r, t2r, l1, l2, fsp, info,
+                                    alpha=alpha, energy_term=eterm,
+                                    vvvv_op=sect, sym=True)
+            assert np.allclose(np.asarray(l1r), np.asarray(l1s), atol=1e-13)
+            assert np.allclose(np.asarray(l2r), np.asarray(l2s), atol=1e-13)
+
+
+def test_sym_solve_matches_nonsym(h2o_631g):
+    """Full production while_loop solve with config.soup_sym (mirror-
+    symmetric kernels + balanced sym ladder) equals the soup_sym=False
+    sectored solve at f64 — same iteration count, energies, rdm1,
+    amplitudes; both structure gates must pass on the real system."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+
+    def solve(soup_sym):
+        old = cfg.get_config().soup_sym
+        try:
+            cfg.set_config(soup_sym=soup_sym)
+            exp = Exp(0.05, [[["mat", target]]], mol=mol,
+                      mo_coeff=ghf.mo_coeff)
+            sol = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8,
+                              diis="tl", maxiter=60, vvvv_op=sect,
+                              mo_perm=perm)
+            assert sol._vexp_block_diagonal()
+            assert sol._spin_restricted()
+            return sol.SCF_device(0.05)
+        finally:
+            cfg.set_config(soup_sym=old)
+
+    a, b = solve(False), solve(True)
+    assert "Convergence reached" in b[0]
+    assert len(a[1]) == len(b[1])
+    assert abs(a[1][-1] - b[1][-1]) < 1e-12
+    assert np.allclose(a[4], b[4], atol=1e-12)
+    for x, y in zip(a[5], b[5]):
+        assert np.allclose(np.asarray(x), np.asarray(y), atol=1e-12)
+
+
+def test_sym_gate_spin_unrestricted_target(h2o_631g):
+    """A spin-block-diagonal target whose alpha block differs from its
+    beta block keeps the sectored kernels but must DISABLE the mirror-
+    symmetry mode — and the solve still matches the alternating-layout
+    reference solve."""
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops.ccsd import GCC
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.gs import Solver_CCSD
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    nmo = er.fock.shape[0]
+    # alpha-only diagonal perturbation in the ORIGINAL (alternating)
+    # layout: stays block-diagonal, breaks alpha==beta
+    target = np.diag(np.asarray(ghf.mo_occ, dtype=np.float64))
+    d = np.zeros(nmo)
+    d[0::2] = 1e-3 * np.arange(1, nmo // 2 + 1)
+    target = target + np.diag(d)
+
+    exp = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    sol = Solver_CCSD(GCC(er), exp, conv="tl", conv_thres=1e-8, diis="tl",
+                      maxiter=60, vvvv_op=sect, mo_perm=perm)
+    assert sol._vexp_block_diagonal()
+    assert not sol._spin_restricted()
+    res_s = sol.SCF_device(0.05)
+    assert "Convergence reached" in res_s[0]
+
+    er_a, packed = build_eris_device(mol, ghf, dtype="float64",
+                                     pack_ladder=True)
+    exp_a = Exp(0.05, [[["mat", target]]], mol=mol, mo_coeff=ghf.mo_coeff)
+    sol_a = Solver_CCSD(GCC(er_a), exp_a, conv="tl", conv_thres=1e-8,
+                        diis="tl", maxiter=60, vvvv_op=packed)
+    res_a = sol_a.SCF_device(0.05)
+    assert len(res_s[1]) == len(res_a[1])
+    assert abs(res_s[1][-1] - res_a[1][-1]) < 1e-10
+    assert np.allclose(res_s[4], res_a[4], atol=1e-9)
+
+
+def test_balanced_ladder_exact(h2o_631g):
+    """The balanced-row stacked sectored ladder equals the full-row
+    stacked sectored ladder on balanced operands, and its sym mode (skip
+    the beta-beta GEMM) is exact on mirror-symmetric operands."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ladder
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    _, x1, _, x2 = map(jnp.asarray, _structured_amps(info, seed=3, scale=1.0))
+    r1, r2 = ladder.stacked_sectored_contract(sect, x1, x2)
+    b1, b2 = ladder.balanced_stacked_sectored_contract(sect, x1, x2, info.oa)
+    assert np.allclose(np.asarray(r1), np.asarray(b1), atol=1e-13)
+    assert np.allclose(np.asarray(r2), np.asarray(b2), atol=1e-13)
+
+    _, m1, _, m2 = map(jnp.asarray, _mirror_amps(info, seed=4, scale=1.0))
+    r1, r2 = ladder.stacked_sectored_contract(sect, m1, m2)
+    s1, s2 = ladder.balanced_stacked_sectored_contract(sect, m1, m2, info.oa,
+                                                       sym=True)
+    assert np.allclose(np.asarray(r1), np.asarray(s1), atol=1e-13)
+    assert np.allclose(np.asarray(r2), np.asarray(s2), atol=1e-13)
 
 
 def test_packed_ladder_exact(h2o_631g):
