@@ -251,6 +251,59 @@ def sector_einsum(spec, *operands, info=None):
     return SpinBlocked(out_kinds, out_blocks, info, sym=sym)
 
 
+def _pack_keys(kinds, sym):
+    """Canonical balanced keys in deterministic order (the pack layout)."""
+    keys = [k for k in itertools.product((0, 1), repeat=len(kinds))
+            if _balanced(k) and (not sym or _is_canon(k))]
+    return sorted(keys)
+
+
+def pack_balanced(arr, kinds, info, sym=False):
+    """Flatten the balanced (canonical when sym) blocks of a sorted-layout
+    tensor into one 1-D vector — 37.5% (balanced) / 18.75% (sym) of the
+    dense element count for 4-index tensors.  Contiguous slices + concat,
+    no gathers.  Exact for tensors whose support really is balanced
+    (the solver's structure gates); everything outside is dropped."""
+    sl = _slices(info)
+    pieces = []
+    for key in _pack_keys(kinds, sym):
+        idx = tuple(sl[(k, s)] for k, s in zip(kinds, key))
+        pieces.append(arr[idx].reshape(-1))
+    return jnp.concatenate(pieces)
+
+
+def unpack_balanced(flat, kinds, info, sym=False):
+    """Inverse of pack_balanced: dense sorted-layout tensor with zeros in
+    the structurally-zero blocks (and mirrored canonical blocks when sym)."""
+    dim_of = {"o": info.nocc, "v": info.nvir}
+    size_of = {("o", 0): info.oa, ("o", 1): info.ob,
+               ("v", 0): info.va, ("v", 1): info.vb}
+    blocks = {}
+    off = 0
+    for key in _pack_keys(kinds, sym):
+        shape = tuple(size_of[(k, s)] for k, s in zip(kinds, key))
+        n = 1
+        for s in shape:
+            n *= s
+        blocks[key] = jax.lax.dynamic_slice_in_dim(flat, off, n).reshape(shape)
+        off += n
+    sb = SpinBlocked(kinds, blocks, info, sym=sym)
+    return sb.dense(dtype=flat.dtype)
+
+
+def packed_size(kinds, info, sym=False):
+    """Element count of pack_balanced's output (static)."""
+    size_of = {("o", 0): info.oa, ("o", 1): info.ob,
+               ("v", 0): info.va, ("v", 1): info.vb}
+    total = 0
+    for key in _pack_keys(kinds, sym):
+        n = 1
+        for k, s in zip(kinds, key):
+            n *= size_of[(k, s)]
+        total += n
+    return total
+
+
 def spin_flip_asymmetry(arr, kinds, info):
     """max|block[key] - block[flip(key)]| over the balanced canonical keys
     of a sorted-layout tensor — 0 iff the tensor is exactly closed-shell

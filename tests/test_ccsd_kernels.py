@@ -491,6 +491,35 @@ def test_sym_gate_spin_unrestricted_target(h2o_631g):
     assert np.allclose(res_s[4], res_a[4], atol=1e-9)
 
 
+def test_pack_balanced_roundtrip(h2o_631g):
+    """The packed DIIS representation (spinsect.pack_balanced) is lossless
+    on balanced / mirror-symmetric tensors and its sizes are 37.5% /
+    18.75% of dense for 4-index tensors."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops.spinsect import (pack_balanced, packed_size,
+                                         unpack_balanced)
+
+    _, _, _, _, _, _, info = _sorted_system(h2o_631g)
+    o, v = info.nocc, info.nvir
+
+    t1, t2, _, _ = _structured_amps(info, seed=9)
+    for arr, kinds in ((jnp.asarray(t1), "ov"), (jnp.asarray(t2), "oovv")):
+        flat = pack_balanced(arr, kinds, info)
+        assert flat.shape == (packed_size(kinds, info),)
+        assert np.allclose(np.asarray(unpack_balanced(flat, kinds, info)),
+                           np.asarray(arr), atol=0)
+    assert packed_size("oovv", info) * 16 == 6 * o * o * v * v
+
+    m1, m2, _, _ = _mirror_amps(info, seed=10)
+    for arr, kinds in ((jnp.asarray(m1), "ov"), (jnp.asarray(m2), "oovv")):
+        flat = pack_balanced(arr, kinds, info, sym=True)
+        assert flat.shape == (packed_size(kinds, info, sym=True),)
+        assert np.allclose(
+            np.asarray(unpack_balanced(flat, kinds, info, sym=True)),
+            np.asarray(arr), atol=0)
+    assert packed_size("oovv", info, sym=True) * 16 == 3 * o * o * v * v
+
+
 def test_balanced_ladder_exact(h2o_631g):
     """The balanced-row stacked sectored ladder equals the full-row
     stacked sectored ladder on balanced operands, and its sym mode (skip
