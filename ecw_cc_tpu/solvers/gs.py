@@ -743,12 +743,15 @@ class Solver_CCSD:
             views0 = (ccsd_ops.make_soup_views(eris)
                       if soup_opt and sinfo is None else None)
             def conv_vec(ts, ls, td, ld, fsp):
+                # packed space when the sector gates hold: the skipped
+                # components are structural zeros, so every norm of
+                # conv - conv_old is unchanged
                 if conv_kind == "tl":
                     return jnp.concatenate(
-                        [(jnp.abs(ls) + jnp.abs(ts)).ravel(),
-                         (jnp.abs(ld) + jnp.abs(td)).ravel()])
+                        [_p_ov(jnp.abs(ls) + jnp.abs(ts)),
+                         _p_4(jnp.abs(ld) + jnp.abs(td))])
                 if conv_kind == "l":
-                    return jnp.concatenate([ls.ravel(), ld.ravel()])
+                    return jnp.concatenate([_p_ov(ls), _p_4(ld)])
                 return ccsd_ops.energy(eris, ts, td, fsp).reshape(1)
 
             def body_impl(carry, upd=None):
