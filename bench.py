@@ -255,7 +255,13 @@ def device_full_step(target, Lw, sect_info=None, sym=False):
     from ecw_cc_tpu.ops import ladder as ladder_ops
 
     def step(er, sect, t1, t2, l1, l2):
-        rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
+        if sect_info is not None:
+            from ecw_cc_tpu.ops.ccsd_sect import gamma_inter_sect
+            rdm1 = ccsd_ops.gamma_CCSD(
+                t1, t2, l1, l2,
+                inter=gamma_inter_sect(t1, t2, l1, l2, sect_info, sym=sym))
+        else:
+            rdm1 = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
         fsp = er.fock - Lw * (target - rdm1)
         Ep = ccsd_ops.energy(er, t1, t2, fsp)
         if sect_info is not None:
@@ -551,8 +557,43 @@ def bench_es():
             "E_es1_eV": round(e1_ev, 3)}
 
 
+def _backend_alive(timeout=300):
+    """Probe JAX backend initialization in a SUBPROCESS with a hard timeout.
+
+    The axon TPU tunnel can be down for days, in which case jax.devices()
+    in this process would hang indefinitely (CLAUDE.md gotcha) and the
+    driver's bench run would never produce its JSON line.  A subprocess
+    probe initializes (and releases) the tunnel; on timeout/failure the
+    bench emits an explicit error line instead of hanging.
+    """
+    import subprocess
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        return False, "probe timeout (%ds): tunnel hang" % timeout
+    if r.returncode != 0:
+        return False, (r.stderr or "").strip()[-300:]
+    platform = (r.stdout or "").strip()
+    # give the axon server a moment to free the probe client before the
+    # bench process opens its own tunnel (lazy HBM free, CLAUDE.md)
+    if platform not in ("cpu",):
+        time.sleep(10)
+    return True, platform
+
+
 def main():
     import ecw_cc_tpu.config as config
+
+    ok, info = _backend_alive()
+    if not ok:
+        print(f"JAX backend unavailable: {info}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "ecw_ccsd_full_iteration_c2h2_ccpvdz",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "error": f"jax backend init failed: {info}"}))
+        return
 
     config.set_config(x64=False, dtype="float32")
     config.setup_jax()

@@ -102,9 +102,12 @@ def gamma_inter(t1, t2, l1, l2):
     return doo, dov, dvo, dvv
 
 
-def gamma_CCSD(t1, t2, l1, l2):
-    """Symmetrized GS rdm1 (PySCF convention). Reference CCSD.py:136-162."""
-    doo, dov, dvo, dvv = gamma_inter(t1, t2, l1, l2)
+def gamma_CCSD(t1, t2, l1, l2, inter=None):
+    """Symmetrized GS rdm1 (PySCF convention). Reference CCSD.py:136-162.
+    inter: precomputed (doo, dov, dvo, dvv), e.g. the sector-blocked ones
+    (ops/ccsd_sect.gamma_inter_sect)."""
+    doo, dov, dvo, dvv = (gamma_inter(t1, t2, l1, l2) if inter is None
+                          else inter)
     nocc, nvir = dov.shape
     top = jnp.concatenate([doo + doo.T, dov + dvo.T], axis=1)
     bot = jnp.concatenate([(dov + dvo.T).T, dvv + dvv.T], axis=1)

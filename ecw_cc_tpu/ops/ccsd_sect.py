@@ -55,6 +55,27 @@ def _tau_b(t2b, t1b, fac=1.0):
     return t2b + t1t1 + t1t1.transpose(0, 1, 3, 2).scale(-1.0)
 
 
+def gamma_inter_sect(t1, t2, l1, l2, info, sym=False):
+    """Sector-blocked rdm1 intermediates (twin of ops/ccsd.gamma_inter):
+    the l2.t2 contractions — the only o^2 v^3 / o^3 v^2 work in the rdm1 —
+    run through sector_einsum; the o v-sized terms stay dense."""
+    t1b = wrap(t1, "ov", info, sym=sym)
+    t2b = wrap(t2, "oovv", info, sym=sym)
+    l1b = wrap(l1, "ov", info, sym=sym)
+    l2b = wrap(l2, "oovv", info, sym=sym)
+    doo = (-einsum("ie,je->ij", l1, t1)
+           - 0.5 * _S("imef,jmef->ij", l2b, t2b).dense())
+    dvv = (einsum("ma,mb->ab", t1, l1)
+           + 0.5 * _S("mnea,mneb->ab", t2b, l2b).dense())
+    xt1 = 0.5 * _S("mnef,inef->mi", l2b, t2b).dense()
+    xt2 = (0.5 * _S("mnfa,mnfe->ae", t2b, l2b).dense()
+           + einsum("ma,me->ae", t1, l1))
+    dvo = (_S("imae,me->ai", t2b, l1b).dense()
+           - einsum("mi,ma->ai", xt1, t1)
+           - einsum("ie,ae->ai", t1, xt2) + t1.T)
+    return doo, l1, dvo, dvv
+
+
 def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
                  ladder_pre=None, eris_sb=None, sym=False):
     """Sector-blocked T1/T2 SCF update (twin of ops/ccsd.tupdate with
@@ -71,7 +92,6 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
 
     t1b = wrap(t1, "ov", info, sym=sym)
     t2b = wrap(t2, "oovv", info, sym=sym)
-    fovb = wrap(fov, "ov", info, sym=sym)
     tau = _tau_b(t2b, t1b)
     tau_t = _tau_b(t2b, t1b, fac=0.5)
 

@@ -771,7 +771,11 @@ class Solver_CCSD:
                 ts, ls, td, ld = ts_in, ls_in, td_in, ld_in
                 dstate, conv = dstate_in, conv_in
                 conv_old = conv
-                rdm1 = ccsd_ops.gamma_CCSD(ts, td, ls, ld)
+                rdm1 = ccsd_ops.gamma_CCSD(
+                    ts, td, ls, ld,
+                    inter=(ccsd_sect.gamma_inter_sect(ts, td, ls, ld, sinfo,
+                                                      sym=sym)
+                           if sinfo is not None else None))
                 if diis == "rdm1":
                     dstate, vec = diis_ops.diis_update(dstate, rdm1.ravel(),
                                                        mindiis)

@@ -491,6 +491,24 @@ def test_sym_gate_spin_unrestricted_target(h2o_631g):
     assert np.allclose(res_s[4], res_a[4], atol=1e-9)
 
 
+def test_gamma_inter_sect_matches_dense(h2o_631g):
+    """The sector-blocked rdm1 intermediates equal the dense gamma_inter /
+    gamma_CCSD to machine epsilon (balanced amps; mirror amps for sym)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.ops.ccsd_sect import gamma_inter_sect
+
+    _, _, _, _, _, _, info = _sorted_system(h2o_631g)
+    for amps, sym in ((_structured_amps(info, seed=21), False),
+                      (_mirror_amps(info, seed=22), True)):
+        t1, t2, l1, l2 = map(jnp.asarray, amps)
+        ref = ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
+        out = ccsd_ops.gamma_CCSD(
+            t1, t2, l1, l2,
+            inter=gamma_inter_sect(t1, t2, l1, l2, info, sym=sym))
+        assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-13)
+
+
 def test_pack_balanced_roundtrip(h2o_631g):
     """The packed DIIS representation (spinsect.pack_balanced) is lossless
     on balanced / mirror-symmetric tensors and its sizes are 37.5% /
