@@ -29,20 +29,38 @@ ANG2BOHR = 1.0 / 0.52917721092
 import jax as _jax
 
 
-@_jax.jit
-def _l_step(eris, vvvv_op, t1, t2, l1, l2):
-    l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None, energy_term="off",
-                                vvvv_op=vvvv_op)
+from functools import partial as _partial
+
+
+@_partial(_jax.jit, static_argnames=("sect",))
+def _l_step(eris, vvvv_op, t1, t2, l1, l2, sect=None):
+    if sect is not None:
+        from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect
+
+        l1n, l2n = lupdate_sect(eris, t1, t2, l1, l2, eris.fock, sect[0],
+                                energy_term="off", vvvv_op=vvvv_op,
+                                sym=sect[1])
+    else:
+        l1n, l2n = ccsd_ops.lupdate(eris, t1, t2, l1, l2, None,
+                                    energy_term="off", vvvv_op=vvvv_op)
     return l1n, l2n, jnp.linalg.norm(l1n) + jnp.linalg.norm(l2n)
 
 
-def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None):
+def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None,
+                 sect=None):
     """GS Lambda amplitudes (textbook equations), jitted per step (eager
-    loops dispatch op-by-op over the axon tunnel — CLAUDE.md gotcha)."""
+    loops dispatch op-by-op over the axon tunnel — CLAUDE.md gotcha).
+    sect: optional (SectorInfo, sym) sector-blocked kernels (sorted
+    layout)."""
+    if sect is not None and vvvv_op is None:
+        from ecw_cc_tpu.ops import ladder
+
+        vvvv_op = _jax.jit(ladder.pack_vvvv_sorted,
+                           static_argnums=1)(eris.vvvv, sect[0].va)
     l1, l2 = t1, t2
     l_old = None
     for _ in range(max_cycle):
-        l1, l2, nrm = _l_step(eris, vvvv_op, t1, t2, l1, l2)
+        l1, l2, nrm = _l_step(eris, vvvv_op, t1, t2, l1, l2, sect=sect)
         nrm = float(nrm)
         if l_old is not None and abs(nrm - l_old) < conv_tol:
             break
@@ -65,19 +83,61 @@ def _build_eris_auto(mol, ghf):
     return build_eris(mol, ghf).to_device(), None
 
 
+def _build_eris_sorted(mol, ghf):
+    """(eris, vvvv_op, sect, unperm) for CCSD / CCSD(T) target builds.
+
+    In the f32 production mode the device build runs in the spin-SORTED
+    layout (pack-on-build SectoredVVVV ladder), so the t/lambda solves,
+    the o^3 v^4 (T) scans and the response-density adjoint all route
+    through the sector-blocked kernels (ops/ccsd_sect.py,
+    ops/ccsd_t.energy_t_sect — ~6-8x fewer FLOPs, up to 2x again under
+    the closed-shell mirror gate).  The CC equations are orbital-order
+    covariant, so everything runs sorted and only the final density is
+    permuted back (unperm).  f64 parity mode keeps the dense host build +
+    dense kernels as the oracle path."""
+    from ecw_cc_tpu.config import get_config
+
+    if get_config().dtype != "float32":
+        return build_eris(mol, ghf).to_device(), None, None, None
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ccsd_t
+    from ecw_cc_tpu.ops.ladder import spin_sort_perm
+    from ecw_cc_tpu.ops.spinsect import sector_info
+
+    eris, vvvv_op = build_eris_device(mol, ghf, dtype="float32",
+                                      pack_ladder=True, sort_spin=True)
+    perm = spin_sort_perm(np.asarray(ghf.orbspin), ghf.nocc)
+    info = sector_info(np.asarray(ghf.orbspin)[perm], ghf.nocc)
+    sym = ccsd_t.eris_spin_restricted(eris, info)
+    return eris, vvvv_op, (info, sym), np.argsort(perm)
+
+
 def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
     """Plain GCCSD + Lambda on a converged RHF; returns (e_corr, rdm1_mo_G, ghf).
 
     The t solve delegates to ccsd_t.solve_ccsd (jitted steps + on-device
-    DIIS) rather than keeping a second hand-rolled Jacobi loop in sync."""
+    DIIS) rather than keeping a second hand-rolled Jacobi loop in sync.
+    In the f32 production mode the whole solve runs in the spin-sorted
+    layout through the sector-blocked kernels (_build_eris_sorted); the
+    returned rdm1 is permuted back to the alternating convention."""
     from ecw_cc_tpu.ops import ccsd_t
 
     ghf = GHF(mf)
-    eris, vvvv_op = _build_eris_auto(mol, ghf)
+    eris, vvvv_op, sect, unperm = _build_eris_sorted(mol, ghf)
     t1, t2, e_cc = ccsd_t.solve_ccsd(eris, conv_tol=conv_tol,
-                                     max_cycle=max_cycle, vvvv_op=vvvv_op)
-    l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle, vvvv_op=vvvv_op)
-    rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
+                                     max_cycle=max_cycle, vvvv_op=vvvv_op,
+                                     sect=sect)
+    l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle, vvvv_op=vvvv_op,
+                          sect=sect)
+    if sect is not None:
+        from ecw_cc_tpu.ops.ccsd_sect import gamma_inter_sect
+
+        inter = gamma_inter_sect(t1, t2, l1, l2, sect[0], sym=sect[1])
+        rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2, inter=inter))
+    else:
+        rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
+    if unperm is not None:
+        rdm1_mo = rdm1_mo[np.ix_(unperm, unperm)]
     return e_cc, rdm1_mo, ghf
 
 
@@ -144,14 +204,19 @@ class Gexp:
             from ecw_cc_tpu.ops import ccsd_t
 
             ghf = GHF(self.mf_def)
-            eris, vvvv_op = _build_eris_auto(self.mol_def, ghf)
-            t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op)
-            et = float(ccsd_t.energy_t(eris, t1, t2))
+            eris, vvvv_op, sect, unperm = _build_eris_sorted(self.mol_def,
+                                                              ghf)
+            t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op,
+                                             sect=sect)
+            et = float(ccsd_t.energy_t(eris, t1, t2, sect=sect))
             self.ECCSD_def = e_cc
             self.ECCSD_t_def = e_cc + et
             self.Eexp = self.EHF_def + e_cc + et
             rdm1_mo_g = np.asarray(ccsd_t.ccsd_t_rdm1_response(
-                eris, t1, t2, vvvv_op=vvvv_op))
+                eris, t1, t2, vvvv_op=vvvv_op, sect=sect))
+            if unperm is not None:
+                # back to the alternating-spin MO order of ghf.mo_coeff
+                rdm1_mo_g = rdm1_mo_g[np.ix_(unperm, unperm)]
             # symmetrize (the response density of a real functional)
             rdm1_mo_g = 0.5 * (rdm1_mo_g + rdm1_mo_g.T)
             rdm1_ao_g = convert.mo_to_ao(rdm1_mo_g, ghf.mo_coeff)

@@ -73,14 +73,170 @@ def _energy_t_dense(eris, t1, t2, fsp=None):
     return einsum("ijkabc,ijkabc", w, t3c + t3d) / 36.0
 
 
-def energy_t(eris, t1, t2, fsp=None):
+def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ):
+    """One (T) scan over (I, J) pairs with I in occupied spin sector sI and
+    J in sector sJ (sorted layout).  With the pair spins STATIC, every slab
+    contraction in the body decomposes over the compatible spin sectors
+    only (ops/spinsect.sector_einsum with sliced_support) — the
+    structurally-zero blocks of the per-pair t3 slab are never formed."""
+    from ecw_cc_tpu.ops import spinsect as ss
+
+    nI = info.oa if sI == 0 else info.ob
+    nJ = info.oa if sJ == 0 else info.ob
+    if nI == 0 or nJ == 0:
+        return jnp.asarray(0.0, t1.dtype)
+    baseI = 0 if sI == 0 else info.oa
+    baseJ = 0 if sJ == 0 else info.oa
+    vovv, ovoo, oovv = eris.vovv, eris.ovoo, eris.oovv
+    fo_s = {0: fo[:info.oa], 1: fo[info.oa:]}
+    fv_s = {0: fv[:info.va], 1: fv[info.va:]}
+
+    # loop-invariant full-tensor views (XLA hoists the slices out of scan)
+    t2_b = ss.wrap(t2, "oovv", info)
+    t1_b = ss.wrap(t1, "ov", info)
+    vovv_b = ss.wrap(vovv, "vovv", info)
+
+    def blk(arr, kinds_full, fixed):
+        kinds, sup = ss.sliced_support(kinds_full, fixed)
+        return ss.SpinBlocked.from_dense(arr, kinds, info, support=sup)
+
+    def pabc(x):  # P(a/bc) on blocked (k,a,b,c)
+        return (x + x.transpose(0, 2, 1, 3).scale(-1.0)
+                + x.transpose(0, 3, 2, 1).scale(-1.0))
+
+    S = ss.sector_einsum
+
+    @jax.checkpoint
+    def body(acc, ij):
+        I = baseI + ij // nJ
+        J = baseJ + ij % nJ
+        t2I = blk(jnp.take(t2, I, axis=0), "oovv", {0: sI})
+        t2J = blk(jnp.take(t2, J, axis=0), "oovv", {0: sJ})
+        vovvI = blk(jnp.take(vovv, I, axis=1), "vovv", {1: sI})
+        vovvJ = blk(jnp.take(vovv, J, axis=1), "vovv", {1: sJ})
+        ovooJ = blk(jnp.take(ovoo, J, axis=2), "ovoo", {2: sJ})
+        ovooI = blk(jnp.take(ovoo, I, axis=2), "ovoo", {2: sI})
+        t2JI = blk(jnp.take(jnp.take(t2, J, axis=0), I, axis=0),
+                   "oovv", {0: sJ, 1: sI})
+        ovooJI = blk(jnp.take(jnp.take(ovoo, J, axis=2), I, axis=2),
+                     "ovoo", {2: sJ, 3: sI})
+        t1I = blk(jnp.take(t1, I, axis=0), "ov", {0: sI})
+        t1J = blk(jnp.take(t1, J, axis=0), "ov", {0: sJ})
+        oovvI = blk(jnp.take(oovv, I, axis=0), "oovv", {0: sI})
+        oovvJ = blk(jnp.take(oovv, J, axis=0), "oovv", {0: sJ})
+        oovvJI = blk(jnp.take(jnp.take(oovv, J, axis=0), I, axis=0),
+                     "oovv", {0: sJ, 1: sI})
+        # P(i/jk) W0 at (I, J, k) — same terms as the dense body
+        A = (S("kae,ebc->kabc", t2J, vovvI)
+             + S("mbc,mak->kabc", t2I, ovooJ).scale(-1.0))
+        B = (S("kae,ebc->kabc", t2I, vovvJ)
+             + S("mbc,mak->kabc", t2J, ovooI).scale(-1.0))
+        C = (S("ae,ekbc->kabc", t2JI, vovv_b)
+             + S("kmbc,ma->kabc", t2_b, ovooJI).scale(-1.0))
+        w = pabc(A + B.scale(-1.0) + C.scale(-1.0))
+        v0 = (S("a,kbc->kabc", t1I, oovvJ)
+              + S("a,kbc->kabc", t1J, oovvI).scale(-1.0)
+              + S("ka,bc->kabc", t1_b, oovvJI).scale(-1.0))
+        v = pabc(v0)
+        foIJ = jnp.take(fo, I) + jnp.take(fo, J)
+        e = jnp.asarray(0.0, t1.dtype)
+        for key, wblk in w.blocks.items():
+            sk, sa, sb, sc = key
+            D = (foIJ + fo_s[sk][:, None, None, None]
+                 - fv_s[sa][None, :, None, None]
+                 - fv_s[sb][None, None, :, None]
+                 - fv_s[sc][None, None, None, :])
+            vblk = v.get(key)
+            tot = wblk if vblk is None else wblk + vblk
+            e = e + jnp.sum(wblk * tot / D)
+        return acc + e, None
+
+    acc, _ = jax.lax.scan(body, jnp.asarray(0.0, t1.dtype),
+                          jnp.arange(nI * nJ))
+    return acc
+
+
+def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False):
+    """(T) energy with spin-sector blocking (SORTED layout; exact).
+
+    Same per-(I,J) scan structure as energy_t, but one scan per occupied
+    spin-sector pair (sI, sJ), so the body's contractions skip every
+    structurally-zero spin block (~8x fewer FLOPs; ops/spinsect.py).
+    sym=True (closed-shell mirror symmetry, spin-restricted eris — gate:
+    eris_spin_restricted) additionally skips the (beta, *) scans and
+    doubles the (alpha, alpha) + (alpha, beta) energies — exact, 2x again.
+
+    VALIDITY: eris in the spin-sorted layout with the standard balanced
+    support, amplitudes from a spin-conserving solve (plain CC on an
+    RHF-derived GHF keeps the balanced structure at every iteration).
+
+    GRADIENT EXACTNESS under sym: E_sym = 2(E00 + E01) has the right VALUE
+    at a mirror-symmetric point but a FOLDED gradient (2∇(E00+E01) instead
+    of the true (1+M)∇(E00+E01), M the global spin mirror — the skipped
+    (beta,*) scans' t-dependence differs from the doubled ones').  The
+    inputs are therefore mirror-AVERAGED first ((x + Mx)/2 — the identity
+    on symmetric inputs): the chain rule then emits exactly (1+M)/2 of the
+    folded gradient, i.e. the true one, so the response-density adjoint
+    (ccsd_t_rdm1_response) can differentiate straight through."""
+    f = eris.fock if fsp is None else fsp
+    fo = jnp.diag(f)[:info.nocc]
+    fv = jnp.diag(f)[info.nocc:]
+    if sym:
+        from ecw_cc_tpu.ops.spinsect import mirror_dense
+
+        t1 = 0.5 * (t1 + mirror_dense(t1, "ov", info))
+        t2 = 0.5 * (t2 + mirror_dense(t2, "oovv", info))
+        fo = 0.5 * (fo + mirror_dense(fo, "o", info))
+        fv = 0.5 * (fv + mirror_dense(fv, "v", info))
+    pairs = ((0, 0), (0, 1)) if sym else ((0, 0), (0, 1), (1, 0), (1, 1))
+    e = jnp.asarray(0.0, t1.dtype)
+    for sI, sJ in pairs:
+        e = e + _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ)
+    if sym:
+        e = e + e
+    return e / 36.0
+
+
+def eris_spin_restricted(eris, info):
+    """Closed-shell mirror-symmetry gate for target-generation (T): equal
+    alpha/beta sector sizes and every ERI block + the Fock diagonal
+    numerically flip-symmetric (an RHF-derived GHF passes at machine
+    epsilon).  Host-side, once per build; no Vexp on this path."""
+    from ecw_cc_tpu.ops.spinsect import spin_flip_asymmetry
+
+    if info.oa != info.ob or info.va != info.vb:
+        return False
+    eps = float(jnp.finfo(eris.oovv.dtype).eps)
+    d = np.asarray(jnp.diag(eris.fock))
+    no, va = info.nocc, info.va
+    worst = max(
+        float(np.max(np.abs(d[:info.oa] - d[info.oa:no]))),
+        float(np.max(np.abs(d[no:no + va] - d[no + va:]))))
+    scale = max(1.0, float(np.max(np.abs(d))))
+    for name in ("oooo", "ooov", "oovv", "ovov", "ovvo", "ovvv", "ovoo",
+                 "vovv"):
+        blk = getattr(eris, name)
+        if blk.size == 0:
+            continue
+        worst = max(worst, float(spin_flip_asymmetry(blk, name, info)))
+        scale = max(scale, float(jnp.max(jnp.abs(blk))))
+    return worst <= 1e3 * eps * scale
+
+
+def energy_t(eris, t1, t2, fsp=None, sect=None):
     """The (T) energy correction, scanned over (i,j) occupied pairs.
+
+    sect: optional (SectorInfo, sym) — route through the spin-sector-blocked
+    scans (energy_t_sect; requires the sorted layout).
 
     The full t3 tensor is O(o^3 v^3) — 26 GB at C2H2/6-311++G(2d,2p) f32 —
     so the permutation operators are expanded per (i,j) slab: each scan step
     holds only (o, v, v, v) work arrays (~134 MB there).  The body is
     rematerialized (jax.checkpoint) so the response-density vjp does not
     store per-step slabs either."""
+    if sect is not None:
+        info, sym = sect
+        return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym)
     nocc, nvir = t1.shape
     f = eris.fock if fsp is None else fsp
     fo = jnp.diag(f)[:nocc]
@@ -125,7 +281,7 @@ def energy_t(eris, t1, t2, fsp=None):
 
 
 def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True,
-                           vvvv_op=None):
+                           vvvv_op=None, sect=None):
     """The SCF update map G(t; f) (flattened) and E = E_CCSD (+ E_T).
 
     The fixed point t* = G(t*, f) defines the amplitudes; using the MAP (not
@@ -137,31 +293,63 @@ def _update_map_and_energy(eris, tvec, fvec, nocc, nvir, with_t=True,
     under the adjoint solve: the packed map agrees with the dense one on
     antisymmetric t2 and both maps' t2 outputs are antisymmetric by
     construction, so they share the same fixed-point branch t*(f) — the
-    implicit gradient is identical."""
+    implicit gradient is identical.
+
+    sect: optional (SectorInfo, sym) — run the SECTOR-BLOCKED update map
+    (ops/ccsd_sect.tupdate_sect, sorted layout; ~6.4x fewer FLOPs in every
+    adjoint matvec).  Exact for the implicit gradient: at a balanced
+    amplitude point the dense Jacobian's (balanced-out, off-balance-in)
+    blocks vanish by spin conservation, so the balanced-subspace adjoint
+    iterates never couple to what the sectored map drops; any valid
+    fixed-point map of the same branch t*(f) yields the same gamma.  The
+    map always runs sym=False (its folded-gradient variant is only valid
+    for values, not the vjps this function exists for — see
+    energy_t_sect's docstring for the energy-side fix)."""
     dim = nocc + nvir
     f = fvec.reshape(dim, dim)
     n1 = nocc * nvir
     t1 = tvec[:n1].reshape(nocc, nvir)
     t2 = tvec[n1:].reshape(nocc, nocc, nvir, nvir)
-    G1, G2 = ccsd_ops.tupdate(eris, t1, t2, fsp=f, vvvv_op=vvvv_op)
+    if sect is not None:
+        from ecw_cc_tpu.ops.ccsd_sect import tupdate_sect
+
+        G1, G2 = tupdate_sect(eris, t1, t2, f, sect[0], vvvv_op=vvvv_op)
+    else:
+        G1, G2 = ccsd_ops.tupdate(eris, t1, t2, fsp=f, vvvv_op=vvvv_op)
     E = ccsd_ops.energy(eris, t1, t2, f)
     if with_t:
-        E = E + energy_t(eris, t1, t2, f)
+        E = E + energy_t(eris, t1, t2, f, sect=sect)
     return jnp.concatenate([G1.ravel(), G2.ravel()]), E
 
 
 def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
-                         maxiter=300, vvvv_op=None):
+                         maxiter=300, vvvv_op=None, sect=None):
     """Unrelaxed response density of E_CCSD(+T) in the MO G basis (with the
     HF diagonal added), via adjoint implicit differentiation of the SCF
     fixed-point map:
         (I - dG/dt)^T w = dE/dt   (fixed-point iteration + DIIS)
         gamma = dE/df + w^T dG/df
-    """
+
+    sect: optional (SectorInfo, sym) routing the (T) energy through the
+    sector-blocked scans (sorted layout).  EXACT for the gradient too: the
+    sectored E only drops t-derivative components on structurally-zero
+    (off-balance) blocks, and those components of the true dE/dt vanish at
+    a balanced amplitude point by spin conservation (every (T) term chains
+    spin-balanced eris blocks, so a single off-balance derivative index
+    cannot be completed to a surviving spin assignment); the f-derivative
+    of (T) enters only through diag(f), which sectoring never touches.
+    Verified against the dense path in tests/test_ccsd_t.py."""
     nocc, nvir = t1.shape
     dim = nocc + nvir
     f0 = (eris.fock if fsp is None else fsp).ravel()
     tvec = jnp.concatenate([jnp.ravel(t1), jnp.ravel(t2)])
+    if sect is not None and vvvv_op is None:
+        # the sectored map needs a non-dense ladder operand; build the
+        # sorted-layout sectored pack from the dense block once
+        from ecw_cc_tpu.ops import ladder
+
+        vvvv_op = jax.jit(ladder.pack_vvvv_sorted,
+                          static_argnums=1)(eris.vvvv, sect[0].va)
 
     # all jitted pieces take eris/tvec/f0 as ARGUMENTS (axon remote-compile
     # gotcha: closure-captured device arrays ship with the program); the
@@ -169,21 +357,21 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     @partial(jax.jit, static_argnames=("wt",))
     def grad_E(er, vs, tv, fv, wt):
         gE_t = jax.grad(lambda a, b: _update_map_and_energy(
-            er, a, b, nocc, nvir, wt, vs)[1], argnums=0)(tv, fv)
+            er, a, b, nocc, nvir, wt, vs, sect)[1], argnums=0)(tv, fv)
         gE_f = jax.grad(lambda a, b: _update_map_and_energy(
-            er, a, b, nocc, nvir, wt, vs)[1], argnums=1)(tv, fv)
+            er, a, b, nocc, nvir, wt, vs, sect)[1], argnums=1)(tv, fv)
         return gE_t, gE_f
 
     @partial(jax.jit, static_argnames=("wt",))
     def matvec_t(er, vs, tv, fv, v, wt):
         _, vjp = jax.vjp(lambda a: _update_map_and_energy(
-            er, a, fv, nocc, nvir, wt, vs)[0], tv)
+            er, a, fv, nocc, nvir, wt, vs, sect)[0], tv)
         return vjp(v)[0]
 
     @partial(jax.jit, static_argnames=("wt",))
     def vjp_fock(er, vs, tv, fv, v, wt):
         _, vjp = jax.vjp(lambda b: _update_map_and_energy(
-            er, tv, b, nocc, nvir, wt, vs)[0], fv)
+            er, tv, b, nocc, nvir, wt, vs, sect)[0], fv)
         return vjp(v)[0]
 
     dE_dt, dE_df = grad_E(eris, vvvv_op, tvec, f0, with_t)
@@ -220,15 +408,26 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     return gamma + hf
 
 
-@partial(jax.jit, static_argnames=("use_sectors",))
-def _ccsd_diis_step(eris, vvsect, t1, t2, dstate, use_sectors=False):
+@partial(jax.jit, static_argnames=("use_sectors", "sect"))
+def _ccsd_diis_step(eris, vvsect, t1, t2, dstate, use_sectors=False,
+                    sect=None):
     """Jacobi step + ON-DEVICE DIIS in one program: only the energy scalar
     crosses to the host per iteration (a host-DIIS round trip of t2 costs
-    ~1 s/iteration over the axon tunnel at pVTZ sizes)."""
+    ~1 s/iteration over the axon tunnel at pVTZ sizes).
+
+    sect: optional (SectorInfo, sym) — sector-blocked update kernels
+    (sorted layout; ops/ccsd_sect.py).  A pure value iteration, so the sym
+    (mirror-halved) kernels are usable directly."""
     from ecw_cc_tpu.ops import diis as diis_ops
 
-    sect = vvsect if use_sectors else None
-    t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_op=sect)
+    vop = vvsect if use_sectors else None
+    if sect is not None:
+        from ecw_cc_tpu.ops.ccsd_sect import tupdate_sect
+
+        t1n, t2n = tupdate_sect(eris, t1, t2, eris.fock, sect[0],
+                                vvvv_op=vop, sym=sect[1])
+    else:
+        t1n, t2n = ccsd_ops.tupdate(eris, t1, t2, None, vvvv_op=vop)
     e_cc = ccsd_ops.energy(eris, t1n, t2n, None)
     nocc, nvir = t1n.shape
     n1 = nocc * nvir
@@ -239,15 +438,20 @@ def _ccsd_diis_step(eris, vvsect, t1, t2, dstate, use_sectors=False):
     return t1d, t2d, dstate, e_cc
 
 
-def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200, vvvv_op=None):
+def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200, vvvv_op=None, sect=None):
     """Plain CCSD amplitudes (MP2 start, Jacobi iterations with DIIS).
 
     vvvv_op: prebuilt ladder operand (pack-on-build ERIs); default derives
-    one from eris.vvvv per config.ladder_mode."""
+    one from eris.vvvv per config.ladder_mode.
+    sect: optional (SectorInfo, sym) — sector-blocked updates (sorted
+    layout; requires a non-dense vvvv_op or a dense sorted eris.vvvv)."""
     from ecw_cc_tpu.ops import diis as diis_ops
     from ecw_cc_tpu.ops import ladder
 
     nocc, nvir = eris.nocc, eris.nvir
+    if sect is not None and vvvv_op is None:
+        vvvv_op = jax.jit(ladder.pack_vvvv_sorted,
+                          static_argnums=1)(eris.vvvv, sect[0].va)
     vvsect = ladder.make_vvvv_op(eris.vvvv) if vvvv_op is None else vvvv_op
     use_sectors = vvsect is not None
     e = jnp.diag(eris.fock)
@@ -261,7 +465,8 @@ def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200, vvvv_op=None):
     e_cc = 0.0
     for _ in range(max_cycle):
         t1, t2, dstate, e_dev = _ccsd_diis_step(eris, vvsect, t1, t2, dstate,
-                                                use_sectors=use_sectors)
+                                                use_sectors=use_sectors,
+                                                sect=sect)
         e_cc = float(e_dev)
         if abs(e_cc - e_old) < conv_tol:
             break

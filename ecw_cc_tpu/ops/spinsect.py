@@ -200,6 +200,44 @@ def wrap(arr, kinds, info, sym=False):
     return SpinBlocked.from_dense(arr, kinds, info, sym=sym)
 
 
+def mirror_dense(arr, kinds, info):
+    """The global alpha<->beta mirror M of a dense sorted-layout tensor
+    (requires equal sector sizes): swaps the alpha and beta slabs along
+    every axis.  M is an involution; a tensor is closed-shell
+    mirror-symmetric iff M(arr) == arr."""
+    assert info.oa == info.ob and info.va == info.vb
+    po = jnp.concatenate([jnp.arange(info.oa, info.nocc),
+                          jnp.arange(0, info.oa)])
+    pv = jnp.concatenate([jnp.arange(info.va, info.nvir),
+                          jnp.arange(0, info.va)])
+    for ax, k in enumerate(kinds):
+        arr = jnp.take(arr, po if k == "o" else pv, axis=ax)
+    return arr
+
+
+def sliced_support(kinds_full, fixed):
+    """Support of a balanced-halves tensor after FIXING some axes at known
+    spins — e.g. a t2[J] slab inside a scan whose occupied row J lives in a
+    known spin sector (the sectored (T) kernel, ops/ccsd_t.py): the
+    remaining axes' keys are exactly those completing a balanced full key.
+
+    kinds_full: kinds string of the FULL tensor ('oovv', ...)
+    fixed: {axis_index: spin} of the sliced-away axes
+    Returns (kinds_remaining, [keys]) for the remaining axes in order."""
+    n = len(kinds_full)
+    rem = [a for a in range(n) if a not in fixed]
+    support = []
+    for combo in itertools.product((0, 1), repeat=len(rem)):
+        full = [0] * n
+        for a, s in fixed.items():
+            full[a] = s
+        for a, s in zip(rem, combo):
+            full[a] = s
+        if _balanced(tuple(full)):
+            support.append(combo)
+    return "".join(kinds_full[a] for a in rem), support
+
+
 def sector_einsum(spec, *operands, info=None):
     """einsum over SpinBlocked operands -> SpinBlocked output.
 

@@ -140,3 +140,59 @@ def test_target_generation_never_builds_dense_vvvv():
         cfg.set_config(dtype=old)
     assert eris.vvvv.size == 0
     assert isinstance(vvvv_op, PackedVVVV)
+
+
+def test_energy_t_sect_matches_dense(h2o_631g):
+    """The spin-sector-blocked (T) energy (energy_t_sect, sorted layout)
+    equals the dense pair-scan on balanced amplitudes; sym=True equals it
+    on mirror-symmetric amplitudes (spin-restricted eris)."""
+    from test_ccsd_kernels import (_sorted_system, _structured_amps,
+                                   _mirror_amps)
+    from ecw_cc_tpu.ops.ccsd_t import (energy_t, energy_t_sect,
+                                       eris_spin_restricted)
+
+    _, _, _, er_dense, _, _, info = _sorted_system(h2o_631g)
+    assert eris_spin_restricted(er_dense, info)
+    for amps, sym in ((_structured_amps(info, seed=31), False),
+                      (_mirror_amps(info, seed=32), True)):
+        t1, t2, _, _ = map(jnp.asarray, amps)
+        ref = float(energy_t(er_dense, t1, t2))
+        out = float(energy_t_sect(er_dense, t1, t2, info, sym=sym))
+        assert abs(ref - out) < 1e-11 * max(1.0, abs(ref))
+
+
+def test_response_density_sect_matches_dense(h2o_631g):
+    """ccsd_t_rdm1_response with the sector-blocked (T) (sect=(info, sym))
+    equals the dense-path density: the sectored energy's t-gradient only
+    zeroes components that vanish by spin conservation at a balanced
+    amplitude point, and its f-dependence (diag only) is untouched."""
+    from test_ccsd_kernels import _sorted_system
+    from ecw_cc_tpu.ops import ccsd_t
+
+    _, _, _, er_dense, _, _, info = _sorted_system(h2o_631g)
+    t1, t2, _ = ccsd_t.solve_ccsd(er_dense, conv_tol=1e-11)
+    g_ref = np.asarray(ccsd_t.ccsd_t_rdm1_response(er_dense, t1, t2))
+    g_sec = np.asarray(ccsd_t.ccsd_t_rdm1_response(er_dense, t1, t2,
+                                                   sect=(info, True)))
+    assert np.max(np.abs(g_ref - g_sec)) < 1e-7
+
+
+def test_gexp_f32_sorted_target_matches_f64():
+    """The f32 production target build (_build_eris_sorted: spin-sorted
+    layout, sectored+sym t/lambda solves, sectored rdm1, permuted back)
+    reproduces the f64 dense-path CCSD target density and energy."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.gamma_exp import Gexp
+    from ecw_cc_tpu.models.molecule import Molecule
+
+    g64 = Gexp(Molecule("h2o", "sto-3g"), "CCSD")
+    g64.build()
+    old = cfg.get_config().dtype
+    try:
+        cfg.set_config(dtype="float32")
+        g32 = Gexp(Molecule("h2o", "sto-3g"), "CCSD")
+        g32.build()
+    finally:
+        cfg.set_config(dtype=old)
+    assert abs(g64.Eexp - g32.Eexp) < 1e-6
+    assert np.max(np.abs(g64.gamma_ao - g32.gamma_ao)) < 1e-5
