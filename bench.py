@@ -606,10 +606,20 @@ def main():
     if which != "pvdz":
         pvtz = bench_config("cc-pvtz", n_iters=10, numpy_baseline=False,
                             measure_high=True)
-        # pVTZ NumPy baseline estimated from measured pVDZ NumPy throughput
-        # (FLOP/s) scaled to the pVTZ FLOP count (a direct measurement is
-        # ~15 min/iter); flagged as an estimate.
-        if pvdz.get("flops_per_iter") and pvtz.get("flops_per_iter"):
+        # MEASURED pVTZ NumPy baseline when available (tools/
+        # measure_numpy_baseline.py runs the ~15 min/iter dense NumPy step
+        # offline and caches it under the same STEP_VERSION key) ...
+        cache = {}
+        if os.path.exists(BASE_FILE):
+            with open(BASE_FILE) as f:
+                cache = json.load(f)
+        meas = cache.get(f"cc-pvtz_v{STEP_VERSION}")
+        if meas is not None:
+            pvtz["numpy_ms"] = round(meas, 1)
+            pvtz["vs_baseline"] = round(meas / pvtz["value_ms"], 2)
+        # ... otherwise estimated from measured pVDZ NumPy throughput
+        # (FLOP/s) scaled to the pVTZ FLOP count; flagged as an estimate.
+        elif pvdz.get("flops_per_iter") and pvtz.get("flops_per_iter"):
             # dense-route FLOPs on both sides: the NumPy engine always runs
             # the dense ladder (pVDZ's device route is dense, so its
             # flops_per_iter already is)
