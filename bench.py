@@ -576,10 +576,12 @@ def _backend_alive(timeout=300):
     if r.returncode != 0:
         return False, (r.stderr or "").strip()[-300:]
     platform = (r.stdout or "").strip()
-    # give the axon server a moment to free the probe client before the
-    # bench process opens its own tunnel (lazy HBM free, CLAUDE.md)
+    # the axon server frees a dead client's HBM LAZILY (~30-60 s,
+    # CLAUDE.md): give it a full window before the bench process opens its
+    # own tunnel, or the pVTZ ERI staging can hit spurious
+    # RESOURCE_EXHAUSTED from the probe client's leftovers
     if platform not in ("cpu",):
-        time.sleep(10)
+        time.sleep(45)
     return True, platform
 
 
@@ -594,6 +596,7 @@ def main():
             "value": None, "unit": "ms", "vs_baseline": None,
             "error": f"jax backend init failed: {info}"}))
         return
+    platform = info
 
     config.set_config(x64=False, dtype="float32")
     config.setup_jax()
@@ -640,6 +643,10 @@ def main():
         "solve_ms": pvdz.get("solve_ms"),
         "solve_iters": pvdz.get("solve_iters"),
     }
+    if platform == "cpu":
+        # a silently missing axon plugin must not publish CPU timings as
+        # TPU numbers under this metric without a visible marker
+        line["platform"] = "cpu"
     if pvtz is not None:
         line["pvtz"] = pvtz
     if which == "both":

@@ -52,11 +52,10 @@ def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None,
     loops dispatch op-by-op over the axon tunnel — CLAUDE.md gotcha).
     sect: optional (SectorInfo, sym) sector-blocked kernels (sorted
     layout)."""
-    if sect is not None and vvvv_op is None:
+    if sect is not None:
         from ecw_cc_tpu.ops import ladder
 
-        vvvv_op = _jax.jit(ladder.pack_vvvv_sorted,
-                           static_argnums=1)(eris.vvvv, sect[0].va)
+        vvvv_op = ladder.ensure_sorted_vvvv_op(vvvv_op, eris, sect[0])
     l1, l2 = t1, t2
     l_old = None
     for _ in range(max_cycle):
@@ -108,7 +107,7 @@ def _build_eris_sorted(mol, ghf):
                                       pack_ladder=True, sort_spin=True)
     perm = spin_sort_perm(np.asarray(ghf.orbspin), ghf.nocc)
     info = sector_info(np.asarray(ghf.orbspin)[perm], ghf.nocc)
-    sym = ccsd_t.eris_spin_restricted(eris, info)
+    sym = ccsd_t.eris_spin_restricted(eris, info, vvvv_op=vvvv_op)
     return eris, vvvv_op, (info, sym), np.argsort(perm)
 
 
@@ -129,16 +128,23 @@ def _run_gccsd_rdm1(mol, mf, conv_tol=1e-10, max_cycle=200):
                                      sect=sect)
     l1, l2 = solve_lambda(eris, t1, t2, conv_tol, max_cycle, vvvv_op=vvvv_op,
                           sect=sect)
+    rdm1_mo = np.asarray(_gamma_jit(t1, t2, l1, l2, sect=sect))
+    if unperm is not None:
+        rdm1_mo = rdm1_mo[np.ix_(unperm, unperm)]
+    return e_cc, rdm1_mo, ghf
+
+
+@_partial(_jax.jit, static_argnames=("sect",))
+def _gamma_jit(t1, t2, l1, l2, sect=None):
+    """One jitted program for the rdm1 assembly: the sectored build expands
+    into dozens of small einsums that must not dispatch eagerly over the
+    axon tunnel (~5 ms/op — CLAUDE.md gotcha)."""
     if sect is not None:
         from ecw_cc_tpu.ops.ccsd_sect import gamma_inter_sect
 
         inter = gamma_inter_sect(t1, t2, l1, l2, sect[0], sym=sect[1])
-        rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2, inter=inter))
-    else:
-        rdm1_mo = np.asarray(ccsd_ops.gamma_CCSD(t1, t2, l1, l2))
-    if unperm is not None:
-        rdm1_mo = rdm1_mo[np.ix_(unperm, unperm)]
-    return e_cc, rdm1_mo, ghf
+        return ccsd_ops.gamma_CCSD(t1, t2, l1, l2, inter=inter)
+    return ccsd_ops.gamma_CCSD(t1, t2, l1, l2)
 
 
 class Gexp:

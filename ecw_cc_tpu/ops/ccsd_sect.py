@@ -59,7 +59,6 @@ def gamma_inter_sect(t1, t2, l1, l2, info, sym=False):
     """Sector-blocked rdm1 intermediates (twin of ops/ccsd.gamma_inter):
     the l2.t2 contractions — the only o^2 v^3 / o^3 v^2 work in the rdm1 —
     run through sector_einsum; the o v-sized terms stay dense."""
-    t1b = wrap(t1, "ov", info, sym=sym)
     t2b = wrap(t2, "oovv", info, sym=sym)
     l1b = wrap(l1, "ov", info, sym=sym)
     l2b = wrap(l2, "oovv", info, sym=sym)

@@ -197,11 +197,18 @@ def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False):
     return e / 36.0
 
 
-def eris_spin_restricted(eris, info):
+def eris_spin_restricted(eris, info, vvvv_op=None):
     """Closed-shell mirror-symmetry gate for target-generation (T): equal
     alpha/beta sector sizes and every ERI block + the Fock diagonal
     numerically flip-symmetric (an RHF-derived GHF passes at machine
-    epsilon).  Host-side, once per build; no Vexp on this path."""
+    epsilon).  Host-side, once per build; no Vexp on this path.
+
+    vvvv_op: the ladder operand consumed by the sym solves — when eris
+    were built pack-on-build (vvvv is a size-0 placeholder), its sectored
+    alpha-alpha vs beta-beta packs are compared directly, mirroring the
+    solver-side gate (solvers/gs.py Solver_CCSD._spin_restricted): a
+    transform error concentrated in the v^4 block must veto sym."""
+    from ecw_cc_tpu.ops.ladder import SectoredVVVV
     from ecw_cc_tpu.ops.spinsect import spin_flip_asymmetry
 
     if info.oa != info.ob or info.va != info.vb:
@@ -220,6 +227,16 @@ def eris_spin_restricted(eris, info):
             continue
         worst = max(worst, float(spin_flip_asymmetry(blk, name, info)))
         scale = max(scale, float(jnp.max(jnp.abs(blk))))
+    if eris.vvvv.size:
+        worst = max(worst, float(spin_flip_asymmetry(eris.vvvv, "vvvv",
+                                                     info)))
+        scale = max(scale, float(jnp.max(jnp.abs(eris.vvvv))))
+    elif isinstance(vvvv_op, SectoredVVVV):
+        if vvvv_op.wc_aa.shape != vvvv_op.wc_bb.shape:
+            return False
+        worst = max(worst, float(jnp.max(jnp.abs(vvvv_op.wc_aa
+                                                 - vvvv_op.wc_bb))))
+        scale = max(scale, float(jnp.max(jnp.abs(vvvv_op.wc_aa))))
     return worst <= 1e3 * eps * scale
 
 
@@ -343,13 +360,10 @@ def ccsd_t_rdm1_response(eris, t1, t2, fsp=None, with_t=True, tol=1e-10,
     dim = nocc + nvir
     f0 = (eris.fock if fsp is None else fsp).ravel()
     tvec = jnp.concatenate([jnp.ravel(t1), jnp.ravel(t2)])
-    if sect is not None and vvvv_op is None:
-        # the sectored map needs a non-dense ladder operand; build the
-        # sorted-layout sectored pack from the dense block once
+    if sect is not None:
         from ecw_cc_tpu.ops import ladder
 
-        vvvv_op = jax.jit(ladder.pack_vvvv_sorted,
-                          static_argnums=1)(eris.vvvv, sect[0].va)
+        vvvv_op = ladder.ensure_sorted_vvvv_op(vvvv_op, eris, sect[0])
 
     # all jitted pieces take eris/tvec/f0 as ARGUMENTS (axon remote-compile
     # gotcha: closure-captured device arrays ship with the program); the
@@ -449,9 +463,8 @@ def solve_ccsd(eris, conv_tol=1e-10, max_cycle=200, vvvv_op=None, sect=None):
     from ecw_cc_tpu.ops import ladder
 
     nocc, nvir = eris.nocc, eris.nvir
-    if sect is not None and vvvv_op is None:
-        vvvv_op = jax.jit(ladder.pack_vvvv_sorted,
-                          static_argnums=1)(eris.vvvv, sect[0].va)
+    if sect is not None:
+        vvvv_op = ladder.ensure_sorted_vvvv_op(vvvv_op, eris, sect[0])
     vvsect = ladder.make_vvvv_op(eris.vvvv) if vvvv_op is None else vvvv_op
     use_sectors = vvsect is not None
     e = jnp.diag(eris.fock)

@@ -336,6 +336,20 @@ def _sector_dims(sect, nvir):
     return ma, nvir - ma
 
 
+def ensure_sorted_vvvv_op(vvvv_op, eris, info):
+    """The non-dense ladder operand the sorted-layout sectored kernels
+    need: pass through a prebuilt op, else pack the dense sorted eris.vvvv
+    once (jitted; shared by solve_ccsd / solve_lambda / the (T) adjoint so
+    chained callers don't each re-pack the v^4 block)."""
+    if vvvv_op is not None:
+        return vvvv_op
+    if eris.vvvv.size == 0:
+        raise ValueError(
+            "sectored kernels need a ladder operand: eris were built with "
+            "pack_ladder=True but no vvvv_op was threaded through")
+    return jax.jit(pack_vvvv_sorted, static_argnums=1)(eris.vvvv, info.va)
+
+
 def pack_vvvv_sorted(vvvv, ma):
     """Build the sectored-packed ladder operand from a dense <ab||ef> block
     in SORTED spin layout (alpha virtuals 0..ma-1, beta ma..).  The
