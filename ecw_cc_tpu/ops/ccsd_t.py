@@ -73,12 +73,18 @@ def _energy_t_dense(eris, t1, t2, fsp=None):
     return einsum("ijkabc,ijkabc", w, t3c + t3d) / 36.0
 
 
-def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ):
+def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
     """One (T) scan over (I, J) pairs with I in occupied spin sector sI and
     J in sector sJ (sorted layout).  With the pair spins STATIC, every slab
     contraction in the body decomposes over the compatible spin sectors
     only (ops/spinsect.sector_einsum with sliced_support) — the
-    structurally-zero blocks of the per-pair t3 slab are never formed."""
+    structurally-zero blocks of the per-pair t3 slab are never formed.
+
+    mesh: optional jax.sharding.Mesh — the pair list is split evenly over
+    ALL mesh devices (the pairs are embarrassingly parallel: operands are
+    replicated, each device scans its chunk, and only the scalar energy is
+    psummed over ICI).  Padded entries carry ij=-1 and are masked; clipped
+    gathers at -1 read real data, so no NaNs enter the masked lanes."""
     from ecw_cc_tpu.ops import spinsect as ss
 
     nI = info.oa if sI == 0 else info.ob
@@ -87,76 +93,109 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ):
         return jnp.asarray(0.0, t1.dtype)
     baseI = 0 if sI == 0 else info.oa
     baseJ = 0 if sJ == 0 else info.oa
-    vovv, ovoo, oovv = eris.vovv, eris.ovoo, eris.oovv
-    fo_s = {0: fo[:info.oa], 1: fo[info.oa:]}
-    fv_s = {0: fv[:info.va], 1: fv[info.va:]}
 
-    # loop-invariant full-tensor views (XLA hoists the slices out of scan)
-    t2_b = ss.wrap(t2, "oovv", info)
-    t1_b = ss.wrap(t1, "ov", info)
-    vovv_b = ss.wrap(vovv, "vovv", info)
+    def mk_body(t2, t1, vovv, ovoo, oovv, fo, fv):
+        # all operands are explicit factory args so the shard_map path can
+        # rebuild the body from its (replicated) block arguments instead of
+        # capturing arrays traced outside the shard
+        fo_s = {0: fo[:info.oa], 1: fo[info.oa:]}
+        fv_s = {0: fv[:info.va], 1: fv[info.va:]}
+        # loop-invariant full-tensor views (XLA hoists slices out of scan)
+        t2_b = ss.wrap(t2, "oovv", info)
+        t1_b = ss.wrap(t1, "ov", info)
+        vovv_b = ss.wrap(vovv, "vovv", info)
 
-    def blk(arr, kinds_full, fixed):
-        kinds, sup = ss.sliced_support(kinds_full, fixed)
-        return ss.SpinBlocked.from_dense(arr, kinds, info, support=sup)
+        def blk(arr, kinds_full, fixed):
+            kinds, sup = ss.sliced_support(kinds_full, fixed)
+            return ss.SpinBlocked.from_dense(arr, kinds, info, support=sup)
 
-    def pabc(x):  # P(a/bc) on blocked (k,a,b,c)
-        return (x + x.transpose(0, 2, 1, 3).scale(-1.0)
-                + x.transpose(0, 3, 2, 1).scale(-1.0))
+        def pabc(x):  # P(a/bc) on blocked (k,a,b,c)
+            return (x + x.transpose(0, 2, 1, 3).scale(-1.0)
+                    + x.transpose(0, 3, 2, 1).scale(-1.0))
 
-    S = ss.sector_einsum
+        S = ss.sector_einsum
 
-    @jax.checkpoint
-    def body(acc, ij):
-        I = baseI + ij // nJ
-        J = baseJ + ij % nJ
-        t2I = blk(jnp.take(t2, I, axis=0), "oovv", {0: sI})
-        t2J = blk(jnp.take(t2, J, axis=0), "oovv", {0: sJ})
-        vovvI = blk(jnp.take(vovv, I, axis=1), "vovv", {1: sI})
-        vovvJ = blk(jnp.take(vovv, J, axis=1), "vovv", {1: sJ})
-        ovooJ = blk(jnp.take(ovoo, J, axis=2), "ovoo", {2: sJ})
-        ovooI = blk(jnp.take(ovoo, I, axis=2), "ovoo", {2: sI})
-        t2JI = blk(jnp.take(jnp.take(t2, J, axis=0), I, axis=0),
-                   "oovv", {0: sJ, 1: sI})
-        ovooJI = blk(jnp.take(jnp.take(ovoo, J, axis=2), I, axis=2),
-                     "ovoo", {2: sJ, 3: sI})
-        t1I = blk(jnp.take(t1, I, axis=0), "ov", {0: sI})
-        t1J = blk(jnp.take(t1, J, axis=0), "ov", {0: sJ})
-        oovvI = blk(jnp.take(oovv, I, axis=0), "oovv", {0: sI})
-        oovvJ = blk(jnp.take(oovv, J, axis=0), "oovv", {0: sJ})
-        oovvJI = blk(jnp.take(jnp.take(oovv, J, axis=0), I, axis=0),
-                     "oovv", {0: sJ, 1: sI})
-        # P(i/jk) W0 at (I, J, k) — same terms as the dense body
-        A = (S("kae,ebc->kabc", t2J, vovvI)
-             + S("mbc,mak->kabc", t2I, ovooJ).scale(-1.0))
-        B = (S("kae,ebc->kabc", t2I, vovvJ)
-             + S("mbc,mak->kabc", t2J, ovooI).scale(-1.0))
-        C = (S("ae,ekbc->kabc", t2JI, vovv_b)
-             + S("kmbc,ma->kabc", t2_b, ovooJI).scale(-1.0))
-        w = pabc(A + B.scale(-1.0) + C.scale(-1.0))
-        v0 = (S("a,kbc->kabc", t1I, oovvJ)
-              + S("a,kbc->kabc", t1J, oovvI).scale(-1.0)
-              + S("ka,bc->kabc", t1_b, oovvJI).scale(-1.0))
-        v = pabc(v0)
-        foIJ = jnp.take(fo, I) + jnp.take(fo, J)
-        e = jnp.asarray(0.0, t1.dtype)
-        for key, wblk in w.blocks.items():
-            sk, sa, sb, sc = key
-            D = (foIJ + fo_s[sk][:, None, None, None]
-                 - fv_s[sa][None, :, None, None]
-                 - fv_s[sb][None, None, :, None]
-                 - fv_s[sc][None, None, None, :])
-            vblk = v.get(key)
-            tot = wblk if vblk is None else wblk + vblk
-            e = e + jnp.sum(wblk * tot / D)
-        return acc + e, None
+        @jax.checkpoint
+        def body(acc, ij):
+            valid = ij >= 0
+            ij = jnp.maximum(ij, 0)
+            I = baseI + ij // nJ
+            J = baseJ + ij % nJ
+            t2I = blk(jnp.take(t2, I, axis=0), "oovv", {0: sI})
+            t2J = blk(jnp.take(t2, J, axis=0), "oovv", {0: sJ})
+            vovvI = blk(jnp.take(vovv, I, axis=1), "vovv", {1: sI})
+            vovvJ = blk(jnp.take(vovv, J, axis=1), "vovv", {1: sJ})
+            ovooJ = blk(jnp.take(ovoo, J, axis=2), "ovoo", {2: sJ})
+            ovooI = blk(jnp.take(ovoo, I, axis=2), "ovoo", {2: sI})
+            t2JI = blk(jnp.take(jnp.take(t2, J, axis=0), I, axis=0),
+                       "oovv", {0: sJ, 1: sI})
+            ovooJI = blk(jnp.take(jnp.take(ovoo, J, axis=2), I, axis=2),
+                         "ovoo", {2: sJ, 3: sI})
+            t1I = blk(jnp.take(t1, I, axis=0), "ov", {0: sI})
+            t1J = blk(jnp.take(t1, J, axis=0), "ov", {0: sJ})
+            oovvI = blk(jnp.take(oovv, I, axis=0), "oovv", {0: sI})
+            oovvJ = blk(jnp.take(oovv, J, axis=0), "oovv", {0: sJ})
+            oovvJI = blk(jnp.take(jnp.take(oovv, J, axis=0), I, axis=0),
+                         "oovv", {0: sJ, 1: sI})
+            # P(i/jk) W0 at (I, J, k) — same terms as the dense body
+            A = (S("kae,ebc->kabc", t2J, vovvI)
+                 + S("mbc,mak->kabc", t2I, ovooJ).scale(-1.0))
+            B = (S("kae,ebc->kabc", t2I, vovvJ)
+                 + S("mbc,mak->kabc", t2J, ovooI).scale(-1.0))
+            C = (S("ae,ekbc->kabc", t2JI, vovv_b)
+                 + S("kmbc,ma->kabc", t2_b, ovooJI).scale(-1.0))
+            w = pabc(A + B.scale(-1.0) + C.scale(-1.0))
+            v0 = (S("a,kbc->kabc", t1I, oovvJ)
+                  + S("a,kbc->kabc", t1J, oovvI).scale(-1.0)
+                  + S("ka,bc->kabc", t1_b, oovvJI).scale(-1.0))
+            v = pabc(v0)
+            foIJ = jnp.take(fo, I) + jnp.take(fo, J)
+            e = jnp.asarray(0.0, t1.dtype)
+            for key, wblk in w.blocks.items():
+                sk, sa, sb, sc = key
+                D = (foIJ + fo_s[sk][:, None, None, None]
+                     - fv_s[sa][None, :, None, None]
+                     - fv_s[sb][None, None, :, None]
+                     - fv_s[sc][None, None, None, :])
+                vblk = v.get(key)
+                tot = wblk if vblk is None else wblk + vblk
+                e = e + jnp.sum(wblk * tot / D)
+            return acc + jnp.where(valid, e, 0.0), None
 
-    acc, _ = jax.lax.scan(body, jnp.asarray(0.0, t1.dtype),
-                          jnp.arange(nI * nJ))
-    return acc
+        return body
+
+    ops = (t2, t1, eris.vovv, eris.ovoo, eris.oovv, fo, fv)
+
+    if mesh is None:
+        acc, _ = jax.lax.scan(mk_body(*ops), jnp.asarray(0.0, t1.dtype),
+                              jnp.arange(nI * nJ))
+        return acc
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as Psp
+
+    ndev = mesh.size
+    axes = tuple(mesh.axis_names)
+    npairs = nI * nJ
+    per = -(-npairs // ndev)
+    ids = np.full(ndev * per, -1, dtype=np.int32)
+    ids[:npairs] = np.arange(npairs, dtype=np.int32)
+
+    def chunk(ids_local, *ops_rep):
+        # the carry must enter the scan as device-VARYING (the chunk sums
+        # differ per shard) or shard_map's vma typing rejects the body
+        acc0 = jax.lax.pvary(jnp.asarray(0.0, t1.dtype), axes)
+        acc, _ = jax.lax.scan(mk_body(*ops_rep), acc0, ids_local)
+        return jax.lax.psum(acc, axes)
+
+    run = shard_map(chunk, mesh=mesh,
+                    in_specs=(Psp(axes),) + (Psp(),) * len(ops),
+                    out_specs=Psp())
+    return run(jnp.asarray(ids), *ops)
 
 
-def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False):
+def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False,
+                  mesh=None):
     """(T) energy with spin-sector blocking (SORTED layout; exact).
 
     Same per-(I,J) scan structure as energy_t, but one scan per occupied
@@ -191,7 +230,7 @@ def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False):
     pairs = ((0, 0), (0, 1)) if sym else ((0, 0), (0, 1), (1, 0), (1, 1))
     e = jnp.asarray(0.0, t1.dtype)
     for sI, sJ in pairs:
-        e = e + _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ)
+        e = e + _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=mesh)
     if sym:
         e = e + e
     return e / 36.0
@@ -240,7 +279,7 @@ def eris_spin_restricted(eris, info, vvvv_op=None):
     return worst <= 1e3 * eps * scale
 
 
-def energy_t(eris, t1, t2, fsp=None, sect=None):
+def energy_t(eris, t1, t2, fsp=None, sect=None, mesh=None):
     """The (T) energy correction, scanned over (i,j) occupied pairs.
 
     sect: optional (SectorInfo, sym) — route through the spin-sector-blocked
@@ -253,7 +292,7 @@ def energy_t(eris, t1, t2, fsp=None, sect=None):
     store per-step slabs either."""
     if sect is not None:
         info, sym = sect
-        return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym)
+        return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym, mesh=mesh)
     nocc, nvir = t1.shape
     f = eris.fock if fsp is None else fsp
     fo = jnp.diag(f)[:nocc]

@@ -338,3 +338,24 @@ def test_sharded_packed_ladder_scale_proof():
     for m in re.finditer(r"all-gather[^\n]*", hlo):
         assert str(p) not in m.group(0) and str(rows) not in m.group(0), \
             m.group(0)
+
+
+def test_sharded_sectored_t_energy_matches_single(h2o_631g):
+    """The (T) pair scan sharded over all 8 mesh devices (operands
+    replicated, scalar psum — ops/ccsd_t._sect_scan_t mesh path) equals the
+    single-device sectored scan and the dense scan, incl. non-divisible
+    pair counts (25 alpha-alpha pairs over 8 devices -> masked padding)."""
+    from test_ccsd_kernels import _sorted_system, _mirror_amps
+    from ecw_cc_tpu.ops import ccsd_t
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+
+    _, _, _, er_dense, _, _, info = _sorted_system(h2o_631g)
+    t1, t2, _, _ = map(jnp.asarray, _mirror_amps(info, seed=41))
+    mesh = make_mesh(n_dp=2)
+    e_dense = float(ccsd_t.energy_t(er_dense, t1, t2))
+    for sym in (False, True):
+        e_one = float(ccsd_t.energy_t_sect(er_dense, t1, t2, info, sym=sym))
+        e_mesh = float(ccsd_t.energy_t_sect(er_dense, t1, t2, info, sym=sym,
+                                            mesh=mesh))
+        assert abs(e_mesh - e_one) < 1e-12 * max(1.0, abs(e_one))
+        assert abs(e_mesh - e_dense) < 1e-11 * max(1.0, abs(e_dense))
