@@ -507,6 +507,47 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
     return result
 
 
+def bench_t(basis="cc-pvtz"):
+    """Sectored vs dense (T) energy on the device (the round-3 kernel:
+    ops/ccsd_t.energy_t_sect — per-spin-sector-pair scans, ~8-16x fewer
+    FLOPs).  MP2 amplitudes; the value only sanity-anchors the routes."""
+    import jax
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops import ccsd_t, ladder
+    from ecw_cc_tpu.ops.spinsect import sector_info
+
+    mol, ghf = build_host(basis)
+    eris, vvvv_op = build_eris_device(mol, ghf, dtype="float32",
+                                      pack_ladder=True, sort_spin=True)
+    nocc = eris.nocc
+    perm = ladder.spin_sort_perm(np.asarray(ghf.orbspin), nocc)
+    info = sector_info(np.asarray(ghf.orbspin)[perm], nocc)
+    sym = ccsd_t.eris_spin_restricted(eris, info, vvvv_op=vvvv_op)
+    diag = jnp.diag(eris.fock)
+    eia = diag[:nocc, None] - diag[None, nocc:]
+    eijab = eia[:, None, :, None] + eia[None, :, None, :]
+    t2 = eris.oovv / eijab
+    t1 = jnp.zeros_like(eia)
+
+    def timeit(fn):
+        f = jax.jit(fn)
+        val = float(f(eris, t1, t2))  # compile + forced value fetch (axon:
+        best = np.inf                 # block_until_ready can be a no-op)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            val = float(f(eris, t1, t2))
+            best = min(best, time.perf_counter() - t0)
+        return round(best * 1e3, 1), val
+
+    dense_ms, e_d = timeit(lambda er, a, b: ccsd_t.energy_t(er, a, b))
+    sect_ms, e_s = timeit(lambda er, a, b: ccsd_t.energy_t_sect(
+        er, a, b, info, sym=sym))
+    return {"dense_ms": dense_ms, "sect_ms": sect_ms, "sym": bool(sym),
+            "speedup": round(dense_ms / sect_ms, 1),
+            "e_match": bool(abs(e_d - e_s) < 5e-4 * max(1.0, abs(e_d)))}
+
+
 def bench_es():
     """ES production path on device (r2 VERDICT weak #4): the fully-jitted
     coupled multi-state ES solver (SolverES_Device) on the reference ES
@@ -654,6 +695,11 @@ def main():
             line["es"] = bench_es()
         except Exception as exc:  # pragma: no cover - keep the GS line alive
             print(f"bench_es failed: {exc!r}", file=sys.stderr)
+        if pvtz is not None:
+            try:
+                line["t_energy_pvtz"] = bench_t("cc-pvtz")
+            except Exception as exc:  # pragma: no cover - keep the line alive
+                print(f"bench_t failed: {exc!r}", file=sys.stderr)
     print(json.dumps(line))
 
 
