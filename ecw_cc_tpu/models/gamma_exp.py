@@ -308,9 +308,13 @@ class ESexp:
         for c in range(self.nbr_of_states[1]):
             run_state(0, lumo + c, "core", self.nbr_of_states[0] + c)
 
-    def EOM(self, nbr_ES, tol=1e-7):
+    def EOM(self, nbr_ES, tol=None):
         """EOM-EE-CCSD excited-state targets (the reference's EOM stub raises,
         gamma_exp.py:464-470; this supplies the intended capability).
+
+        tol: Davidson residual tolerance — default 1e-7 in f64 parity mode,
+        1e-5 in f32 production (a tighter tolerance is unreachable in f32:
+        Davidson would exhaust max_cycle and report unconverged junk roots).
 
         Solves plain CCSD + Lambda, then the lowest nbr_ES EOM-EE roots via
         Davidson on the autodiff sigma (ops/eom.py), and builds the MO-G
@@ -322,15 +326,25 @@ class ESexp:
         from ecw_cc_tpu.ops import ccsd_t
         from ecw_cc_tpu.ops import eom as eom_ops
 
+        from ecw_cc_tpu.config import get_config
+
+        if tol is None:
+            tol = 1e-5 if get_config().dtype == "float32" else 1e-7
         ghf = GHF(self.mf)
-        eris, vvvv_op = _build_eris_auto(self.mol, ghf)
-        t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op)
+        # f32 production: spin-sorted build — solve, Lambda, Davidson sigmas
+        # and transition rdm1s all run through the sector-blocked kernels;
+        # everything handed out is permuted back to the alternating layout
+        eris, vvvv_op, sect, unperm = _build_eris_sorted(self.mol, ghf)
+        t1, t2, e_cc = ccsd_t.solve_ccsd(eris, vvvv_op=vvvv_op, sect=sect)
         # GS Lambda (textbook equations; plain-CCSD target generation)
-        l1, l2 = solve_lambda(eris, t1, t2, vvvv_op=vvvv_op)
+        l1, l2 = solve_lambda(eris, t1, t2, vvvv_op=vvvv_op, sect=sect)
 
         omegas, Rs, Ls = eom_ops.eom_ccsd(eris, t1, t2, nroots=nbr_ES,
                                           tol=tol, left=True,
-                                          vvvv_op=vvvv_op)
+                                          vvvv_op=vvvv_op, sect=sect)
+        nocc = eris.nocc
+        if unperm is not None:
+            io, iv = unperm[:nocc], unperm[nocc:] - nocc
         self.ECCSD = float(e_cc)
         self.gamma_tr_mo = []
         self.ini_r = []
@@ -344,7 +358,12 @@ class ESexp:
                 t1, t2, l1, l2, jnp.asarray(r1), jnp.asarray(r2), r0))
             tr_r = np.asarray(ccsd_ops.tr_rdm1(
                 t1, t2, jnp.asarray(lk1), jnp.asarray(lk2), zero1, zero2, 1.0))
+            r1_out = np.asarray(r1)
+            if unperm is not None:
+                tr_l = tr_l[np.ix_(unperm, unperm)]
+                tr_r = tr_r[np.ix_(unperm, unperm)]
+                r1_out = r1_out[np.ix_(io, iv)]
             self.DE_exp.append(float(omegas[k]))
             self.gamma_tr_mo.append((tr_l, tr_r))
-            self.ini_r.append(np.asarray(r1))
+            self.ini_r.append(r1_out)
         return omegas

@@ -76,9 +76,11 @@ def gamma_inter_sect(t1, t2, l1, l2, info, sym=False):
 
 
 def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
-                 ladder_pre=None, eris_sb=None, sym=False):
+                 ladder_pre=None, eris_sb=None, sym=False, equation=False):
     """Sector-blocked T1/T2 SCF update (twin of ops/ccsd.tupdate with
-    views=None replaced by the blocked routes; same return protocol).
+    views=None replaced by the blocked routes; same return protocol,
+    including equation=True returning the undivided residual values with
+    the Fock diagonal kept — the EOM sigma form, ops/eom.py).
 
     ladder_pre: bare-vvvv ladder term from the solver's stacked sectored
     GEMM (ops/ladder.stacked_sectored_contract), dense (o,o,v,v)."""
@@ -119,8 +121,9 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     Woooo = (wrap(eris.oooo, "oooo", info, sym=sym) + tmp
              + tmp.transpose(0, 1, 3, 2).scale(-1.0))
 
-    Fvv_d = Fvv if alpha is not None else Fvv - jnp.diag(diag_vv)
-    Foo_d = Foo if alpha is not None else Foo - jnp.diag(diag_oo)
+    keep_diag = alpha is not None or equation
+    Fvv_d = Fvv if keep_diag else Fvv - jnp.diag(diag_vv)
+    Foo_d = Foo if keep_diag else Foo - jnp.diag(diag_oo)
 
     # --- T1 ---
     t1new = (einsum("ie,ae->ia", t1, Fvv_d)
@@ -166,10 +169,14 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     if alpha is not None:
         dW1 = t1new
         dW2 = subdiff(t2new_d, t2, alpha)
+        if equation:
+            return dW1, dW2
         eia = diag_oo[:, None] - diag_vv[None, :]
         eijab = eia[:, None, :, None] + eia[None, :, None, :]
         return (dW1 + t1 * eia) / eia, (dW2 + t2 * eijab) / eijab
 
+    if equation:
+        return t1new, t2new_d
     eia = diag_oo[:, None] - diag_vv[None, :]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]
     return t1new / eia, t2new_d / eijab

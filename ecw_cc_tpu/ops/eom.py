@@ -28,56 +28,84 @@ from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.utils.linalg import davidson_nosym
 
 
-@jax.jit
-def _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2):
+from functools import partial
+
+
+def _residual(eris, vvvv_op, fsp, a, b, sect):
+    if sect is not None:
+        from ecw_cc_tpu.ops.ccsd_sect import tupdate_sect
+
+        # sym stays OFF inside jvp/vjp: the mirror-halved kernels fold the
+        # derivative (see ops/ccsd_t.energy_t_sect's docstring); the plain
+        # sectored map restricted to spin-balanced tangents/cotangents
+        # equals the dense Jacobian (off-balance blocks vanish by spin
+        # conservation at a balanced amplitude point)
+        f = eris.fock if fsp is None else fsp
+        return tupdate_sect(eris, a, b, f, sect[0], vvvv_op=vvvv_op,
+                            equation=True)
+    return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True,
+                            vvvv_op=vvvv_op)
+
+
+@partial(jax.jit, static_argnames=("sect",))
+def _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2, sect=None):
     # eris/amplitudes are jit ARGUMENTS, not closure constants: a closure
     # would bake the full ERI set (GBs at production sizes) into the HLO
     # shipped to the remote compiler (CLAUDE.md gotcha)
     def res(a, b):
-        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True,
-                                vvvv_op=vvvv_op)
+        return _residual(eris, vvvv_op, fsp, a, b, sect)
 
     _, s = jax.jvp(res, (t1, t2), (r1, r2))
     return s
 
 
-@jax.jit
-def _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2):
+@partial(jax.jit, static_argnames=("sect",))
+def _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2, sect=None):
     def res(a, b):
-        return ccsd_ops.tupdate(eris, a, b, fsp=fsp, equation=True,
-                                vvvv_op=vvvv_op)
+        return _residual(eris, vvvv_op, fsp, a, b, sect)
 
     _, vjp = jax.vjp(res, t1, t2)
     return vjp((l1, l2))
 
 
-def make_sigma(eris, t1, t2, fsp=None, vvvv_op=None):
+def make_sigma(eris, t1, t2, fsp=None, vvvv_op=None, sect=None):
     """(sigma_right, sigma_left) wrappers at the converged amplitudes.
 
     vvvv_op: optional non-dense ladder operand (pack-on-build ERIs).  Exact
     for the Davidson iterates: right tangents are antisymmetric (where the
     packed route equals the dense ladder), and for antisymmetric cotangents
     the packed route's upper-triangle-doubled transpose collapses to the
-    dense transpose under the mv_left output antisymmetrization."""
+    dense transpose under the mv_left output antisymmetrization.
+
+    sect: optional (SectorInfo, sym) — route the residual through the
+    sector-blocked kernels (sorted layout).  Exact for EOM-EE: Sz-conserving
+    R/L vectors are spin-balanced, the Jacobian maps the balanced subspace
+    to itself, and the Koopman guesses are balanced, so the whole Krylov
+    space stays where the sectored and dense Jacobians agree."""
     def sigma(r1, r2):
-        return _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2)
+        return _sigma_right(eris, vvvv_op, fsp, t1, t2, r1, r2, sect=sect)
 
     def sigma_left(l1, l2):
-        return _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2)
+        return _sigma_left(eris, vvvv_op, fsp, t1, t2, l1, l2, sect=sect)
 
     return sigma, sigma_left
 
 
-def koopman_guesses(eris, nroots, alpha_only=True):
+def koopman_guesses(eris, nroots, alpha_only=True, info=None):
     """Unit r1 vectors on the smallest orbital-energy gaps (Koopman);
-    with alpha_only, only alpha->alpha (even->even index) excitations are
-    seeded so degenerate spin pairs resolve deterministically."""
+    with alpha_only, only alpha->alpha excitations are seeded so degenerate
+    spin pairs resolve deterministically.  info: SectorInfo when the eris
+    are in the spin-SORTED layout (alpha block first) — without it the
+    alternating [0,1,0,1,...] convention is assumed."""
     nocc, nvir = eris.nocc, eris.nvir
     mo_e = np.diag(np.asarray(eris.fock))
     gaps = mo_e[None, nocc:] - mo_e[:nocc, None]
     if alpha_only:
         mask = np.ones_like(gaps) * np.inf
-        mask[0::2, 0::2] = 0.0  # orbspin alternates [0,1,0,1,...]
+        if info is not None:
+            mask[:info.oa, :info.va] = 0.0  # sorted: alpha blocks first
+        else:
+            mask[0::2, 0::2] = 0.0  # orbspin alternates [0,1,0,1,...]
         gaps = gaps + mask
     order = np.argsort(gaps.ravel())
     guesses = []
@@ -89,7 +117,8 @@ def koopman_guesses(eris, nroots, alpha_only=True):
 
 
 def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
-             max_space=30, max_cycle=120, left=False, vvvv_op=None):
+             max_space=30, max_cycle=120, left=False, vvvv_op=None,
+             sect=None):
     """EOM-EE-CCSD roots by Davidson on the autodiff sigma.
 
     :return: (omegas, list of (r1, r2)) — or (omegas, Rs, Ls) with left=True,
@@ -97,7 +126,8 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     """
     nocc, nvir = t1.shape
     nov = nocc * nvir
-    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp, vvvv_op=vvvv_op)
+    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp,
+                                   vvvv_op=vvvv_op, sect=sect)
     mo_e = np.diag(np.asarray(eris.fock))
     d1 = (mo_e[None, nocc:] - mo_e[:nocc, None]).ravel()
     eia = mo_e[:nocc, None] - mo_e[None, nocc:]
@@ -108,23 +138,63 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         return 0.25 * (r2 - r2.transpose(1, 0, 2, 3)
                        - r2.transpose(0, 1, 3, 2) + r2.transpose(1, 0, 3, 2))
 
+    if sect is not None:
+        # spin-balance projector (static masks): the sectored Jacobian's
+        # off-balance sector is an exact null space, and in f32 the
+        # preconditioned Davidson residuals otherwise accumulate roundoff
+        # there until a spurious ~0 root converges; masking every iterate
+        # and matvec output keeps the Krylov space exactly Sz-conserving
+        # (binary spins: multiset balance {si,sj}=={sa,sb} iff sums match)
+        inf = sect[0]
+        so = np.zeros(nocc, dtype=int)
+        so[inf.oa:] = 1
+        sv = np.zeros(nvir, dtype=int)
+        sv[inf.va:] = 1
+        mask1 = (so[:, None] == sv[None, :]).astype(np.float64)
+        mask2 = ((so[:, None, None, None] + so[None, :, None, None])
+                 == (sv[None, None, :, None]
+                     + sv[None, None, None, :])).astype(np.float64)
+    else:
+        mask1 = mask2 = None
+
     def unpack(v, asym=True):
-        r1 = jnp.asarray(v[:nov].reshape(nocc, nvir), dtype=t1.dtype)
+        r1 = v[:nov].reshape(nocc, nvir)
         r2 = v[nov:].reshape(nocc, nocc, nvir, nvir)
         if asym:
             r2 = _asym(r2)
-        return r1, jnp.asarray(r2, dtype=t1.dtype)
+        if mask1 is not None:
+            r1 = r1 * mask1
+            r2 = r2 * mask2
+        return (jnp.asarray(r1, dtype=t1.dtype),
+                jnp.asarray(r2, dtype=t1.dtype))
+
+    def _pack_out(s1, s2):
+        s1 = np.asarray(s1)
+        s2 = np.asarray(s2)
+        if mask1 is not None:
+            s1 = s1 * mask1
+            s2 = s2 * mask2
+        return np.concatenate([s1.ravel(), s2.ravel()])
 
     def mv_right(v):
-        s1, s2 = sigma(*unpack(v))
-        return np.concatenate([np.asarray(s1).ravel(), np.asarray(s2).ravel()])
+        return _pack_out(*sigma(*unpack(v)))
 
     if guess is None:
-        guess = koopman_guesses(eris, nroots)
+        guess = koopman_guesses(eris, nroots,
+                                info=None if sect is None else sect[0])
     x0 = [np.concatenate([g, np.zeros(nocc * nocc * nvir * nvir)])
           for g in guess]
     conv, w, xs = davidson_nosym(mv_right, x0, diag, nroots=nroots, tol=tol,
                                  max_cycle=max_cycle, max_space=max_space)
+    if not all(conv[:nroots]):
+        # an exhausted Davidson can report junk roots (e.g. ~0 from the
+        # projected null space); surface it instead of silently returning
+        import warnings
+
+        warnings.warn(
+            f"EOM Davidson unconverged roots: conv={list(conv[:nroots])} "
+            f"omegas={[float(x) for x in w[:nroots]]} (tol={tol}; in f32 "
+            "use tol>=1e-5)", RuntimeWarning, stacklevel=2)
     omegas = [float(x) for x in w[:nroots]]
     Rs = []
     for k in range(nroots):
@@ -140,7 +210,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         # (the left map restricted to the physical subspace)
         s1, s2 = sigma_left(*unpack(v, asym=False))
         s2 = _asym(np.asarray(s2))
-        return np.concatenate([np.asarray(s1).ravel(), np.asarray(s2).ravel()])
+        return _pack_out(s1, s2)
 
     Ls = []
     for k in range(nroots):

@@ -89,3 +89,56 @@ def test_eom_packed_ladder_matches_dense(h2o_sto3g):
             # eigenvectors defined up to sign
             s = np.sign(np.vdot(a.ravel(), b.ravel()))
             assert np.allclose(a, s * b, atol=1e-6)
+
+
+def test_eom_sectored_matches_dense(h2o_sto3g):
+    """Every EOM-EE root from the sector-blocked sigma (sorted layout)
+    appears in the dense-sigma spectrum: on the spin-balanced (Sz=0)
+    subspace the sectored and dense Jacobians agree exactly.  The sectored
+    Davidson additionally SKIPS the degenerate Ms=+-1 spin-flip copies of
+    triplet roots (they live in the off-balance sector the projection
+    annihilates), so it yields distinct EE states where the dense run
+    repeats a multiplet — compare as a subset, not elementwise."""
+    from test_ccsd_kernels import _sorted_system
+    from ecw_cc_tpu.ops.ladder import pack_vvvv_sorted
+
+    _, _, _, er_dense, _, _, info = _sorted_system(h2o_sto3g)
+    vop = pack_vvvv_sorted(er_dense.vvvv, info.va)
+    t1, t2, _ = ccsd_t.solve_ccsd(er_dense, conv_tol=1e-11)
+    w_d, _ = eom.eom_ccsd(er_dense, t1, t2, nroots=5, tol=1e-9)
+    w_s, Rs_s = eom.eom_ccsd(er_dense, t1, t2, nroots=2, tol=1e-9,
+                             vvvv_op=vop, sect=(info, True))
+    assert w_s[1] - w_s[0] > 1e-4  # distinct states, no multiplet repeats
+    for ws in w_s:
+        assert np.min(np.abs(np.asarray(w_d) - ws)) < 1e-8, (ws, w_d)
+    for _, r2s in Rs_s:
+        # iterates stayed in the balanced subspace (hard zeros off-balance)
+        oa, va = info.oa, info.va
+        assert np.max(np.abs(np.asarray(r2s)[:oa, :oa, va:, va:])) < 1e-12
+
+
+def test_es_exp_eom_f32_sorted_matches_f64():
+    """The f32 production ESexp.EOM (spin-sorted build, sectored sigmas,
+    balance-projected Davidson, dtype-aware tol) reproduces the f64
+    dense-path omegas and transition rdm1s, permuted back to the
+    alternating layout."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.gamma_exp import ESexp
+    from ecw_cc_tpu.models.molecule import Molecule
+
+    e64 = ESexp(Molecule("h2o", "sto-3g"))
+    e64.mf.kernel()
+    w64 = e64.EOM(2)
+    old = cfg.get_config().dtype
+    try:
+        cfg.set_config(dtype="float32")
+        e32 = ESexp(Molecule("h2o", "sto-3g"))
+        e32.mf.kernel()
+        w32 = e32.EOM(2)
+    finally:
+        cfg.set_config(dtype=old)
+    assert np.allclose(w64, w32, atol=1e-5)
+    for k in range(2):
+        for s in (0, 1):
+            assert np.max(np.abs(e64.gamma_tr_mo[k][s]
+                                 - e32.gamma_tr_mo[k][s])) < 1e-5
