@@ -90,4 +90,14 @@ et_y = timeit("(T) sectored+sym", lambda er, a, b: ccsd_t.energy_t_sect(
 out["t_energy_ms"] = {"dense": round(et_d, 1), "sectored": round(et_s, 1),
                       "sectored_sym": round(et_y, 1), "sym_gate": bool(sym)}
 
+# ---- CCSD(T) target generation wall time (Gexp build, end-user facing) ------
+from ecw_cc_tpu.models.gamma_exp import Gexp  # noqa: E402
+from ecw_cc_tpu.models.molecule import Molecule  # noqa: E402
+
+t0 = time.perf_counter()
+g = Gexp(Molecule("c2h2", "cc-pvdz"), "CCSD(T)")
+g.build()
+out["gexp_ccsdt_pvdz_s"] = round(time.perf_counter() - t0, 1)
+out["gexp_ccsdt_pvdz_Eexp"] = round(float(g.Eexp), 6)
+
 print(json.dumps(out))
