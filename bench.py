@@ -513,17 +513,15 @@ def bench_t(basis="cc-pvtz"):
     FLOPs).  MP2 amplitudes; the value only sanity-anchors the routes."""
     import jax
     import jax.numpy as jnp
-    from ecw_cc_tpu.models.eris import build_eris_device
-    from ecw_cc_tpu.ops import ccsd_t, ladder
-    from ecw_cc_tpu.ops.spinsect import sector_info
+    from ecw_cc_tpu.models.gamma_exp import _build_eris_sorted
+    from ecw_cc_tpu.ops import ccsd_t
 
     mol, ghf = build_host(basis)
-    eris, vvvv_op = build_eris_device(mol, ghf, dtype="float32",
-                                      pack_ladder=True, sort_spin=True)
+    # the PRODUCTION sorted-build recipe (one definition; bench must not
+    # measure a different route than target generation runs)
+    eris, vvvv_op, sect, _ = _build_eris_sorted(mol, ghf)
+    info, sym = sect
     nocc = eris.nocc
-    perm = ladder.spin_sort_perm(np.asarray(ghf.orbspin), nocc)
-    info = sector_info(np.asarray(ghf.orbspin)[perm], nocc)
-    sym = ccsd_t.eris_spin_restricted(eris, info, vvvv_op=vvvv_op)
     diag = jnp.diag(eris.fock)
     eia = diag[:nocc, None] - diag[None, nocc:]
     eijab = eia[:, None, :, None] + eia[None, :, None, :]

@@ -184,7 +184,11 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
     def chunk(ids_local, *ops_rep):
         # the carry must enter the scan as device-VARYING (the chunk sums
         # differ per shard) or shard_map's vma typing rejects the body
-        acc0 = jax.lax.pvary(jnp.asarray(0.0, t1.dtype), axes)
+        # (pcast is the non-deprecated spelling; pvary the 0.9 fallback)
+        try:
+            acc0 = jax.lax.pcast(jnp.asarray(0.0, t1.dtype), to=axes)
+        except (AttributeError, TypeError):
+            acc0 = jax.lax.pvary(jnp.asarray(0.0, t1.dtype), axes)
         acc, _ = jax.lax.scan(mk_body(*ops_rep), acc0, ids_local)
         return jax.lax.psum(acc, axes)
 
@@ -293,6 +297,10 @@ def energy_t(eris, t1, t2, fsp=None, sect=None, mesh=None):
     if sect is not None:
         info, sym = sect
         return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym, mesh=mesh)
+    if mesh is not None:
+        raise ValueError("energy_t(mesh=...) requires sect: the sharded "
+                         "pair scans are implemented on the sector-blocked "
+                         "route only (pass sect=(SectorInfo, sym))")
     nocc, nvir = t1.shape
     f = eris.fock if fsp is None else fsp
     fo = jnp.diag(f)[:nocc]

@@ -219,6 +219,14 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         conv_l, wl, xls = davidson_nosym(mv_left, xl0, diag, nroots=1,
                                          tol=tol, max_cycle=max_cycle,
                                          max_space=max_space, follow=True)
+        if not conv_l[0]:
+            import warnings
+
+            warnings.warn(
+                f"EOM left Davidson unconverged for root {k} "
+                f"(omega={omegas[k]:.6f}, tol={tol}); the L vector and any "
+                "transition density built from it may be inaccurate",
+                RuntimeWarning, stacklevel=2)
         lv = np.asarray(xls[0])
         l1, l2 = unpack(lv)
         # biorthonormalize: <L|R> = 1 (raw-storage Euclidean product)
