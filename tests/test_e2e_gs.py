@@ -532,3 +532,31 @@ def test_F_target_device_solver_matches_host(h2o_sto3g):
     assert np.max(np.abs(out_h[4] - out_d[4])) < 1e-8       # rdm1
     for a, b in zip(out_h[5], out_d[5]):                    # amplitudes
         assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-7
+
+
+def test_cli_runner_spec(tmp_path):
+    """`python -m ecw_cc_tpu spec.json` (headless experiment runner) drives
+    the doctest-anchor experiment end to end from a JSON spec."""
+    import json
+
+    from ecw_cc_tpu.__main__ import run_spec
+
+    spec = {
+        "molecule": "h2o", "basis": "6-31g",
+        "out_dir": str(tmp_path),
+        "target": {"prop": "mat", "posthf": "HF",
+                   "field": [0.05, 0.01, 0.0]},
+        "run": {"solver": "CCS_GS", "Larray": [0.5, 0.5, 1]},
+    }
+    path = tmp_path / "spec.json"
+    path.write_text(json.dumps(spec))
+    # CCS_GS returns the last lambda's Result tuple (text, Ep, ...)
+    result = run_spec(json.loads(path.read_text()))
+    assert result[0].startswith("Convergence reached")
+    # doctest anchor: Ep_total = -75.98424 at L=0.5
+    import numpy as np
+
+    # result Ep is the correlation part; doctest anchor:
+    # Ep_total = -75.98424 = EHF (-75.98395) + (-2.9451e-4)
+    ep = float(np.asarray(result[1]).ravel()[-1])
+    assert abs(ep - (-2.9451e-4)) < 2e-6
