@@ -426,6 +426,12 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
         flops_d = count_flops(step_d, eris_shapes_d, (None,) + tuple(shapes))
         if np.isfinite(flops_d):
             result["flops_per_iter_dense"] = int(flops_d)
+            # dense-EQUIVALENT throughput: the sectored/sym kernels cut the
+            # step's useful FLOPs up to ~11x, so the raw tflops figure
+            # DROPS as the step gets faster — this field is the
+            # apples-to-apples number (dense-step FLOPs / measured time)
+            result["tflops_dense_equiv"] = round(
+                flops_d / (tpu_ms * 1e-3) / 1e12, 2)
 
     if measure_high:
         import ecw_cc_tpu.config as config
@@ -596,7 +602,7 @@ def bench_es():
             "E_es1_eV": round(e1_ev, 3)}
 
 
-def _backend_alive(timeout=300):
+def _backend_alive(timeout=None):
     """Probe JAX backend initialization in a SUBPROCESS with a hard timeout.
 
     The axon TPU tunnel can be down for days, in which case jax.devices()
@@ -606,6 +612,8 @@ def _backend_alive(timeout=300):
     bench emits an explicit error line instead of hanging.
     """
     import subprocess
+    if timeout is None:
+        timeout = int(os.environ.get("ECW_CC_TPU_PROBE_TIMEOUT", "300"))
     code = "import jax; print(jax.devices()[0].platform)"
     try:
         r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
@@ -628,14 +636,25 @@ def main():
     import ecw_cc_tpu.config as config
 
     ok, info = _backend_alive()
+    tpu_unavailable = None
     if not ok:
-        print(f"JAX backend unavailable: {info}", file=sys.stderr)
-        print(json.dumps({
-            "metric": "ecw_ccsd_full_iteration_c2h2_ccpvdz",
-            "value": None, "unit": "ms", "vs_baseline": None,
-            "error": f"jax backend init failed: {info}"}))
-        return
-    platform = info
+        # Tunnel down/hung: fall back to a REAL measured run on the XLA:CPU
+        # backend (flagged below as platform=cpu + tpu_unavailable) instead
+        # of an error-only line — the number is honest (same production
+        # solver), just not a TPU number.  Pin the platform BEFORE any
+        # backend init: the axon plugin force-registers itself and a plain
+        # jax.devices() in this process would hang exactly like the probe.
+        print(f"TPU backend unavailable ({info}); falling back to XLA:CPU",
+              file=sys.stderr)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        tpu_unavailable = info
+        platform = "cpu"
+        # bound the fallback: the pVTZ programs take tens of s/iter on one
+        # CPU core — measure the pVDZ config only unless explicitly forced
+        os.environ.setdefault("ECW_CC_TPU_BENCH", "pvdz")
+    else:
+        platform = info
 
     config.set_config(x64=False, dtype="float32")
     config.setup_jax()
@@ -686,6 +705,8 @@ def main():
         # a silently missing axon plugin must not publish CPU timings as
         # TPU numbers under this metric without a visible marker
         line["platform"] = "cpu"
+    if tpu_unavailable is not None:
+        line["tpu_unavailable"] = tpu_unavailable
     if pvtz is not None:
         line["pvtz"] = pvtz
     if which == "both":

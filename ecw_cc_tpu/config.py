@@ -158,21 +158,38 @@ def setup_jax():
 
 
 def _host_fingerprint():
-    """8-hex digest of the host CPU feature flags (+ arch)."""
+    """8-hex digest of the host CPU identity (+ arch + jaxlib).
+
+    The flags list alone is NOT enough: two hosts with identical
+    /proc/cpuinfo flags can still get different LLVM target-feature strings
+    from XLA:CPU (e.g. tuning attrs like +prefer-no-scatter), making their
+    AOT entries mutually unloadable (benign E-log + recompile) or, across
+    microarchitectures, SIGILL-prone.  Key on model name + flags + jaxlib
+    version so each (machine type, compiler) pair gets its own subdir.
+    """
     import hashlib
     import platform
 
-    flags = ""
+    flags = model = ""
     try:
         with open("/proc/cpuinfo") as fh:
             for line in fh:
-                if line.startswith("flags"):
+                if line.startswith("flags") and not flags:
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif line.startswith("model name") and not model:
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
     except OSError:
         pass
+    try:
+        import jaxlib.version
+        jl = jaxlib.version.__version__
+    except Exception:
+        jl = ""
     digest = hashlib.sha256(
-        (platform.machine() + "|" + flags).encode()).hexdigest()[:8]
+        "|".join((platform.machine(), model, flags, jl)).encode()
+    ).hexdigest()[:8]
     return f"host-{digest}"
 
 

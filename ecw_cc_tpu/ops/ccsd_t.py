@@ -186,7 +186,8 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
         # differ per shard) or shard_map's vma typing rejects the body
         # (pcast is the non-deprecated spelling; pvary the 0.9 fallback)
         try:
-            acc0 = jax.lax.pcast(jnp.asarray(0.0, t1.dtype), to=axes)
+            acc0 = jax.lax.pcast(jnp.asarray(0.0, t1.dtype), axes,
+                                 to="varying")
         except (AttributeError, TypeError):
             acc0 = jax.lax.pvary(jnp.asarray(0.0, t1.dtype), axes)
         acc, _ = jax.lax.scan(mk_body(*ops_rep), acc0, ids_local)
