@@ -152,9 +152,36 @@ def setup_jax():
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache"))
     if cache != "0":
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(cache, _host_fingerprint()))
+        sub = os.path.join(cache, _host_fingerprint())
+        jax.config.update("jax_compilation_cache_dir", sub)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _prune_stale_cache_dirs(cache, keep=sub)
+
+
+def _prune_stale_cache_dirs(cache, keep, max_age_s=7 * 86400):
+    """Delete sibling host-* cache subdirs untouched for a week.
+
+    The fingerprint includes the boot id, so every VM boot starts a new
+    subdir and the old ones (AOT code for a CPU we may never see again)
+    would accumulate forever.  A week of grace avoids deleting a cache a
+    concurrently-running session on another host might still be using."""
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(cache)
+    except OSError:
+        return
+    now = time.time()
+    for name in entries:
+        path = os.path.join(cache, name)
+        if path == keep or not name.startswith("host-"):
+            continue
+        try:
+            if os.path.isdir(path) and now - os.path.getmtime(path) > max_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _host_fingerprint():
@@ -162,10 +189,13 @@ def _host_fingerprint():
 
     The flags list alone is NOT enough: two hosts with identical
     /proc/cpuinfo flags can still get different LLVM target-feature strings
-    from XLA:CPU (e.g. tuning attrs like +prefer-no-scatter), making their
-    AOT entries mutually unloadable (benign E-log + recompile) or, across
-    microarchitectures, SIGILL-prone.  Key on model name + flags + jaxlib
-    version so each (machine type, compiler) pair gets its own subdir.
+    from XLA:CPU (e.g. tuning attrs like +prefer-no-scatter), because the
+    VM virtualizes /proc/cpuinfo while LLVM queries the real CPU via cpuid
+    directly — observed on this fleet: foreign AOT entries landed in a
+    flags-keyed subdir and the loader WARNS but proceeds ("could lead to
+    ... SIGILL").  No python-visible value distinguishes such hosts, so the
+    boot id is included: each VM boot gets its own subdir (warm within a
+    boot/session; cold across reboots — the safe direction).
     """
     import hashlib
     import platform
@@ -182,13 +212,19 @@ def _host_fingerprint():
                     break
     except OSError:
         pass
+    boot = ""
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            boot = fh.read().strip()
+    except OSError:
+        pass
     try:
         import jaxlib.version
         jl = jaxlib.version.__version__
     except Exception:
         jl = ""
     digest = hashlib.sha256(
-        "|".join((platform.machine(), model, flags, jl)).encode()
+        "|".join((platform.machine(), model, flags, jl, boot)).encode()
     ).hexdigest()[:8]
     return f"host-{digest}"
 

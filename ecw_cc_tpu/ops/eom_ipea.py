@@ -1,0 +1,256 @@
+"""EOM-IP/EA-CCSD: ionization potentials and electron affinities.
+
+A capability BEYOND the reference: its EOM machinery is an unimplemented
+stub for EE targets only (/root/reference/ECW_CC/gamma_exp.py:464-470) and
+it has no IP/EA ladder at all.  Instead of hand-transcribing the sigma
+equations, they are DERIVED by the in-house Wick engine
+(ops/wick.generate_eom_terms): every einsum term of
+
+    sigma_mu = <mu| H_N e^T R |0>,   mu in {1h, 2h1p} (IP) / {1p, 2p1h} (EA)
+
+is produced programmatically and evaluated block-wise on GEris (the
+canonicalized subscripts land exactly on the stored oooo/vooo/vovo/vvoo/
+vovv/vvvo/vvvv blocks).  Correctness is pinned by a determinant-space
+identity: with the R-disconnected terms kept (connected=False), the sigma
+matrix equals the projection  P (e^-T H_N e^T) P  onto the 1h+2h1p
+(1p+2p1h) determinants at ARBITRARY amplitudes — tested against oracle.py's
+exact construction in tests/test_eom_ipea.py.  The production solver uses
+the connected variant (eigenvalues are omega directly) with Davidson
+(utils.linalg.davidson_nosym) in the antisymmetry-projected subspace.
+
+For a 2-electron system the 1h+2h1p space spans the full (N-1)-electron
+Fock-space sector, so EOM-IP-CCSD energies are exact (== 1-electron
+eigenvalues minus the CCSD total energy) — also tested.
+
+Evaluation is jnp.einsum under jit with eris/amplitudes as ARGUMENTS (a
+closure would bake multi-GB constants into the HLO shipped to the remote
+compiler — CLAUDE.md gotcha).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ecw_cc_tpu.ops.wick import generate_eom_terms
+from ecw_cc_tpu.utils.linalg import davidson_nosym
+
+_OCC = set("ijklmnop")
+
+# term lists are compile-time constants: cache per (kind, mu_rank, connected)
+_TERMS_CACHE: dict = {}
+
+
+def _terms(kind, mu_rank, connected):
+    key = (kind, mu_rank, connected)
+    if key not in _TERMS_CACHE:
+        _TERMS_CACHE[key] = tuple(
+            (coeff, tuple(pieces), out)
+            for coeff, pieces, out in generate_eom_terms(
+                kind, mu_rank, connected=connected))
+    return _TERMS_CACHE[key]
+
+
+def _block_pattern(subs):
+    return "".join("o" if c in _OCC else "v" for c in subs)
+
+
+def _apply_terms(terms, eris, fsp, t1, t2, r1, r2, kind):
+    nocc = t1.shape[0]
+    rname1, rname2 = ("rip1", "rip2") if kind == "ip" else ("rea1", "rea2")
+    tens = {"t1": t1, "t2": t2, rname1: r1, rname2: r2}
+
+    def fblock(ss):
+        sl = tuple(slice(0, nocc) if c in _OCC else slice(nocc, None)
+                   for c in ss)
+        return fsp[sl]
+
+    out = None
+    for coeff, pieces, out_subs in terms:
+        operands = []
+        subs = []
+        for name, ss in pieces:
+            if name == "f":
+                operands.append(fblock(ss))
+            elif name == "v":
+                operands.append(getattr(eris, _block_pattern(ss)))
+            else:
+                operands.append(tens[name])
+            subs.append(ss)
+        expr = ",".join(subs) + "->" + out_subs
+        val = coeff * jnp.einsum(expr, *operands, optimize=True)
+        out = val if out is None else out + val
+    return out
+
+
+@partial(jax.jit, static_argnames=("kind", "connected"))
+def _sigma(eris, fsp, t1, t2, r1, r2, kind, connected=True):
+    """(sigma1, sigma2) of the EOM-IP/EA matrix acting on (r1, r2)."""
+    s1 = _apply_terms(_terms(kind, 1, connected), eris, fsp, t1, t2,
+                      r1, r2, kind)
+    s2 = _apply_terms(_terms(kind, 2, connected), eris, fsp, t1, t2,
+                      r1, r2, kind)
+    return s1, s2
+
+
+def _check_eris(eris, kind):
+    if kind == "ea" and eris.vvvv.size == 0:
+        raise NotImplementedError(
+            "EOM-EA sigma needs the dense <ab||ef> block; pack-on-build "
+            "ERIs (pack_ladder=True) are not routed through the packed "
+            "ladder here yet — rebuild with pack_ladder=False for EA runs")
+
+
+def _asym2(x, kind):
+    """Projector onto the physical antisymmetric doubles storage."""
+    if kind == "ip":
+        return 0.5 * (x - jnp.transpose(x, (1, 0, 2)))
+    return 0.5 * (x - jnp.transpose(x, (0, 2, 1)))
+
+
+def make_sigma_ipea(eris, t1, t2, kind, fsp=None, connected=True):
+    """(sigma, sigma_left) closures at fixed amplitudes.
+
+    sigma(r1, r2) applies the EOM-IP/EA-CCSD matrix; sigma_left applies its
+    transpose (exact: jax.vjp of the jit-linear map)."""
+    _check_eris(eris, kind)
+    if fsp is None:
+        fsp = eris.fock
+
+    def sigma(r1, r2):
+        return _sigma(eris, fsp, t1, t2, r1, r2, kind, connected)
+
+    def sigma_left(l1, l2):
+        _, vjp = jax.vjp(lambda a, b: _sigma(eris, fsp, t1, t2, a, b,
+                                             kind, connected),
+                         jnp.zeros_like(l1), jnp.zeros_like(l2))
+        return vjp((l1, l2))
+
+    return sigma, sigma_left
+
+
+def _diag_guess(eris, kind, nroots):
+    """Koopman diagonal + unit-vector guesses.
+
+    IP: omega ~ -e_i (highest occupied first); EA: omega ~ e_a (lowest
+    virtual first)."""
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    e_o, e_v = mo_e[:nocc], mo_e[nocc:]
+    if kind == "ip":
+        d1 = -e_o
+        d2 = (-e_o[:, None, None] - e_o[None, :, None]
+              + e_v[None, None, :])
+        order = np.argsort(-e_o)
+        n1 = nocc
+    else:
+        d1 = e_v
+        d2 = (-e_o[:, None, None] + e_v[None, :, None]
+              + e_v[None, None, :])
+        order = np.argsort(e_v)
+        n1 = nvir
+    diag = np.concatenate([d1.ravel(), d2.ravel()])
+    guesses = []
+    for k in range(min(nroots, n1)):
+        g = np.zeros(diag.size)
+        g[order[k]] = 1.0
+        guesses.append(g)
+    # more roots than 1h/1p slots: seed the lowest-diagonal doubles too
+    for k in range(max(0, nroots - n1)):
+        g = np.zeros(diag.size)
+        g[n1 + int(np.argsort(d2.ravel())[k])] = 1.0
+        guesses.append(g)
+    return diag, guesses
+
+
+def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
+                  tol=1e-7, max_space=30, max_cycle=120, left=False):
+    """EOM-IP/EA-CCSD roots by Davidson on the Wick-derived sigma.
+
+    :param kind: 'ip' (omega = E_{N-1} - E_CCSD, positive ionization
+        energies) or 'ea' (omega = E_{N+1} - E_CCSD, negative = bound anion).
+    :return: (omegas, Rs) with Rs[k] = (r1, r2) in the storage conventions
+        rip2[i,j,a] (antisym i,j) / rea2[i,a,b] (antisym a,b); with
+        left=True also Ls, biorthonormalized so <L_k|R_k> = 1.
+    """
+    nocc, nvir = t1.shape
+    n1 = nocc if kind == "ip" else nvir
+    shape2 = (nocc, nocc, nvir) if kind == "ip" else (nocc, nvir, nvir)
+    sigma, sigma_left = make_sigma_ipea(eris, t1, t2, kind, fsp=fsp)
+    diag, auto_guess = _diag_guess(eris, kind, nroots)
+    if guess is None:
+        guess = auto_guess
+
+    def unpack(v, asym=True):
+        r1 = v[:n1]
+        r2 = v[n1:].reshape(shape2)
+        if asym:
+            r2 = _asym2(jnp.asarray(r2, dtype=t1.dtype), kind)
+        return (jnp.asarray(r1, dtype=t1.dtype),
+                jnp.asarray(r2, dtype=t1.dtype))
+
+    def mv_right(v):
+        s1, s2 = sigma(*unpack(v))
+        return np.concatenate([np.asarray(s1).ravel(),
+                               np.asarray(s2).ravel()])
+
+    conv, w, xs = davidson_nosym(mv_right, guess, diag, nroots=nroots,
+                                 tol=tol, max_cycle=max_cycle,
+                                 max_space=max_space)
+    if not all(conv[:nroots]):
+        import warnings
+
+        warnings.warn(
+            f"EOM-{kind.upper()} Davidson unconverged roots: "
+            f"conv={list(conv[:nroots])} "
+            f"omegas={[float(x) for x in w[:nroots]]} (tol={tol})",
+            RuntimeWarning, stacklevel=2)
+    omegas = [float(x) for x in w[:nroots]]
+    Rs = []
+    for k in range(nroots):
+        v = np.asarray(xs[k])
+        v = v / np.linalg.norm(v)
+        Rs.append(tuple(np.asarray(a) for a in unpack(v)))
+    if not left:
+        return omegas, Rs
+
+    def mv_left(v):
+        # transpose of (A . P) is P . A^T: raw cotangent in, output doubles
+        # antisymmetrized (same reasoning as ops/eom.mv_left)
+        s1, s2 = sigma_left(*unpack(v, asym=False))
+        s2 = _asym2(jnp.asarray(s2), kind)
+        return np.concatenate([np.asarray(s1).ravel(),
+                               np.asarray(s2).ravel()])
+
+    Ls = []
+    for k in range(nroots):
+        xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
+                               np.asarray(Rs[k][1]).ravel()])]
+        conv_l, wl, xls = davidson_nosym(mv_left, xl0, diag, nroots=1,
+                                         tol=tol, max_cycle=max_cycle,
+                                         max_space=max_space, follow=True)
+        if not conv_l[0]:
+            import warnings
+
+            warnings.warn(
+                f"EOM-{kind.upper()} left Davidson unconverged for root {k} "
+                f"(omega={omegas[k]:.6f}, tol={tol})",
+                RuntimeWarning, stacklevel=2)
+        l1, l2 = unpack(np.asarray(xls[0]))
+        ov = (np.vdot(np.asarray(l1), Rs[k][0])
+              + np.vdot(np.asarray(l2), Rs[k][1]))
+        Ls.append((np.asarray(l1) / ov, np.asarray(l2) / ov))
+    return omegas, Rs, Ls
+
+
+def eom_ip_ccsd(eris, t1, t2, **kw):
+    """Ionization potentials: see eom_ipea_ccsd."""
+    return eom_ipea_ccsd(eris, t1, t2, "ip", **kw)
+
+
+def eom_ea_ccsd(eris, t1, t2, **kw):
+    """Electron affinities: see eom_ipea_ccsd."""
+    return eom_ipea_ccsd(eris, t1, t2, "ea", **kw)

@@ -144,7 +144,11 @@ def _mu_ops(n, tid="mu"):
 
 
 _ANTISYM = {"f": (), "v": ((0, 1), (2, 3)), "t1": (),
-            "t2": ((0, 1), (2, 3)), "t3": ((0, 1, 2), (3, 4, 5))}
+            "t2": ((0, 1), (2, 3)), "t3": ((0, 1, 2), (3, 4, 5)),
+            # EOM-IP/EA amplitudes: r1 is a bare vector; rip2[i,j,a] is
+            # antisymmetric in (i,j), rea2[i,a,b] in (a,b)
+            "rip1": (), "rip2": ((0, 1),),
+            "rea1": (), "rea2": ((1, 2),)}
 
 
 def _sort_sign(letters):
@@ -198,6 +202,148 @@ def _canon_term(coeff, pieces, out):
             break
         pieces = relab
     return sign * coeff, tuple(pieces), out
+
+
+def _r_ops_ipea(kind, n, tid):
+    """Ionization/attachment operator strings.
+
+    IP:  R1 = sum_i r_i a_i                      rip1[i]
+         R2 = 1/2 sum_{ij,a} r_{ija} a+_a a_j a_i  rip2[i,j,a], antisym (i,j)
+    EA:  R1 = sum_a r^a a+_a                     rea1[a]
+         R2 = 1/2 sum_{i,ab} r_i^{ab} a+_a a+_b a_i  rea2[i,a,b], antisym (a,b)
+    Returns (ops, prefactor, tensor_name)."""
+    if kind == "ip":
+        if n == 1:
+            return [Op("a", "o", (tid, 0))], 1.0, "rip1"
+        return [Op("c", "v", (tid, 2)), Op("a", "o", (tid, 1)),
+                Op("a", "o", (tid, 0))], 0.5, "rip2"
+    if n == 1:
+        return [Op("c", "v", (tid, 0))], 1.0, "rea1"
+    return [Op("c", "v", (tid, 1)), Op("c", "v", (tid, 2)),
+            Op("a", "o", (tid, 0))], 0.5, "rea2"
+
+
+def _mu_ops_ipea(kind, n):
+    """Bra strings: the adjoints of the R operator strings above (product
+    order reversed, daggers flipped); slot ids mirror the R storage."""
+    if kind == "ip":
+        if n == 1:          # <0| a+_i
+            return [Op("c", "o", ("mu", 0))]
+        #                    (a+_a a_j a_i)^+ = a+_i a+_j a_a
+        return [Op("c", "o", ("mu", 0)), Op("c", "o", ("mu", 1)),
+                Op("a", "v", ("mu", 2))]
+    if n == 1:              # <0| a_a
+        return [Op("a", "v", ("mu", 0))]
+    #                        (a+_a a+_b a_i)^+ = a+_i a_b a_a
+    return [Op("c", "o", ("mu", 0)), Op("a", "v", ("mu", 2)),
+            Op("a", "v", ("mu", 1))]
+
+
+def generate_eom_terms(kind, mu_rank, r_ranks=(1, 2), t_levels=(1, 2),
+                       connected=True):
+    """All einsum terms of <mu| H_N e^T R |0> for EOM-IP/EA sigma vectors.
+
+    kind: 'ip' or 'ea'; mu_rank: 1 (1h / 1p) or 2 (2h1p / 2p1h).
+
+    connected=True keeps only terms where R contracts with H — the textbook
+    sigma (Hbar_N R)_C whose eigenvalues are the omega directly.
+    connected=False additionally keeps the R-disconnected pieces, making the
+    matrix equal the determinant-space projection  P (e^-T H_N e^T) P  at
+    ARBITRARY amplitudes (the oracle identity tested in
+    tests/test_eom_ipea.py); at converged T the two variants differ by
+    E_corr * identity (plus GS-residual terms that vanish there).
+
+    Every T factor must contract with H (linked-cluster, as in
+    generate_terms); T-T, R-R, mu-mu self-pairings vanish automatically.
+
+    :return: list of (coeff, [(tensor, subscripts), ...], out_subscripts);
+        tensors are 'f', 'v', 't1', 't2' and one of rip1/rip2/rea1/rea2.
+    """
+    terms = Counter()
+    occ_letters = "ijklmnop"
+    vir_letters = "abcdefgh"
+    mu_ops = _mu_ops_ipea(kind, mu_rank)
+    n_mu = len(mu_ops)
+
+    for hname, h_ops, h_pref in _h_parts():
+        n_h = len(h_ops)
+        for r_rank in r_ranks:
+            r_ops, r_pref, r_name = _r_ops_ipea(kind, r_rank, "r#")
+            n_r = len(r_ops)
+            for k in range(0, n_h + 1):
+                for combo in itertools.combinations_with_replacement(
+                        t_levels, k):
+                    nt = 2 * sum(combo)
+                    if (nt + n_mu + n_h + n_r) % 2:
+                        continue
+                    mult = Counter(combo)
+                    fac = h_pref * r_pref
+                    for m in mult.values():
+                        fac /= float(factorial(m))
+                    for n in combo:
+                        fac /= float(factorial(n)) ** 2
+                    t_ops_all = []
+                    t_names = []
+                    for idx, n in enumerate(combo):
+                        tid = f"t{n}#{idx}"
+                        t_names.append((tid, f"t{n}", n))
+                        t_ops_all.extend(_t_ops(n, tid))
+                    ops = mu_ops + h_ops + t_ops_all + r_ops
+                    for pairs, sign in _pairings(ops):
+                        touched = set()
+                        r_touched = False
+                        ok = True
+                        for (i, j), sp in pairs:
+                            ti = ops[i].sym[0]
+                            tj = ops[j].sym[0]
+                            in_h_i = n_mu <= i < n_mu + n_h
+                            in_h_j = n_mu <= j < n_mu + n_h
+                            if in_h_i:
+                                if tj.startswith("t"):
+                                    touched.add(tj)
+                                elif tj == "r#":
+                                    r_touched = True
+                            if in_h_j:
+                                if ti.startswith("t"):
+                                    touched.add(ti)
+                                elif ti == "r#":
+                                    r_touched = True
+                            if ti == tj:
+                                ok = False
+                                break
+                        if not ok:
+                            continue
+                        if any(tid not in touched for tid, _, _ in t_names):
+                            continue
+                        if connected and not r_touched:
+                            continue
+                        sub = {}
+                        no, nv = 0, 0
+                        for (i, j), sp in pairs:
+                            if sp == "o":
+                                letter = occ_letters[no]
+                                no += 1
+                            else:
+                                letter = vir_letters[nv]
+                                nv += 1
+                            sub[ops[i].sym] = letter
+                            sub[ops[j].sym] = letter
+                        pieces = []
+                        if hname == "f":
+                            pieces.append(("f", sub[("f", 0)] + sub[("f", 1)]))
+                        else:
+                            pieces.append(("v", "".join(
+                                sub[("v", s)] for s in range(4))))
+                        for tid, tname, n in t_names:
+                            pieces.append((tname, "".join(
+                                sub[(tid, s)] for s in range(2 * n))))
+                        pieces.append((r_name, "".join(
+                            sub[("r#", s)] for s in range(n_r))))
+                        out = "".join(sub[("mu", s)] for s in range(n_mu))
+                        c, cpieces, out = _canon_term(sign * fac, pieces, out)
+                        terms[(cpieces, out)] += c
+    return [(coeff, list(pieces), out)
+            for (pieces, out), coeff in terms.items() if abs(coeff) > 1e-12]
 
 
 def generate_terms(mu_level, t_levels=(1, 2, 3), max_rank=4):

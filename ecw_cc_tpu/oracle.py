@@ -94,6 +94,46 @@ class DetSpace:
         return self.op_matrix_1e(f)
 
 
+def hbar_in_sector(fsp, eri, nocc, nelec, t1, t2=None):
+    """Exact e^-T H e^T in the nelec-electron determinant space.
+
+    The cluster operators conserve particle number, so T and Hbar act
+    within each Fock-space sector separately; with nelec = nocc -/+ 1 the
+    projection of this Hbar onto the 1h+2h1p / 1p+2p1h determinants IS the
+    EOM-IP/EA-CCSD matrix (used by tests/test_eom_ipea.py to validate the
+    Wick-derived sigma equations at arbitrary amplitudes).
+
+    :return: (space, Hbar, E_ref) with E_ref = <0_N| H |0_N> the N-electron
+        Fermi-vacuum energy (the reference energy Hbar is measured against).
+    """
+    nmo = fsp.shape[0]
+    occ = list(range(nocc))
+    ftilde = fsp - np.einsum("piqi->pq", eri[:, occ][:, :, :, occ])
+    space = DetSpace(nmo, nelec)
+    H = space.op_matrix_1e(ftilde) + space.op_matrix_2e(eri)
+    nvir = nmo - nocc
+    T = np.zeros((space.dim, space.dim))
+    for i in range(nocc):
+        for a in range(nvir):
+            if t1[i, a] != 0.0:
+                T += t1[i, a] * space.excitation_matrix(nocc + a, i)
+    if t2 is not None:
+        for i in range(nocc):
+            for j in range(nocc):
+                for a in range(nvir):
+                    for b in range(nvir):
+                        if t2[i, j, a, b] != 0.0:
+                            Eai = space.excitation_matrix(nocc + a, i)
+                            Ebj = space.excitation_matrix(nocc + b, j)
+                            T += 0.25 * t2[i, j, a, b] * (Eai @ Ebj)
+    U = CCOracle._expm_nilpotent(T)
+    Uinv = CCOracle._expm_nilpotent(-T)
+    E_ref = (np.trace(ftilde[:nocc, :nocc])
+             + 0.5 * np.einsum("ijij->",
+                               eri[:nocc, :nocc, :nocc, :nocc]))
+    return space, Uinv @ H @ U, E_ref
+
+
 class CCOracle:
     """Exact Hbar machinery for CCS/CCSD validation on tiny systems."""
 
