@@ -58,6 +58,48 @@ def _block_pattern(subs):
     return "".join("o" if c in _OCC else "v" for c in subs)
 
 
+def _split_vvvv_terms(terms):
+    """(plain_terms, vvvv_terms): the <ab||cd> ladder terms handled by the
+    packed route when the dense block is absent (pack-on-build ERIs)."""
+    plain, lad = [], []
+    for t in terms:
+        pats = [_block_pattern(ss) for name, ss in t[1] if name == "v"]
+        (lad if "vvvv" in pats else plain).append(t)
+    return tuple(plain), tuple(lad)
+
+
+def _ea_vvvv_packed(vvvv_op, t1, r1, r2, lad_terms):
+    """The EA sigma's two <ab||cd> terms via ONE packed-ladder GEMM.
+
+    Both generated terms are einsum('abcd,icd->iba', v, X) with
+    X = coeff1 * r1[c] t1[i,d]  and  X = coeff2 * rea2[i,c,d]; since v is
+    antisymmetric in (c,d) only the antisymmetric part of X contributes, so
+    the combined W rides packed_vvvv_contract (which computes
+    0.5*einsum('ijef,abef->ijab') for (c,d)-antisymmetric inputs) on a
+    (nocc, 1, nvir, nvir) view.  The term shapes are asserted so a future
+    generator change fails loudly instead of silently dropping a term."""
+    from ecw_cc_tpu.ops.ladder import PackedVVVV, packed_vvvv_contract
+
+    if not isinstance(vvvv_op, PackedVVVV):
+        raise NotImplementedError(
+            "EOM-EA with a non-dense vvvv supports the PackedVVVV route "
+            f"only (got {type(vvvv_op).__name__})")
+    W = jnp.zeros_like(r2)
+    for coeff, pieces, out in lad_terms:
+        d = dict(pieces)
+        assert d.get("v") == "abcd" and out == "iba", (pieces, out)
+        if "rea2" in d:
+            assert d["rea2"] == "icd", pieces
+            W = W + coeff * r2
+        else:
+            assert d.get("rea1") == "c" and d.get("t1") == "id", pieces
+            x = jnp.einsum("c,id->icd", r1, t1)
+            W = W + coeff * 0.5 * (x - jnp.swapaxes(x, 1, 2))
+    p = packed_vvvv_contract(vvvv_op, W[:, None])[:, 0]   # (no, nv, nv)
+    # einsum('abcd,icd->iab') = 2 * p; out order is 'iba'
+    return 2.0 * jnp.swapaxes(p, 1, 2)
+
+
 def _apply_terms(terms, eris, fsp, t1, t2, r1, r2, kind):
     nocc = t1.shape[0]
     rname1, rname2 = ("rip1", "rip2") if kind == "ip" else ("rea1", "rea2")
@@ -86,22 +128,27 @@ def _apply_terms(terms, eris, fsp, t1, t2, r1, r2, kind):
     return out
 
 
-@partial(jax.jit, static_argnames=("kind", "connected"))
-def _sigma(eris, fsp, t1, t2, r1, r2, kind, connected=True):
+@partial(jax.jit, static_argnames=("kind", "connected", "use_packed"))
+def _sigma(eris, vvvv_op, fsp, t1, t2, r1, r2, kind, connected=True,
+           use_packed=False):
     """(sigma1, sigma2) of the EOM-IP/EA matrix acting on (r1, r2)."""
     s1 = _apply_terms(_terms(kind, 1, connected), eris, fsp, t1, t2,
                       r1, r2, kind)
-    s2 = _apply_terms(_terms(kind, 2, connected), eris, fsp, t1, t2,
-                      r1, r2, kind)
+    terms2 = _terms(kind, 2, connected)
+    if use_packed:
+        terms2, lad = _split_vvvv_terms(terms2)
+    s2 = _apply_terms(terms2, eris, fsp, t1, t2, r1, r2, kind)
+    if use_packed and lad:
+        s2 = s2 + _ea_vvvv_packed(vvvv_op, t1, r1, r2, lad)
     return s1, s2
 
 
-def _check_eris(eris, kind):
-    if kind == "ea" and eris.vvvv.size == 0:
+def _check_eris(eris, kind, vvvv_op):
+    if kind == "ea" and eris.vvvv.size == 0 and vvvv_op is None:
         raise NotImplementedError(
-            "EOM-EA sigma needs the dense <ab||ef> block; pack-on-build "
-            "ERIs (pack_ladder=True) are not routed through the packed "
-            "ladder here yet — rebuild with pack_ladder=False for EA runs")
+            "EOM-EA sigma needs the <ab||ef> ladder: pass the pack-on-build "
+            "vvvv_op (PackedVVVV) or rebuild with a dense eris.vvvv")
+    return kind == "ea" and eris.vvvv.size == 0
 
 
 def _asym2(x, kind):
@@ -111,21 +158,28 @@ def _asym2(x, kind):
     return 0.5 * (x - jnp.transpose(x, (0, 2, 1)))
 
 
-def make_sigma_ipea(eris, t1, t2, kind, fsp=None, connected=True):
+def make_sigma_ipea(eris, t1, t2, kind, fsp=None, connected=True,
+                    vvvv_op=None):
     """(sigma, sigma_left) closures at fixed amplitudes.
 
     sigma(r1, r2) applies the EOM-IP/EA-CCSD matrix; sigma_left applies its
-    transpose (exact: jax.vjp of the jit-linear map)."""
-    _check_eris(eris, kind)
+    transpose (exact: jax.vjp of the jit-linear map).  vvvv_op: pack-on-build
+    ladder operand (PackedVVVV) — required for EA when eris.vvvv is the
+    pack-on-build placeholder; IP never touches vvvv."""
+    use_packed = _check_eris(eris, kind, vvvv_op)
     if fsp is None:
         fsp = eris.fock
+    if not use_packed:
+        vvvv_op = None
 
     def sigma(r1, r2):
-        return _sigma(eris, fsp, t1, t2, r1, r2, kind, connected)
+        return _sigma(eris, vvvv_op, fsp, t1, t2, r1, r2, kind, connected,
+                      use_packed)
 
     def sigma_left(l1, l2):
-        _, vjp = jax.vjp(lambda a, b: _sigma(eris, fsp, t1, t2, a, b,
-                                             kind, connected),
+        _, vjp = jax.vjp(lambda a, b: _sigma(eris, vvvv_op, fsp, t1, t2,
+                                             a, b, kind, connected,
+                                             use_packed),
                          jnp.zeros_like(l1), jnp.zeros_like(l2))
         return vjp((l1, l2))
 
@@ -167,7 +221,8 @@ def _diag_guess(eris, kind, nroots):
 
 
 def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
-                  tol=1e-7, max_space=30, max_cycle=120, left=False):
+                  tol=1e-7, max_space=30, max_cycle=120, left=False,
+                  vvvv_op=None):
     """EOM-IP/EA-CCSD roots by Davidson on the Wick-derived sigma.
 
     :param kind: 'ip' (omega = E_{N-1} - E_CCSD, positive ionization
@@ -179,7 +234,8 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     nocc, nvir = t1.shape
     n1 = nocc if kind == "ip" else nvir
     shape2 = (nocc, nocc, nvir) if kind == "ip" else (nocc, nvir, nvir)
-    sigma, sigma_left = make_sigma_ipea(eris, t1, t2, kind, fsp=fsp)
+    sigma, sigma_left = make_sigma_ipea(eris, t1, t2, kind, fsp=fsp,
+                                        vvvv_op=vvvv_op)
     diag, auto_guess = _diag_guess(eris, kind, nroots)
     if guess is None:
         guess = auto_guess

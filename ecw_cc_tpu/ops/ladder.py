@@ -243,10 +243,13 @@ def packed_vvvv_contract(packed, x):
 
     Requires x antisymmetric in its last two indices (tau, t2, l2 all are).
     Also computes the lambda ladder 0.5*einsum('ijcd,cdab->ijab', l2, vvvv)
-    — identical by the (ab)<->(ef) pair-swap symmetry of <ab||ef>."""
-    o, _, v, _ = x.shape
+    — identical by the (ab)<->(ef) pair-swap symmetry of <ab||ef>.
+
+    The two leading dims need not be equal (EOM-EA routes its (nocc, 1,
+    nvir, nvir) ladder term through here, ops/eom_ipea.py)."""
+    o, o2, v, _ = x.shape
     p = v * (v - 1) // 2
-    xc = _pack_pairs(x.reshape(o * o, v * v), v)
+    xc = _pack_pairs(x.reshape(o * o2, v * v), v)
     yc = jax.lax.dot_general(
         xc, packed.wc,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -254,7 +257,7 @@ def packed_vvvv_contract(packed, x):
     if packed.wc.shape[0] != p:
         # row axis zero-padded for even sharding (parallel/sharding.py)
         yc = yc[:, :p]
-    z = _unpack_pairs(yc, v).reshape(o, o, v, v)
+    z = _unpack_pairs(yc, v).reshape(o, o2, v, v)
     return z - jnp.transpose(z, (0, 1, 3, 2))
 
 

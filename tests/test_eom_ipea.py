@@ -147,13 +147,14 @@ def _pack_sigma(s1, s2, nocc, nvir, kind):
     return np.asarray(rows)
 
 
-def _sigma_matrix(eris, t1, t2, kind, connected, fsp=None):
+def _sigma_matrix(eris, t1, t2, kind, connected, fsp=None, vvvv_op=None):
     import jax.numpy as jnp
 
     nocc, nvir = t1.shape
     sigma, _ = eom_ipea.make_sigma_ipea(eris, jnp.asarray(t1),
                                         jnp.asarray(t2), kind,
-                                        fsp=fsp, connected=connected)
+                                        fsp=fsp, connected=connected,
+                                        vvvv_op=vvvv_op)
     if kind == "ip":
         dim = nocc + nocc * (nocc - 1) // 2 * nvir
     else:
@@ -182,6 +183,28 @@ def _detspace_matrix(f, v, nocc, kind, t1, t2):
 # ---------------------------------------------------------------------------
 # 1. determinant-space identity at random amplitudes
 # ---------------------------------------------------------------------------
+
+def test_ea_packed_vvvv_route_matches_dense():
+    """On pack-on-build ERIs (placeholder vvvv) the EA sigma's two <ab||cd>
+    terms ride one PackedVVVV GEMM — must equal the dense route exactly."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops.ladder import pack_vvvv
+
+    nmo, nocc = 6, 2
+    f, v = _rand_fv(nmo, nocc, seed=3)
+    nvir = nmo - nocc
+    t1, t2 = _rand_amps(nocc, nvir, seed=4)
+    eris = _geris_from_fv(f, v, nocc)
+    A_dense = _sigma_matrix(eris, t1, t2, "ea", connected=True)
+    packed = pack_vvvv(eris.vvvv)
+    eris_p = eris._replace(vvvv=jnp.zeros((nvir, 0, 0, 0)))
+    A_packed = _sigma_matrix(eris_p, t1, t2, "ea", connected=True,
+                             vvvv_op=packed)
+    assert np.max(np.abs(A_dense - A_packed)) < 1e-12
+    with pytest.raises(NotImplementedError):
+        eom_ipea.make_sigma_ipea(eris_p, jnp.asarray(t1), jnp.asarray(t2),
+                                 "ea")
+
 
 @pytest.mark.parametrize("kind,nmo,nocc", [("ip", 6, 3), ("ea", 6, 2)])
 def test_sigma_matches_detspace_at_random_amps(kind, nmo, nocc):
