@@ -187,15 +187,18 @@ def _prune_stale_cache_dirs(cache, keep, max_age_s=7 * 86400):
 def _host_fingerprint():
     """8-hex digest of the host CPU identity (+ arch + jaxlib).
 
-    The flags list alone is NOT enough: two hosts with identical
-    /proc/cpuinfo flags can still get different LLVM target-feature strings
-    from XLA:CPU (e.g. tuning attrs like +prefer-no-scatter), because the
-    VM virtualizes /proc/cpuinfo while LLVM queries the real CPU via cpuid
-    directly — observed on this fleet: foreign AOT entries landed in a
-    flags-keyed subdir and the loader WARNS but proceeds ("could lead to
-    ... SIGILL").  No python-visible value distinguishes such hosts, so the
-    boot id is included: each VM boot gets its own subdir (warm within a
-    boot/session; cold across reboots — the safe direction).
+    The flags list alone is NOT enough: /proc/cpuinfo is virtualized and
+    may not change when the repo moves to a different physical machine
+    (a real cross-machine SIGILL was observed in round 3 under flags-only
+    keying), so the boot id is included as well: each VM boot gets its own
+    subdir — warm within a boot/session, cold across reboots (the safe
+    direction).
+
+    Note: jaxlib 0.9.0's cpu_aot_loader prints feature-mismatch E-logs
+    ("+prefer-no-scatter ... could lead to ... SIGILL") even when loading
+    entries this same machine wrote moments earlier (writer/loader
+    disagreement about LLVM tuning attrs, verified cold-vs-warm in round
+    3); that specific warning is NOISE, not a cross-machine signal.
     """
     import hashlib
     import platform

@@ -302,6 +302,75 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     return omegas, Rs, Ls
 
 
+def _dyson_terms(kind, side, p_space):
+    key = ("dyson", kind, side, p_space)
+    if key not in _TERMS_CACHE:
+        from ecw_cc_tpu.ops.wick import generate_dyson_terms
+
+        _TERMS_CACHE[key] = tuple(
+            (coeff, tuple(pieces), out)
+            for coeff, pieces, out in generate_dyson_terms(kind, side,
+                                                           p_space))
+    return _TERMS_CACHE[key]
+
+
+def _eval_dyson_block(terms, tens, size, dtype):
+    acc = jnp.zeros((size,), dtype=dtype)
+    for coeff, pieces, out in terms:
+        operands = [tens[name] for name, _ in pieces]
+        subs = [ss for _, ss in pieces]
+        acc = acc + coeff * jnp.einsum(",".join(subs) + "->" + out,
+                                       *operands, optimize=True)
+    return acc
+
+
+def dyson_orbitals(t1, t2, Rs, Ls, kind, lam1=None, lam2=None):
+    """Dyson orbitals + pole strengths of EOM-IP/EA roots.
+
+    d^L_p = <0| L_k (e^-T a#_p e^T) |0>,
+    d^R_p = <0| (1+Lambda) (e^-T a#_p e^T) R_k |0>,
+    with a#_p = a_p / a+_p by (kind, side); terms derived by
+    wick.generate_dyson_terms and validated against the determinant space
+    (tests/test_eom_ipea.py).  The pole strength (spectroscopic intensity
+    factor) is the biorthogonal product  s_k = d^L . d^R.
+
+    lam1/lam2: converged GS Lambda amplitudes (models/gamma_exp.solve_lambda);
+    None uses Lambda = 0 (the bra <0|e^-T — a cruder CC bra; strengths then
+    lose the Lambda dressing).
+
+    :param Rs, Ls: right/left eigenvectors from eom_ipea_ccsd(left=True).
+    :return: list of (dL (nmo,), dR (nmo,), strength) per root, NumPy.
+    """
+    nocc, nvir = t1.shape
+    dtype = t1.dtype
+    if lam1 is None:
+        lam1 = jnp.zeros_like(t1)
+    if lam2 is None:
+        lam2 = jnp.zeros_like(t2)
+    lname1, lname2 = ("lip1", "lip2") if kind == "ip" else ("lea1", "lea2")
+    rname1, rname2 = ("rip1", "rip2") if kind == "ip" else ("rea1", "rea2")
+    out = []
+    for (r1, r2), (e1, e2) in zip(Rs, Ls):
+        tens = {"t1": t1, "t2": t2, "l1": lam1, "l2": lam2,
+                lname1: jnp.asarray(e1, dtype=dtype),
+                lname2: jnp.asarray(e2, dtype=dtype),
+                rname1: jnp.asarray(r1, dtype=dtype),
+                rname2: jnp.asarray(r2, dtype=dtype)}
+        dL = jnp.concatenate([
+            _eval_dyson_block(_dyson_terms(kind, "left", "o"), tens,
+                              nocc, dtype),
+            _eval_dyson_block(_dyson_terms(kind, "left", "v"), tens,
+                              nvir, dtype)])
+        dR = jnp.concatenate([
+            _eval_dyson_block(_dyson_terms(kind, "right", "o"), tens,
+                              nocc, dtype),
+            _eval_dyson_block(_dyson_terms(kind, "right", "v"), tens,
+                              nvir, dtype)])
+        out.append((np.asarray(dL), np.asarray(dR),
+                    float(jnp.dot(dL, dR))))
+    return out
+
+
 def eom_ip_ccsd(eris, t1, t2, **kw):
     """Ionization potentials: see eom_ipea_ccsd."""
     return eom_ipea_ccsd(eris, t1, t2, "ip", **kw)

@@ -146,9 +146,14 @@ def _mu_ops(n, tid="mu"):
 _ANTISYM = {"f": (), "v": ((0, 1), (2, 3)), "t1": (),
             "t2": ((0, 1), (2, 3)), "t3": ((0, 1, 2), (3, 4, 5)),
             # EOM-IP/EA amplitudes: r1 is a bare vector; rip2[i,j,a] is
-            # antisymmetric in (i,j), rea2[i,a,b] in (a,b)
+            # antisymmetric in (i,j), rea2[i,a,b] in (a,b); the left
+            # eigenvectors share the storage
             "rip1": (), "rip2": ((0, 1),),
-            "rea1": (), "rea2": ((1, 2),)}
+            "rea1": (), "rea2": ((1, 2),),
+            "lip1": (), "lip2": ((0, 1),),
+            "lea1": (), "lea2": ((1, 2),),
+            # ground-state Lambda de-excitation amplitudes
+            "l1": (), "l2": ((0, 1), (2, 3))}
 
 
 def _sort_sign(letters):
@@ -237,6 +242,129 @@ def _mu_ops_ipea(kind, n):
     #                        (a+_a a+_b a_i)^+ = a+_i a_b a_a
     return [Op("c", "o", ("mu", 0)), Op("a", "v", ("mu", 2)),
             Op("a", "v", ("mu", 1))]
+
+
+def _lambda_ops(n, tid):
+    """Lambda_n de-excitation string: 1/(n!)^2 l_{ij..ab..} a+_i a+_j .. a_b a_a
+    (bra side of <0|(1+Lambda)); slots occupied-first, matching l2[i,j,a,b]."""
+    ops = [Op("c", "o", (tid, k)) for k in range(n)]
+    ops += [Op("a", "v", (tid, n + k)) for k in reversed(range(n))]
+    return ops
+
+
+def generate_dyson_terms(kind, side, p_space, t_levels=(1, 2)):
+    """Einsum terms of one block of an EOM-IP/EA Dyson orbital.
+
+    left :  d^L_p = <0| L_k  (e^-T a#_p e^T) |0>
+    right:  d^R_p = <0| (1 + Lambda) (e^-T a#_p e^T) R_k |0>
+
+    with a#_p = a_p / a+_p chosen by (kind, side): IP left annihilates
+    (a_p), IP right creates (a+_p); EA mirrored.  p is restricted to
+    p_space 'o' or 'v' — the occupied and virtual blocks of the vector are
+    generated separately (they contract differently).
+
+    e^-T X e^T = (X e^T)_C: every T factor must contract with a#_p
+    directly (T-T contractions vanish), so terms with two or more T
+    factors drop out automatically; the constraint is still enforced.
+
+    Tensors: t1/t2; L_k as lip1/lip2 (lea1/lea2), the GS Lambda as l1/l2,
+    R_k as rip1/rip2 (rea1/rea2) — all in the module's storage conventions.
+    :return: list of (coeff, [(tensor, subscripts), ...], out_letter).
+    """
+    terms = Counter()
+    occ_letters = "ijklmnop"
+    vir_letters = "abcdefgh"
+    ap_kind = {("ip", "left"): "a", ("ip", "right"): "c",
+               ("ea", "left"): "c", ("ea", "right"): "a"}[(kind, side)]
+    ap = Op(ap_kind, p_space, ("ap", 0))
+
+    if side == "left":
+        # the L eigenvector bra: same strings as the mu projections
+        bra_choices = []
+        for rank in (1, 2):
+            name = ("lip" if kind == "ip" else "lea") + str(rank)
+            ops = [Op(o.kind, o.space, (name, o.sym[1]))
+                   for o in _mu_ops_ipea(kind, rank)]
+            bra_choices.append((ops, 0.5 if rank == 2 else 1.0, name))
+        ket_choices = [([], 1.0, None)]
+    else:
+        bra_choices = [([], 1.0, None)]
+        for n in (1, 2):
+            bra_choices.append((_lambda_ops(n, "lam"),
+                                1.0 / float(factorial(n)) ** 2, f"l{n}"))
+        ket_choices = []
+        for rank in (1, 2):
+            ops, pref, name = _r_ops_ipea(kind, rank, "r#")
+            ket_choices.append((ops, pref, name))
+
+    for bra_ops, bra_pref, bra_name in bra_choices:
+        for ket_ops, ket_pref, ket_name in ket_choices:
+            for k in range(0, 3):
+                for combo in itertools.combinations_with_replacement(
+                        t_levels, k):
+                    nt = 2 * sum(combo)
+                    if (len(bra_ops) + 1 + nt + len(ket_ops)) % 2:
+                        continue
+                    mult = Counter(combo)
+                    fac = bra_pref * ket_pref
+                    for m in mult.values():
+                        fac /= float(factorial(m))
+                    for n in combo:
+                        fac /= float(factorial(n)) ** 2
+                    t_ops_all = []
+                    t_names = []
+                    for idx, n in enumerate(combo):
+                        tid = f"t{n}#{idx}"
+                        t_names.append((tid, f"t{n}", n))
+                        t_ops_all.extend(_t_ops(n, tid))
+                    ops = list(bra_ops) + [ap] + t_ops_all + list(ket_ops)
+                    for pairs, sign in _pairings(ops):
+                        touched = set()
+                        ok = True
+                        for (i, j), sp in pairs:
+                            ti = ops[i].sym[0]
+                            tj = ops[j].sym[0]
+                            if ti == tj:
+                                ok = False
+                                break
+                            if ti == "ap" and tj.startswith("t"):
+                                touched.add(tj)
+                            if tj == "ap" and ti.startswith("t"):
+                                touched.add(ti)
+                        if not ok:
+                            continue
+                        if any(tid not in touched for tid, _, _ in t_names):
+                            continue
+                        sub = {}
+                        no, nv = 0, 0
+                        for (i, j), sp in pairs:
+                            if sp == "o":
+                                letter = occ_letters[no]
+                                no += 1
+                            else:
+                                letter = vir_letters[nv]
+                                nv += 1
+                            sub[ops[i].sym] = letter
+                            sub[ops[j].sym] = letter
+                        pieces = []
+                        for tname, nslots in (
+                                ((bra_name, len(bra_ops)),)
+                                if bra_name else ()):
+                            pieces.append((tname, "".join(
+                                sub[(("lam" if tname in ("l1", "l2")
+                                      else tname), s)]
+                                for s in range(nslots))))
+                        for tid, tname, n in t_names:
+                            pieces.append((tname, "".join(
+                                sub[(tid, s)] for s in range(2 * n))))
+                        if ket_name:
+                            pieces.append((ket_name, "".join(
+                                sub[("r#", s)] for s in range(len(ket_ops)))))
+                        out = sub[("ap", 0)]
+                        c, cpieces, out = _canon_term(sign * fac, pieces, out)
+                        terms[(cpieces, out)] += c
+    return [(coeff, list(pieces), out)
+            for (pieces, out), coeff in terms.items() if abs(coeff) > 1e-12]
 
 
 def generate_eom_terms(kind, mu_rank, r_ranks=(1, 2), t_levels=(1, 2),

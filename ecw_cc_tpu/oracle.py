@@ -109,8 +109,17 @@ def hbar_in_sector(fsp, eri, nocc, nelec, t1, t2=None):
     nmo = fsp.shape[0]
     occ = list(range(nocc))
     ftilde = fsp - np.einsum("piqi->pq", eri[:, occ][:, :, :, occ])
-    space = DetSpace(nmo, nelec)
+    space, U, Uinv = cluster_matrices(nmo, nocc, nelec, t1, t2)
     H = space.op_matrix_1e(ftilde) + space.op_matrix_2e(eri)
+    E_ref = (np.trace(ftilde[:nocc, :nocc])
+             + 0.5 * np.einsum("ijij->",
+                               eri[:nocc, :nocc, :nocc, :nocc]))
+    return space, Uinv @ H @ U, E_ref
+
+
+def cluster_matrices(nmo, nocc, nelec, t1, t2=None):
+    """(space, e^T, e^-T) in the nelec-electron determinant sector."""
+    space = DetSpace(nmo, nelec)
     nvir = nmo - nocc
     T = np.zeros((space.dim, space.dim))
     for i in range(nocc):
@@ -126,12 +135,7 @@ def hbar_in_sector(fsp, eri, nocc, nelec, t1, t2=None):
                             Eai = space.excitation_matrix(nocc + a, i)
                             Ebj = space.excitation_matrix(nocc + b, j)
                             T += 0.25 * t2[i, j, a, b] * (Eai @ Ebj)
-    U = CCOracle._expm_nilpotent(T)
-    Uinv = CCOracle._expm_nilpotent(-T)
-    E_ref = (np.trace(ftilde[:nocc, :nocc])
-             + 0.5 * np.einsum("ijij->",
-                               eri[:nocc, :nocc, :nocc, :nocc]))
-    return space, Uinv @ H @ U, E_ref
+    return space, CCOracle._expm_nilpotent(T), CCOracle._expm_nilpotent(-T)
 
 
 class CCOracle:

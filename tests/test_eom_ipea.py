@@ -272,6 +272,139 @@ def test_davidson_matches_dense_eigenvalues(h2_ccsd):
                             else (t1.shape[1],))
 
 
+# ---------------------------------------------------------------------------
+# Dyson orbitals
+# ---------------------------------------------------------------------------
+
+def _rect_op(space_src, space_tgt, p, create):
+    """Rectangular a+_p / a_p matrix between determinant sectors."""
+    M = np.zeros((space_tgt.dim, space_src.dim))
+    for c, det in enumerate(space_src.dets):
+        d, s = (space_src._cre(det, p) if create
+                else space_src._ann(det, p))
+        if d is not None:
+            M[space_tgt.index[d], c] += s
+    return M
+
+
+def _r_vector(space, nocc, nmo, kind, x1, x2):
+    """Determinant vector of R|0> (or the L bra, same coefficients)."""
+    ref = (1 << nocc) - 1
+    nvir = nmo - nocc
+    vec = np.zeros(space.dim)
+    if kind == "ip":
+        for i in range(nocc):
+            d, s = space._ann(ref, i)
+            vec[space.index[d]] += x1[i] * s
+        for i in range(nocc):
+            for j in range(nocc):
+                for a in range(nvir):
+                    d1, s1 = space._ann(ref, i)
+                    d2, s2 = space._ann(d1, j)
+                    if d2 is None:
+                        continue
+                    d3, s3 = space._cre(d2, nocc + a)
+                    vec[space.index[d3]] += 0.5 * x2[i, j, a] * s1 * s2 * s3
+    else:
+        for a in range(nvir):
+            d, s = space._cre(ref, nocc + a)
+            vec[space.index[d]] += x1[a] * s
+        for i in range(nocc):
+            for a in range(nvir):
+                for b in range(nvir):
+                    if a == b:
+                        continue
+                    d1, s1 = space._ann(ref, i)
+                    d2, s2 = space._cre(d1, nocc + b)
+                    if d2 is None:
+                        continue
+                    d3, s3 = space._cre(d2, nocc + a)
+                    if d3 is None:
+                        continue
+                    vec[space.index[d3]] += 0.5 * x2[i, a, b] * s1 * s2 * s3
+    return vec
+
+
+def _lambda_bra(space, nocc, nmo, lam1, lam2):
+    """<0|(1+Lambda) as a row vector over the N-electron determinants."""
+    ref_idx = space.index[(1 << nocc) - 1]
+    e0 = np.zeros(space.dim)
+    e0[ref_idx] = 1.0
+    L1 = np.zeros((nmo, nmo))
+    L1[:nocc, nocc:] = lam1
+    op1 = space.op_matrix_1e(L1)
+    E4 = np.zeros((nmo,) * 4)
+    E4[:nocc, :nocc, nocc:, nocc:] = lam2
+    op2 = space.op_matrix_2e(E4)
+    return e0 + op1.T @ e0 + op2.T @ e0
+
+
+@pytest.mark.parametrize("kind", ["ip", "ea"])
+def test_dyson_matches_detspace_at_random_amps(kind):
+    from ecw_cc_tpu.oracle import cluster_matrices
+
+    nmo, nocc = 6, 3 if kind == "ip" else 2
+    nvir = nmo - nocc
+    f, v = _rand_fv(nmo, nocc, seed=7)
+    t1, t2 = _rand_amps(nocc, nvir, seed=8)
+    lam1, lam2 = _rand_amps(nocc, nvir, seed=9)
+    rng = np.random.default_rng(10)
+    if kind == "ip":
+        x1 = rng.standard_normal(nocc)
+        x2 = rng.standard_normal((nocc, nocc, nvir))
+        x2 = 0.5 * (x2 - x2.transpose(1, 0, 2))
+    else:
+        x1 = rng.standard_normal(nvir)
+        x2 = rng.standard_normal((nocc, nvir, nvir))
+        x2 = 0.5 * (x2 - x2.transpose(0, 2, 1))
+
+    import jax.numpy as jnp
+
+    [(dL, dR, s)] = eom_ipea.dyson_orbitals(
+        jnp.asarray(t1), jnp.asarray(t2), [(x1, x2)], [(x1, x2)], kind,
+        lam1=jnp.asarray(lam1), lam2=jnp.asarray(lam2))
+
+    nelec = nocc - 1 if kind == "ip" else nocc + 1
+    spaceN, UN, UinvN = cluster_matrices(nmo, nocc, nocc, t1, t2)
+    spaceM, UM, UinvM = cluster_matrices(nmo, nocc, nelec, t1, t2)
+    ref_idx = spaceN.index[(1 << nocc) - 1]
+    e0 = np.zeros(spaceN.dim)
+    e0[ref_idx] = 1.0
+    Lbra = _r_vector(spaceM, nocc, nmo, kind, x1, x2)
+    Rket = Lbra.copy()
+    lbra_N = _lambda_bra(spaceN, nocc, nmo, lam1, lam2)
+    dL_ref = np.zeros(nmo)
+    dR_ref = np.zeros(nmo)
+    for p in range(nmo):
+        # left: <0|L e^-T a#_p e^T|0>  (a#: IP annihilates, EA creates)
+        A = _rect_op(spaceN, spaceM, p, create=(kind == "ea"))
+        dL_ref[p] = Lbra @ (UinvM @ A @ UN @ e0)
+        # right: <0|(1+Lam) e^-T a#^+_p e^T R|0>
+        C = _rect_op(spaceM, spaceN, p, create=(kind == "ip"))
+        dR_ref[p] = lbra_N @ (UinvN @ C @ UM @ Rket)
+    assert np.max(np.abs(np.asarray(dL) - dL_ref)) < 1e-11
+    assert np.max(np.abs(np.asarray(dR) - dR_ref)) < 1e-11
+    assert abs(s - dL_ref @ dR_ref) < 1e-10
+
+
+def test_dyson_pole_strength_h2(h2_ccsd):
+    """Lowest IP of H2 is Koopmans-like: pole strength close to 1."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.gamma_exp import solve_lambda
+
+    _, _, eris, t1, t2, _, _ = h2_ccsd
+    lam1, lam2 = solve_lambda(eris, jnp.asarray(t1), jnp.asarray(t2),
+                              conv_tol=1e-11)
+    omegas, Rs, Ls = eom_ipea.eom_ip_ccsd(eris, t1, t2, nroots=1,
+                                          tol=1e-9, left=True)
+    [(dL, dR, s)] = eom_ipea.dyson_orbitals(
+        jnp.asarray(t1), jnp.asarray(t2), Rs, Ls, "ip",
+        lam1=lam1, lam2=lam2)
+    assert 0.7 < s <= 1.0001
+    # the Dyson orbital is dominated by the HOMO 1h component
+    assert np.argmax(np.abs(dL)) < eris.nocc
+
+
 def test_left_eigenvectors_biorthogonal(h2_ccsd):
     _, _, eris, t1, t2, _, _ = h2_ccsd
     omegas, Rs, Ls = eom_ipea.eom_ip_ccsd(eris, t1, t2, nroots=1,
