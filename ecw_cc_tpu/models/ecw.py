@@ -234,17 +234,32 @@ class ECW:
             self.r_ini.append(convert.convert_r_to_g_amp(rini))
         print("*** ES data stored ***")
 
-    def Build_ES_exp_EOM(self, nbr_of_es=1):
+    def Build_ES_exp_EOM(self, nbr_of_es=1, prop="trmat"):
         """ES targets from EOM-EE-CCSD: excitation energies + genuinely
         distinct left/right transition rdm1s (the reference's EOM path is an
-        unimplemented stub, gamma_exp.py:464-470; see ops/eom.py)."""
+        unimplemented stub, gamma_exp.py:464-470; see ops/eom.py).
+
+        prop: 'trmat' stores the left/right transition rdm1 matrices;
+        'trdip' stores the transition dipole vector (component-wise average
+        of the biorthogonal left/right moments — the same convention the
+        reference used for its hand-typed QChem values, gamma_exp.py:27-94),
+        so EOM replaces the external-code dependency for trdip targets.
+        Oscillator strengths are kept on self.f_osc_ES per state."""
+        if prop not in ("trmat", "trdip"):
+            raise ValueError("prop must be 'trmat' or 'trdip'")
         es_exp = gamma_exp.ESexp(self.mol)
         es_exp.EOM(nbr_of_es)
         self.Eexp_ES.append(es_exp.DE_exp)
         if self.r_ini is None:
             self.r_ini = []
-        for (tr_l, tr_r), rini in zip(es_exp.gamma_tr_mo, es_exp.ini_r):
-            self.exp_data.append([["trmat", [tr_l, tr_r]]])
+        self.f_osc_ES = [f for _, _, f in es_exp.trdip_exp]
+        for ((tr_l, tr_r), rini, (dl, dr, _)) in zip(
+                es_exp.gamma_tr_mo, es_exp.ini_r, es_exp.trdip_exp):
+            if prop == "trmat":
+                self.exp_data.append([["trmat", [tr_l, tr_r]]])
+            else:
+                self.exp_data.append([["trdip",
+                                       tuple(0.5 * (dl + dr))]])
             self.HF_prop.append([None])
             self.r_ini.append(np.asarray(rini))
         print("*** EOM-CCSD ES data stored ***")

@@ -21,7 +21,7 @@ from ecw_cc_tpu.models.molecule import Molecule
 from ecw_cc_tpu.models.scf import RHF, UHF, GHF
 from ecw_cc_tpu.models.eris import build_eris
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
-from ecw_cc_tpu.utils import convert, linalg
+from ecw_cc_tpu.utils import convert, linalg, props
 
 ANG2BOHR = 1.0 / 0.52917721092
 
@@ -65,6 +65,17 @@ def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None,
             break
         l_old = nrm
     return l1, l2
+
+
+def _swap_ov_vo(g, nocc):
+    """Det-space <p+ q> layout -> the reference tr_rdm1 index convention
+    (ov/vo blocks transposed; oo/vv unchanged).  Verified: the reference
+    formula's pure-L part equals the swapped determinant-space matrix
+    exactly (tests/test_eom.py)."""
+    out = g.copy()
+    out[:nocc, nocc:] = g[nocc:, :nocc].T
+    out[nocc:, :nocc] = g[:nocc, nocc:].T
+    return out
 
 
 def _build_eris_auto(mol, ghf):
@@ -348,16 +359,25 @@ class ESexp:
         self.ECCSD = float(e_cc)
         self.gamma_tr_mo = []
         self.ini_r = []
+        self.trdip_exp = []   # [(d_0k, d_k0, oscillator strength), ...]
+        dip_int = self.mol.intor("r", origin=self.mol.charge_center())
         for k in range(nbr_ES):
             r1, r2 = Rs[k]
             lk1, lk2 = Ls[k]
             r0 = eom_ops.eom_r0(eris, t1, t2, r1, r2, omegas[k])
-            zero1 = jnp.zeros_like(t1)
-            zero2 = jnp.zeros_like(t2)
-            tr_l = np.asarray(ccsd_ops.tr_rdm1(
+            # EXACT Wick-derived transition densities (det-space-validated;
+            # the reference's tr_rdm1 formula omits the <0|pq-bar R|0>
+            # bra-reference/R coupling).  The trmat targets are stored in
+            # the reference index convention (ov/vo blocks transposed
+            # relative to <p+ q> — tr_rdm1's own layout, verified equal to
+            # the swapped det-space matrices), so they compare consistently
+            # with the ES solver's gamma_tr kernels.
+            g_r = np.asarray(eom_ops.tr_rdm1_right(
                 t1, t2, l1, l2, jnp.asarray(r1), jnp.asarray(r2), r0))
-            tr_r = np.asarray(ccsd_ops.tr_rdm1(
-                t1, t2, jnp.asarray(lk1), jnp.asarray(lk2), zero1, zero2, 1.0))
+            g_l = np.asarray(eom_ops.tr_rdm1_left(
+                t1, t2, jnp.asarray(lk1), jnp.asarray(lk2)))
+            tr_l = _swap_ov_vo(g_r, nocc)
+            tr_r = _swap_ov_vo(g_l, nocc)
             r1_out = np.asarray(r1)
             if unperm is not None:
                 tr_l = tr_l[np.ix_(unperm, unperm)]
@@ -366,4 +386,14 @@ class ESexp:
             self.DE_exp.append(float(omegas[k]))
             self.gamma_tr_mo.append((tr_l, tr_r))
             self.ini_r.append(r1_out)
+            # transition dipoles + oscillator strength: the biorthogonal
+            # product d(0,k).d(k,0) equals |<0|mu|k>|^2 in the FCI limit
+            # (norm factors cancel in the product; tested exact for a
+            # 2-electron system vs the determinant-space FCI moments)
+            dl = props.dipole(self.mol, tr_l, g=True, aobasis=False,
+                              mo_coeff=ghf.mo_coeff, dip_int=dip_int)
+            dr = props.dipole(self.mol, tr_r, g=True, aobasis=False,
+                              mo_coeff=ghf.mo_coeff, dip_int=dip_int)
+            f_osc = 2.0 / 3.0 * float(omegas[k]) * float(np.dot(dl, dr))
+            self.trdip_exp.append((np.real(dl), np.real(dr), f_osc))
         return omegas

@@ -166,6 +166,25 @@ def tr_rdm1(t1, t2, l1, l2, r1, r2, r0, inter=None):
     return jnp.block([[oo, ov], [vo, vv]])
 
 
+def tr_rdm1_left(t1, t2, lk1, lk2):
+    """Pure-L left transition rdm1 <0|L_k e^-T ap+.aq e^T|0>, in the
+    REFERENCE index convention: the ov/vo blocks are the transpose of the
+    det-space <p+ q> layout (tr_rdm1's own layout; verified equal to the
+    swapped determinant-space matrix in tests/test_eom.py — the exact
+    det-space-layout version is ops/eom.tr_rdm1_left).
+
+    tr_rdm1's bra is implicitly (1 + L) — the reference ECW convention
+    where the bra keeps unit reference weight (CCSD.py:75-133).  An
+    EOM-EE left eigenvector has l0 = 0, so the bare-reference piece
+    (exactly the t1.T term of the vo block at r=0, r0=1) must be
+    removed or it contaminates transition moments."""
+    zero1 = jnp.zeros_like(t1)
+    zero2 = jnp.zeros_like(t2)
+    full = tr_rdm1(t1, t2, lk1, lk2, zero1, zero2, 1.0)
+    ref_piece = tr_rdm1(t1, t2, zero1, zero2, zero1, zero2, 1.0)
+    return full - ref_piece
+
+
 # ---------------------------------------------------------------------------
 # Energy (reference CCSD.py:224-242)
 # ---------------------------------------------------------------------------

@@ -229,11 +229,81 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                 RuntimeWarning, stacklevel=2)
         lv = np.asarray(xls[0])
         l1, l2 = unpack(lv)
-        # biorthonormalize: <L|R> = 1 (raw-storage Euclidean product)
-        ov = (np.vdot(np.asarray(l1), Rs[k][0])
-              + np.vdot(np.asarray(l2), Rs[k][1]))
-        Ls.append((np.asarray(l1) / ov, np.asarray(l2) / ov))
+        # METRIC CORRECTION + biorthonormalization.  The Davidson solves
+        # the transpose of the raw-storage map, whose inner product counts
+        # each physical (i<j, a<b) doubles slot 4x; the true left
+        # eigenvector of the determinant-basis EOM matrix is D.y with
+        # D = diag(1 on singles, 4 on doubles) (A^T_raw = D^-1 M^T D).
+        # Returned Ls are OPERATOR-CONVENTION amplitudes (the same
+        # 1/4-weighted storage as Lambda), normalized so
+        # <L|R> = l1.r1 + 1/4 l2.r2 = 1; with them the biorthogonal
+        # transition-moment product equals |<0|mu|k>|^2 in the FCI limit
+        # (tests/test_eom.py).  The raw A^T eigvec is (l1, l2/4).
+        l1 = np.asarray(l1)
+        l2 = 4.0 * np.asarray(l2)
+        ov = np.vdot(l1, Rs[k][0]) + 0.25 * np.vdot(l2, Rs[k][1])
+        Ls.append((l1 / ov, l2 / ov))
     return omegas, Rs, Ls
+
+
+_TRDM_CACHE: dict = {}
+
+
+def _trdm_terms(bra, ket, ps, qs):
+    key = (bra, ket, ps, qs)
+    if key not in _TRDM_CACHE:
+        from ecw_cc_tpu.ops.wick import generate_trdm_terms
+
+        _TRDM_CACHE[key] = tuple(
+            (c, tuple(p), o)
+            for c, p, o in generate_trdm_terms(bra, ket, ps, qs))
+    return _TRDM_CACHE[key]
+
+
+def _eval_trdm(bra, ket, tens, nocc, nvir, dtype):
+    """Assemble the full (nmo, nmo) gamma_pq from the four Wick blocks."""
+    dims = {"o": nocc, "v": nvir}
+    rows = []
+    for ps in ("o", "v"):
+        cols = []
+        for qs in ("o", "v"):
+            acc = jnp.zeros((dims[ps], dims[qs]), dtype=dtype)
+            for coeff, pieces, out in _trdm_terms(bra, ket, ps, qs):
+                operands = [tens[name] for name, _ in pieces]
+                subs = [ss for _, ss in pieces]
+                acc = acc + coeff * jnp.einsum(
+                    ",".join(subs) + "->" + out, *operands, optimize=True)
+            cols.append(acc)
+        rows.append(cols)
+    return jnp.block(rows)
+
+
+def tr_rdm1_right(t1, t2, lam1, lam2, r1, r2, r0):
+    """EOM-EE right transition rdm1 <0|(1+Lambda) (e^-T ap+.aq e^T) (r0+R)|0>.
+
+    Terms derived by wick.generate_trdm_terms; unlike the reference's
+    tr_rdm1 (CCSD.py:75-133) this INCLUDES the <0|pq-bar R|0> coupling of
+    the bra's reference component with R — without it the biorthogonal
+    dipole product fails the FCI identity (tests/test_eom.py)."""
+    nocc, nvir = t1.shape
+    tens = {"t1": t1, "t2": t2, "l1": lam1, "l2": lam2,
+            "ree1": jnp.asarray(r1, dtype=t1.dtype),
+            "ree2": jnp.asarray(r2, dtype=t1.dtype),
+            "eye_o": jnp.eye(nocc, dtype=t1.dtype)}
+    g = _eval_trdm("gs", "ree", tens, nocc, nvir, t1.dtype)
+    if r0 != 0.0:
+        g = g + r0 * _eval_trdm("gs", "ref", tens, nocc, nvir, t1.dtype)
+    return g
+
+
+def tr_rdm1_left(t1, t2, lk1, lk2):
+    """EOM-EE left transition rdm1 <0|L (e^-T ap+.aq e^T)|0> (l0 = 0)."""
+    nocc, nvir = t1.shape
+    tens = {"t1": t1, "t2": t2,
+            "lee1": jnp.asarray(lk1, dtype=t1.dtype),
+            "lee2": jnp.asarray(lk2, dtype=t1.dtype),
+            "eye_o": jnp.eye(nocc, dtype=t1.dtype)}
+    return _eval_trdm("lee", "ref", tens, nocc, nvir, t1.dtype)
 
 
 def eom_r0(eris, t1, t2, r1, r2, omega, fsp=None):

@@ -296,9 +296,17 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                 f"(omega={omegas[k]:.6f}, tol={tol})",
                 RuntimeWarning, stacklevel=2)
         l1, l2 = unpack(np.asarray(xls[0]))
-        ov = (np.vdot(np.asarray(l1), Rs[k][0])
-              + np.vdot(np.asarray(l2), Rs[k][1]))
-        Ls.append((np.asarray(l1) / ov, np.asarray(l2) / ov))
+        # METRIC CORRECTION + biorthonormalization (see ops/eom.py): the
+        # raw-storage metric counts each (i<j) / (a<b) slot 2x, so the
+        # true left eigenvector is D.y with D = diag(1, 2); returned Ls
+        # are operator-convention (1/2-weighted storage, same as the R
+        # operators) with <L|R> = l1.r1 + 1/2 l2.r2 = 1 — the
+        # normalization the Dyson pole strengths assume.  The raw A^T
+        # eigvec is (l1, l2/2).
+        l1 = np.asarray(l1)
+        l2 = 2.0 * np.asarray(l2)
+        ov = np.vdot(l1, Rs[k][0]) + 0.5 * np.vdot(l2, Rs[k][1])
+        Ls.append((l1 / ov, l2 / ov))
     return omegas, Rs, Ls
 
 

@@ -153,7 +153,12 @@ _ANTISYM = {"f": (), "v": ((0, 1), (2, 3)), "t1": (),
             "lip1": (), "lip2": ((0, 1),),
             "lea1": (), "lea2": ((1, 2),),
             # ground-state Lambda de-excitation amplitudes
-            "l1": (), "l2": ((0, 1), (2, 3))}
+            "l1": (), "l2": ((0, 1), (2, 3)),
+            # EOM-EE right/left eigenvector amplitudes (t-like storage)
+            "ree1": (), "ree2": ((0, 1), (2, 3)),
+            "lee1": (), "lee2": ((0, 1), (2, 3)),
+            # identity on the occupied block (pq self-contraction)
+            "eye_o": ()}
 
 
 def _sort_sign(letters):
@@ -361,6 +366,146 @@ def generate_dyson_terms(kind, side, p_space, t_levels=(1, 2)):
                             pieces.append((ket_name, "".join(
                                 sub[("r#", s)] for s in range(len(ket_ops)))))
                         out = sub[("ap", 0)]
+                        c, cpieces, out = _canon_term(sign * fac, pieces, out)
+                        terms[(cpieces, out)] += c
+    return [(coeff, list(pieces), out)
+            for (pieces, out), coeff in terms.items() if abs(coeff) > 1e-12]
+
+
+def generate_trdm_terms(bra, ket, p_space, q_space, t_levels=(1, 2)):
+    """Einsum terms of one block of an EE (transition) one-body density.
+
+        gamma_pq = <bra| (e^-T a+_p a_q e^T) |ket'>
+
+    bra: 'gs'  — <0|(1+Lambda)   (tensors l1/l2)
+         'lee' — <0|L_k          (EOM-EE left eigenvector, lee1/lee2)
+         'one' — <0|             (bare reference bra)
+    ket: 'ref' — |0>             (the ket's r0-weighted reference part)
+         'ree' — R_k|0>          (EOM-EE right eigenvector, ree1/ree2)
+    p_space/q_space: 'o'/'v' — the four blocks are generated separately.
+
+    The a+_p a_q pair may self-contract (p,q both occupied): that pairing
+    contributes delta_pq on the occupied block, emitted as an 'eye_o'
+    tensor piece so overlap-type terms (e.g. delta_oo * l2.r2) evaluate as
+    ordinary einsums.  Every T factor must contract with the a+_p a_q pair
+    (the connected identity; >=3 T factors vanish automatically).
+
+    Validated against determinant-space contractions at random amplitudes
+    (tests/test_eom.py) — unlike the reference's hand-derived tr_rdm1
+    (CCSD.py:75-133), whose bra carries an implicit unit reference weight
+    and which omits the <0|pq-bar R|0> coupling entirely.
+    """
+    terms = Counter()
+    occ_letters = "ijklmnop"
+    vir_letters = "abcdefgh"
+    pq_ops = [Op("c", p_space, ("pq", 0)), Op("a", q_space, ("pq", 1))]
+
+    if bra == "gs":
+        bra_choices = [([], 1.0, None)]
+        for n in (1, 2):
+            bra_choices.append((_lambda_ops(n, "lam"),
+                                1.0 / float(factorial(n)) ** 2, f"l{n}"))
+    elif bra == "lee":
+        bra_choices = []
+        for n in (1, 2):
+            ops = [Op(o.kind, o.space, (f"lee{n}", o.sym[1]))
+                   for o in _mu_ops(n, f"lee{n}")]
+            bra_choices.append((ops, 1.0 / float(factorial(n)) ** 2,
+                                f"lee{n}"))
+    else:
+        bra_choices = [([], 1.0, None)]
+
+    if ket == "ree":
+        ket_choices = [(_t_ops(n, "r~"), 1.0 / float(factorial(n)) ** 2,
+                        f"ree{n}") for n in (1, 2)]
+    else:
+        ket_choices = [([], 1.0, None)]
+
+    for bra_ops, bra_pref, bra_name in bra_choices:
+        for ket_ops, ket_pref, ket_name in ket_choices:
+            for k in range(0, 3):
+                for combo in itertools.combinations_with_replacement(
+                        t_levels, k):
+                    nt = 2 * sum(combo)
+                    if (len(bra_ops) + 2 + nt + len(ket_ops)) % 2:
+                        continue
+                    mult = Counter(combo)
+                    fac = bra_pref * ket_pref
+                    for m in mult.values():
+                        fac /= float(factorial(m))
+                    for n in combo:
+                        fac /= float(factorial(n)) ** 2
+                    t_ops_all = []
+                    t_names = []
+                    for idx, n in enumerate(combo):
+                        tid = f"t{n}#{idx}"
+                        t_names.append((tid, f"t{n}", n))
+                        t_ops_all.extend(_t_ops(n, tid))
+                    ops = (list(bra_ops) + pq_ops + t_ops_all
+                           + list(ket_ops))
+                    for pairs, sign in _pairings(ops):
+                        touched = set()
+                        pq_self = False
+                        ok = True
+                        for (i, j), sp in pairs:
+                            ti = ops[i].sym[0]
+                            tj = ops[j].sym[0]
+                            if ti == tj:
+                                if ti == "pq":
+                                    pq_self = True
+                                    continue
+                                ok = False
+                                break
+                            if ti == "pq" and tj.startswith("t"):
+                                touched.add(tj)
+                            if tj == "pq" and ti.startswith("t"):
+                                touched.add(ti)
+                        if not ok:
+                            continue
+                        if any(tid not in touched for tid, _, _ in t_names):
+                            continue
+                        sub = {}
+                        no, nv = 0, 0
+                        eye_piece = None
+                        for (i, j), sp in pairs:
+                            if (ops[i].sym[0] == "pq"
+                                    and ops[j].sym[0] == "pq"):
+                                # self-contraction: delta on occupied;
+                                # both slots get FRESH free letters and an
+                                # explicit identity operand carries the
+                                # delta into the einsum
+                                la = occ_letters[no]
+                                no += 1
+                                lb = occ_letters[no]
+                                no += 1
+                                sub[("pq", 0)] = la
+                                sub[("pq", 1)] = lb
+                                eye_piece = ("eye_o", la + lb)
+                                continue
+                            if sp == "o":
+                                letter = occ_letters[no]
+                                no += 1
+                            else:
+                                letter = vir_letters[nv]
+                                nv += 1
+                            sub[ops[i].sym] = letter
+                            sub[ops[j].sym] = letter
+                        pieces = []
+                        if eye_piece is not None:
+                            pieces.append(eye_piece)
+                        if bra_name:
+                            nb = len(bra_ops)
+                            btid = ("lam" if bra_name in ("l1", "l2")
+                                    else bra_name)
+                            pieces.append((bra_name, "".join(
+                                sub[(btid, s)] for s in range(nb))))
+                        for tid, tname, n in t_names:
+                            pieces.append((tname, "".join(
+                                sub[(tid, s)] for s in range(2 * n))))
+                        if ket_name:
+                            pieces.append((ket_name, "".join(
+                                sub[("r~", s)] for s in range(len(ket_ops)))))
+                        out = sub[("pq", 0)] + sub[("pq", 1)]
                         c, cpieces, out = _canon_term(sign * fac, pieces, out)
                         terms[(cpieces, out)] += c
     return [(coeff, list(pieces), out)

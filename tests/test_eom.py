@@ -35,18 +35,83 @@ def test_eom_left_right_biorthogonal(h2o_sto3g):
     omegas, Rs, Ls = eom.eom_ccsd(eris, t1, t2, nroots=2, tol=1e-8, left=True)
     assert omegas[0] > 0 and omegas[1] >= omegas[0] - 1e-10
     for k in range(2):
-        ov = (np.vdot(Ls[k][0], Rs[k][0]) + np.vdot(Ls[k][1], Rs[k][1]))
-        assert abs(ov - 1.0) < 1e-6  # biorthonormalized
+        ov = (np.vdot(Ls[k][0], Rs[k][0])
+              + 0.25 * np.vdot(Ls[k][1], Rs[k][1]))
+        assert abs(ov - 1.0) < 1e-6  # biorthonormalized (physical product)
         # left really solves the transposed problem (restricted to the
-        # antisymmetric subspace): P A^T L = w L
+        # antisymmetric subspace): P A^T L = w L — on the RAW vector
+        # (l1, l2/4); returned Ls are metric-corrected operator amplitudes
         sigma, sigma_left = eom.make_sigma(eris, t1, t2)
-        s1, s2 = sigma_left(jnp.asarray(Ls[k][0]), jnp.asarray(Ls[k][1]))
+        s1, s2 = sigma_left(jnp.asarray(Ls[k][0]),
+                            jnp.asarray(Ls[k][1] / 4.0))
         s2 = np.asarray(s2)
         s2 = 0.25 * (s2 - s2.transpose(1, 0, 2, 3)
                      - s2.transpose(0, 1, 3, 2) + s2.transpose(1, 0, 3, 2))
         r = np.concatenate([np.asarray(s1).ravel(), s2.ravel()])
-        l = np.concatenate([Ls[k][0].ravel(), Ls[k][1].ravel()])
+        l = np.concatenate([Ls[k][0].ravel(), (Ls[k][1] / 4.0).ravel()])
         assert np.linalg.norm(r - omegas[k] * l) < 1e-5 * np.linalg.norm(l)
+
+
+def test_eom_transition_dipole_equals_fci_for_two_electrons(h2_631g):
+    """Biorthogonal product of EOM-EE left/right transition dipoles equals
+    the exact FCI |<0|mu|k>|^2 for a 2-electron system (norm factors cancel
+    in the product)."""
+    from ecw_cc_tpu.models.gamma_exp import solve_lambda
+    from ecw_cc_tpu.ops import ccsd as ccsd_ops
+    from ecw_cc_tpu.utils import props
+
+    mol, ghf, eris_host, eris = h2_631g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris, conv_tol=1e-13)
+    l1, l2 = solve_lambda(eris, t1, t2, conv_tol=1e-12)
+    omegas, Rs, Ls = eom.eom_ccsd(eris, t1, t2, nroots=4, tol=1e-9,
+                                  left=True)
+
+    dip_int = mol.intor("r", origin=mol.charge_center())
+    fs = []
+    for k in range(len(omegas)):
+        r1, r2 = map(jnp.asarray, Rs[k])
+        e1, e2 = map(jnp.asarray, Ls[k])
+        r0 = eom.eom_r0(eris, t1, t2, r1, r2, omegas[k])
+        tr_l = np.asarray(eom.tr_rdm1_right(t1, t2, l1, l2, r1, r2, r0))
+        tr_r = np.asarray(eom.tr_rdm1_left(t1, t2, e1, e2))
+        # cross-check: the reference-convention formula (pure-L bra) is
+        # the ov/vo-swapped det-space matrix
+        tr_r_ref = np.asarray(ccsd_ops.tr_rdm1_left(t1, t2, e1, e2))
+        swp = tr_r.copy()
+        no = t1.shape[0]
+        swp[:no, no:] = tr_r[no:, :no].T
+        swp[no:, :no] = tr_r[:no, no:].T
+        assert np.max(np.abs(swp - tr_r_ref)) < 1e-10
+        dl = props.dipole(mol, tr_l, g=True, aobasis=False,
+                          mo_coeff=ghf.mo_coeff, dip_int=dip_int)
+        dr = props.dipole(mol, tr_r, g=True, aobasis=False,
+                          mo_coeff=ghf.mo_coeff, dip_int=dip_int)
+        fs.append(float(np.real(np.dot(dl, dr))))
+
+    # exact FCI moments in the determinant space
+    eri_full = _assemble_full_eri(eris_host)
+    oracle = CCOracle(np.asarray(eris_host.fock), eri_full, eris.nocc)
+    w, V = np.linalg.eigh(oracle.H)
+    nao = mol.nao
+    C = ghf.mo_coeff
+    M_ops = []
+    for x in range(3):
+        mu_g = np.zeros((2 * nao, 2 * nao))
+        mu_g[:nao, :nao] = dip_int[x]
+        mu_g[nao:, nao:] = dip_int[x]
+        M_ops.append(oracle.space.op_matrix_1e(C.T @ mu_g @ C))
+    v0 = V[:, 0]
+    checked = 0
+    for k, om in enumerate(omegas):
+        idx = np.where(np.abs((w - w[0]) - om) < 1e-7)[0]
+        if len(idx) != 1:
+            continue  # degenerate FCI level: single-root moment not defined
+        vk = V[:, idx[0]]
+        f_fci = sum(float(v0 @ M @ vk) ** 2 for M in M_ops)
+        assert abs(fs[k] - f_fci) < 1e-7, (k, om, fs[k], f_fci)
+        checked += 1
+    assert checked >= 1
+    assert max(map(abs, fs)) > 1e-3  # at least one dipole-allowed root
 
 
 def test_build_es_exp_eom(h2o_sto3g):
@@ -66,6 +131,17 @@ def test_build_es_exp_eom(h2o_sto3g):
     nocc = int(np.sum(ecw.mo_occ > 0))
     assert len(ecw.r_ini) == 1
     assert ecw.r_ini[0].shape == (nocc, dim - nocc)
+
+
+def test_build_es_exp_eom_trdip(h2o_sto3g):
+    from ecw_cc_tpu import ECW
+
+    ecw = ECW("h2o", "sto-3g")
+    ecw.Build_ES_exp_EOM(1, prop="trdip")
+    assert ecw.exp_data[1][0][0] == "trdip"
+    d = ecw.exp_data[1][0][1]
+    assert len(d) == 3 and all(np.isfinite(d))
+    assert len(ecw.f_osc_ES) == 1 and np.isfinite(ecw.f_osc_ES[0])
 
 
 def test_eom_packed_ladder_matches_dense(h2o_sto3g):

@@ -412,11 +412,11 @@ def test_left_eigenvectors_biorthogonal(h2_ccsd):
     nocc, nvir = t1.shape
     sigma, sigma_left = eom_ipea.make_sigma_ipea(eris, t1, t2, "ip")
     l1, l2 = Ls[0]
-    s1, s2 = sigma_left(l1, l2)
+    # raw A^T eigvec is (l1, l2/2): returned Ls are metric-corrected
+    s1, s2 = sigma_left(l1, l2 / 2.0)
     s2 = np.asarray(s2)
     s2 = 0.5 * (s2 - s2.transpose(1, 0, 2))
-    # A^T L = omega L on the packed physical storage
     assert np.max(np.abs(np.asarray(s1) - omegas[0] * l1)) < 1e-6
-    assert np.max(np.abs(s2 - omegas[0] * l2)) < 1e-6
-    ov = np.vdot(l1, Rs[0][0]) + np.vdot(l2, Rs[0][1])
-    assert abs(ov - 1.0) < 1e-8
+    assert np.max(np.abs(s2 - omegas[0] * (l2 / 2.0))) < 1e-6
+    ov = np.vdot(l1, Rs[0][0]) + 0.5 * np.vdot(l2, Rs[0][1])
+    assert abs(ov - 1.0) < 1e-8  # physical product (1/2 on 2h1p storage)
