@@ -243,20 +243,24 @@ class ECW:
         'trdip' stores the transition dipole vector (component-wise average
         of the biorthogonal left/right moments — the same convention the
         reference used for its hand-typed QChem values, gamma_exp.py:27-94),
-        so EOM replaces the external-code dependency for trdip targets.
+        so EOM replaces the external-code dependency for trdip targets;
+        'mat' stores the EOM excited-STATE density (Tr = N, biorthogonal).
         Oscillator strengths are kept on self.f_osc_ES per state."""
-        if prop not in ("trmat", "trdip"):
-            raise ValueError("prop must be 'trmat' or 'trdip'")
+        if prop not in ("trmat", "trdip", "mat"):
+            raise ValueError("prop must be 'trmat', 'trdip' or 'mat'")
         es_exp = gamma_exp.ESexp(self.mol)
         es_exp.EOM(nbr_of_es)
         self.Eexp_ES.append(es_exp.DE_exp)
         if self.r_ini is None:
             self.r_ini = []
         self.f_osc_ES = [f for _, _, f in es_exp.trdip_exp]
-        for ((tr_l, tr_r), rini, (dl, dr, _)) in zip(
-                es_exp.gamma_tr_mo, es_exp.ini_r, es_exp.trdip_exp):
+        for ((tr_l, tr_r), g_es, rini, (dl, dr, _)) in zip(
+                es_exp.gamma_tr_mo, es_exp.gamma_es_mo, es_exp.ini_r,
+                es_exp.trdip_exp):
             if prop == "trmat":
                 self.exp_data.append([["trmat", [tr_l, tr_r]]])
+            elif prop == "mat":
+                self.exp_data.append([["mat", g_es]])
             else:
                 self.exp_data.append([["trdip",
                                        tuple(0.5 * (dl + dr))]])

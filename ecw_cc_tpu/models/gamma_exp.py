@@ -358,6 +358,7 @@ class ESexp:
             io, iv = unperm[:nocc], unperm[nocc:] - nocc
         self.ECCSD = float(e_cc)
         self.gamma_tr_mo = []
+        self.gamma_es_mo = []  # EOM excited-state densities (Tr = N)
         self.ini_r = []
         self.trdip_exp = []   # [(d_0k, d_k0, oscillator strength), ...]
         dip_int = self.mol.intor("r", origin=self.mol.charge_center())
@@ -378,13 +379,19 @@ class ESexp:
                 t1, t2, jnp.asarray(lk1), jnp.asarray(lk2)))
             tr_l = _swap_ov_vo(g_r, nocc)
             tr_r = _swap_ov_vo(g_l, nocc)
+            # excited-state density (biorthogonal; traces to N exactly)
+            g_es = _swap_ov_vo(np.asarray(eom_ops.es_rdm1(
+                t1, t2, jnp.asarray(lk1), jnp.asarray(lk2),
+                jnp.asarray(r1), jnp.asarray(r2), r0)), nocc)
             r1_out = np.asarray(r1)
             if unperm is not None:
                 tr_l = tr_l[np.ix_(unperm, unperm)]
                 tr_r = tr_r[np.ix_(unperm, unperm)]
+                g_es = g_es[np.ix_(unperm, unperm)]
                 r1_out = r1_out[np.ix_(io, iv)]
             self.DE_exp.append(float(omegas[k]))
             self.gamma_tr_mo.append((tr_l, tr_r))
+            self.gamma_es_mo.append(g_es)
             self.ini_r.append(r1_out)
             # transition dipoles + oscillator strength: the biorthogonal
             # product d(0,k).d(k,0) equals |<0|mu|k>|^2 in the FCI limit

@@ -306,6 +306,27 @@ def tr_rdm1_left(t1, t2, lk1, lk2):
     return _eval_trdm("lee", "ref", tens, nocc, nvir, t1.dtype)
 
 
+def es_rdm1(t1, t2, lk1, lk2, r1, r2, r0):
+    """EOM-EE excited-state one-body density
+    <0|L_k (e^-T ap+.aq e^T) (r0 + R_k)|0> (biorthogonal; l0 = 0).
+
+    With metric-corrected, biorthonormalized L_k (eom_ccsd(left=True)),
+    Tr over the occupied block gives N (electron number) exactly — the
+    delta_oo overlap piece carries it.  Det-space-validated at random
+    amplitudes (tests/test_eom.py)."""
+    nocc, nvir = t1.shape
+    tens = {"t1": t1, "t2": t2,
+            "lee1": jnp.asarray(lk1, dtype=t1.dtype),
+            "lee2": jnp.asarray(lk2, dtype=t1.dtype),
+            "ree1": jnp.asarray(r1, dtype=t1.dtype),
+            "ree2": jnp.asarray(r2, dtype=t1.dtype),
+            "eye_o": jnp.eye(nocc, dtype=t1.dtype)}
+    g = _eval_trdm("lee", "ree", tens, nocc, nvir, t1.dtype)
+    if r0 != 0.0:
+        g = g + r0 * _eval_trdm("lee", "ref", tens, nocc, nvir, t1.dtype)
+    return g
+
+
 def eom_r0(eris, t1, t2, r1, r2, omega, fsp=None):
     """r0 = <0|Hbar R|0> / omega, with <0|Hbar R|0> = dE/dt . R obtained by
     autodiff of the CCSD energy functional."""

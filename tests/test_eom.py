@@ -114,6 +114,68 @@ def test_eom_transition_dipole_equals_fci_for_two_electrons(h2_631g):
     assert max(map(abs, fs)) > 1e-3  # at least one dipole-allowed root
 
 
+def test_es_rdm1_detspace_and_trace(h2_631g):
+    """EOM-EE excited-state density: equals the det-space contraction
+    <0|L pq-bar (r0+R)|0> elementwise at the converged point, and traces
+    to the electron number for biorthonormal L/R."""
+    from ecw_cc_tpu.oracle import cluster_matrices
+
+    mol, ghf, eris_host, eris = h2_631g
+    t1, t2, e_cc = ccsd_t.solve_ccsd(eris, conv_tol=1e-13)
+    omegas, Rs, Ls = eom.eom_ccsd(eris, t1, t2, nroots=2, tol=1e-10,
+                                  left=True)
+    k = 0
+    r1, r2 = np.asarray(Rs[k][0]), np.asarray(Rs[k][1])
+    e1, e2 = np.asarray(Ls[k][0]), np.asarray(Ls[k][1])
+    r0 = eom.eom_r0(eris, t1, t2, jnp.asarray(r1), jnp.asarray(r2),
+                    omegas[k])
+    g = np.asarray(eom.es_rdm1(t1, t2, jnp.asarray(e1), jnp.asarray(e2),
+                               jnp.asarray(r1), jnp.asarray(r2), r0))
+    nocc = eris.nocc
+    assert abs(np.trace(g) - nocc) < 1e-8
+
+    nmo = eris.fock.shape[0]
+    space, U, Uinv = cluster_matrices(nmo, nocc, nocc, np.asarray(t1),
+                                      np.asarray(t2))
+    ref = space.index[(1 << nocc) - 1]
+    e0 = np.zeros(space.dim)
+    e0[ref] = 1.0
+
+    def exc_vec(x1, x2, x0):
+        v = x0 * e0.copy()
+        for i in range(nocc):
+            for a in range(nmo - nocc):
+                if x1[i, a] != 0:
+                    v = v + x1[i, a] * (
+                        space.excitation_matrix(nocc + a, i) @ e0)
+        for i in range(nocc):
+            for j in range(nocc):
+                for a in range(nmo - nocc):
+                    for b in range(nmo - nocc):
+                        if x2[i, j, a, b] != 0:
+                            Ea = space.excitation_matrix(nocc + a, i)
+                            Eb = space.excitation_matrix(nocc + b, j)
+                            v = v + 0.25 * x2[i, j, a, b] * (Ea @ (Eb @ e0))
+        return v
+
+    # bra <0|L: de-excitation operators applied leftward == the transpose
+    # of the excitation map on the bra side
+    L1m = np.zeros((nmo, nmo))
+    L1m[:nocc, nocc:] = e1
+    op1 = space.op_matrix_1e(L1m)
+    E4 = np.zeros((nmo,) * 4)
+    E4[:nocc, :nocc, nocc:, nocc:] = e2
+    op2 = space.op_matrix_2e(E4)
+    braL = op1.T @ e0 + op2.T @ e0
+    ketR = U @ exc_vec(r1, r2, r0)
+    for p in range(nmo):
+        for q in range(nmo):
+            Epq = np.zeros((nmo, nmo))
+            Epq[p, q] = 1.0
+            val = braL @ (Uinv @ (space.op_matrix_1e(Epq) @ ketR))
+            assert abs(val - g[p, q]) < 1e-8, (p, q, val, g[p, q])
+
+
 def test_build_es_exp_eom(h2o_sto3g):
     from ecw_cc_tpu import ECW
 
@@ -142,6 +204,12 @@ def test_build_es_exp_eom_trdip(h2o_sto3g):
     d = ecw.exp_data[1][0][1]
     assert len(d) == 3 and all(np.isfinite(d))
     assert len(ecw.f_osc_ES) == 1 and np.isfinite(ecw.f_osc_ES[0])
+
+    ecw2 = ECW("h2o", "sto-3g")
+    ecw2.Build_ES_exp_EOM(1, prop="mat")
+    assert ecw2.exp_data[1][0][0] == "mat"
+    g = ecw2.exp_data[1][0][1]
+    assert abs(np.trace(g) - ecw2.mol.nelectron) < 1e-6
 
 
 def test_eom_packed_ladder_matches_dense(h2o_sto3g):
