@@ -126,9 +126,19 @@ class Solver_ES:
             ln = [jnp.asarray(l) for l in self.ln_ini]
             r0n = list(self.r0_ini)
             l0n = list(self.l0_ini)
-            ov = [tuple(int(x[0]) for x in np.where(np.asarray(r) == 1))
-                  for r in self.rn_ini]
-            ov = [o if len(o) == 2 else None for o in ov]
+            # dominant (i,a) of each initial r: argmax of |r| (Koopman unit
+            # guesses hit exactly 1; EOM-generated r_ini has no exact-1.0
+            # entry, so a `== 1` lookup would be empty — seen as an
+            # IndexError with Build_ES_exp_EOM targets)
+            ov = []
+            for r in self.rn_ini:
+                r = np.asarray(r)
+                if r.size and np.max(np.abs(r)) > 0:
+                    ov.append(tuple(
+                        int(x) for x in
+                        np.unravel_index(np.argmax(np.abs(r)), r.shape)))
+                else:
+                    ov.append(None)
         else:
             ts = jnp.asarray(dic_amp_ini["ts"])
             ls = jnp.asarray(dic_amp_ini["ls"])

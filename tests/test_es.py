@@ -226,3 +226,14 @@ def test_driver_es_method_bad():
     ecw.Build_ES_exp_input([[["trdip", (0.5, 0.0, 0.0)]]])
     with pytest.raises(SyntaxError):
         ecw.CCS_ES(0.1, method="nope", print_ite=False)
+
+
+def test_driver_es_solve_on_eom_targets():
+    """End-to-end: EOM-generated trmat targets drive the coupled ES solver
+    to convergence (regression: the ov-extraction assumed unit Koopman
+    guesses and crashed on EOM-generated r_ini)."""
+    ecw = ECW("h2o", "sto-3g")
+    ecw.Build_ES_exp_EOM(1, prop="trmat")
+    out = ecw.CCS_ES(0.1, diis="all", conv="rl", conv_thres=1e-5,
+                     maxiter=60, print_ite=False)
+    assert "Convergence reached" in out[0]
