@@ -78,6 +78,16 @@ def cube_rdm1(rdm1_mo, mo_coeff, mol, fout, g=True, nx=80, ny=80, nz=80):
     return cube_density(mol, str(fout), rdm1_ao, nx=nx, ny=ny, nz=nz)
 
 
+def cube_orbital_g(vec_mo_g, mo_coeff_g, mol, fout, nx=80, ny=80, nz=80):
+    """|phi(r)|^2 of a spin-orbital-basis vector (e.g. a Dyson orbital from
+    ops/eom_ipea.dyson_orbitals) as a cube file: the alpha and beta spatial
+    components enter as a rank-2 R-format AO density."""
+    c = np.asarray(mo_coeff_g) @ np.asarray(vec_mo_g)
+    nao = c.shape[0] // 2
+    dm = np.outer(c[:nao], c[:nao]) + np.outer(c[nao:], c[nao:])
+    return cube_density(mol, str(fout), dm, nx=nx, ny=ny, nz=nz)
+
+
 def diff_cube(file1, file2, out):
     """Difference of two cube files. Reference utilities.py:940-978."""
     initial_line = 6

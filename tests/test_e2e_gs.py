@@ -560,3 +560,29 @@ def test_cli_runner_spec(tmp_path):
     # Ep_total = -75.98424 = EHF (-75.98395) + (-2.9451e-4)
     ep = float(np.asarray(result[1]).ravel()[-1])
     assert abs(ep - (-2.9451e-4)) < 2e-6
+
+
+def test_cube_orbital_g(tmp_path):
+    """cube_orbital_g: a single occupied spin-orbital pair integrates to
+    its electron count (here: both electrons of H2 in the HOMO)."""
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.scf import RHF, GHF
+    from ecw_cc_tpu.utils import output
+
+    mol = Molecule("h2", "sto-3g")
+    mf = RHF(mol)
+    mf.kernel()
+    ghf = GHF(mf)
+    nmo = ghf.mo_coeff.shape[1]
+    vec = np.zeros(nmo)
+    vec[0] = 1.0  # lowest (alpha HOMO) spin orbital
+    f = output.cube_orbital_g(vec, ghf.mo_coeff, mol,
+                              str(tmp_path / "orb"), nx=24, ny=24, nz=24)
+    lines = open(f).readlines()
+    n = int(lines[2].split()[0])
+    vals = np.array([float(x) for x in "".join(lines[6 + n:]).split()])
+    # grid-integrate |phi|^2: one normalized orbital -> ~1 electron
+    dx = float(lines[3].split()[1])
+    dy = float(lines[4].split()[2])
+    dz = float(lines[5].split()[3])
+    assert abs(vals.sum() * dx * dy * dz - 1.0) < 0.05
