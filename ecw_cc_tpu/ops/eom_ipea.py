@@ -78,12 +78,18 @@ def _ea_vvvv_packed(vvvv_op, t1, r1, r2, lad_terms):
     0.5*einsum('ijef,abef->ijab') for (c,d)-antisymmetric inputs) on a
     (nocc, 1, nvir, nvir) view.  The term shapes are asserted so a future
     generator change fails loudly instead of silently dropping a term."""
-    from ecw_cc_tpu.ops.ladder import PackedVVVV, packed_vvvv_contract
+    from ecw_cc_tpu.ops.ladder import (PackedVVVV, SectoredVVVV,
+                                       packed_vvvv_contract,
+                                       sectored_vvvv_contract)
 
-    if not isinstance(vvvv_op, PackedVVVV):
+    if isinstance(vvvv_op, SectoredVVVV):
+        contract = sectored_vvvv_contract   # spin-sorted pack-on-build
+    elif isinstance(vvvv_op, PackedVVVV):
+        contract = packed_vvvv_contract
+    else:
         raise NotImplementedError(
-            "EOM-EA with a non-dense vvvv supports the PackedVVVV route "
-            f"only (got {type(vvvv_op).__name__})")
+            "EOM-EA with a non-dense vvvv supports the PackedVVVV/"
+            f"SectoredVVVV routes only (got {type(vvvv_op).__name__})")
     W = jnp.zeros_like(r2)
     for coeff, pieces, out in lad_terms:
         d = dict(pieces)
@@ -95,7 +101,7 @@ def _ea_vvvv_packed(vvvv_op, t1, r1, r2, lad_terms):
             assert d.get("rea1") == "c" and d.get("t1") == "id", pieces
             x = jnp.einsum("c,id->icd", r1, t1)
             W = W + coeff * 0.5 * (x - jnp.swapaxes(x, 1, 2))
-    p = packed_vvvv_contract(vvvv_op, W[:, None])[:, 0]   # (no, nv, nv)
+    p = contract(vvvv_op, W[:, None])[:, 0]   # (no, nv, nv)
     # einsum('abcd,icd->iab') = 2 * p; out order is 'iba'
     return 2.0 * jnp.swapaxes(p, 1, 2)
 

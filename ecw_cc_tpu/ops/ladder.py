@@ -367,12 +367,14 @@ def pack_vvvv_sorted(vvvv, ma):
 
 def _sector_inputs(x, ma):
     """Pack the three sector column-spaces of x (antisymmetric in its last
-    two indices, sorted layout) as 2-D GEMM operands."""
-    o, _, v, _ = x.shape
+    two indices, sorted layout) as 2-D GEMM operands.  The two leading dims
+    need not be equal (cf. packed_vvvv_contract)."""
+    o, o2, v, _ = x.shape
     mb = v - ma
-    x_aa = _pack_pairs(x[:, :, :ma, :ma].reshape(o * o, ma * ma), ma)
-    x_bb = _pack_pairs(x[:, :, ma:, ma:].reshape(o * o, mb * mb), mb)
-    x_ab = x[:, :, :ma, ma:].reshape(o * o, ma * mb)
+    M = o * o2
+    x_aa = _pack_pairs(x[:, :, :ma, :ma].reshape(M, ma * ma), ma)
+    x_bb = _pack_pairs(x[:, :, ma:, ma:].reshape(M, mb * mb), mb)
+    x_ab = x[:, :, :ma, ma:].reshape(M, ma * mb)
     return x_aa, x_bb, x_ab
 
 
@@ -383,15 +385,17 @@ def _sector_mm(xs, w, ncols):
     return y[:, :ncols] if w.shape[0] != ncols else y
 
 
-def _sector_assemble(y_aa, y_bb, y_ab, o, ma, mb, dtype):
-    """Upper-triangle sector results -> full antisymmetric (o,o,v,v)."""
+def _sector_assemble(y_aa, y_bb, y_ab, o, ma, mb, dtype, o2=None):
+    """Upper-triangle sector results -> full antisymmetric (o,o2,v,v)."""
+    if o2 is None:
+        o2 = o
     v = ma + mb
-    z = jnp.zeros((o, o, v, v), dtype)
+    z = jnp.zeros((o, o2, v, v), dtype)
     z = z.at[:, :, :ma, :ma].set(
-        _unpack_pairs(y_aa, ma).reshape(o, o, ma, ma))
+        _unpack_pairs(y_aa, ma).reshape(o, o2, ma, ma))
     z = z.at[:, :, ma:, ma:].set(
-        _unpack_pairs(y_bb, mb).reshape(o, o, mb, mb))
-    z = z.at[:, :, :ma, ma:].set(y_ab.reshape(o, o, ma, mb))
+        _unpack_pairs(y_bb, mb).reshape(o, o2, mb, mb))
+    z = z.at[:, :, :ma, ma:].set(y_ab.reshape(o, o2, ma, mb))
     return z - jnp.transpose(z, (0, 1, 3, 2))
 
 
@@ -400,14 +404,14 @@ def sectored_vvvv_contract(sect, x):
 
     Requires x antisymmetric in its last two indices and the sorted layout.
     Also computes the lambda ladder (pair-swap symmetry, as in
-    packed_vvvv_contract)."""
-    o, _, v, _ = x.shape
+    packed_vvvv_contract).  Leading dims need not be equal (EOM-EA)."""
+    o, o2, v, _ = x.shape
     ma, mb = _sector_dims(sect, v)
     x_aa, x_bb, x_ab = _sector_inputs(x, ma)
     y_aa = _sector_mm(x_aa, sect.wc_aa, ma * (ma - 1) // 2)
     y_bb = _sector_mm(x_bb, sect.wc_bb, mb * (mb - 1) // 2)
     y_ab = _sector_mm(x_ab, sect.w_ab, ma * mb)
-    return _sector_assemble(y_aa, y_bb, y_ab, o, ma, mb, x.dtype)
+    return _sector_assemble(y_aa, y_bb, y_ab, o, ma, mb, x.dtype, o2=o2)
 
 
 def stacked_sectored_contract(sect, x1, x2):

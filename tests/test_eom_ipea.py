@@ -206,6 +206,40 @@ def test_ea_packed_vvvv_route_matches_dense():
                                  "ea")
 
 
+def test_ipea_f32_sorted_packed_matches_f64_dense(h2o_sto3g):
+    """Production path: f32 spin-sorted pack-on-build ERIs (SectoredVVVV —
+    the EA ladder terms ride the sectored route) reproduce the f64
+    dense-layout IP/EA energies."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.models.scf import GHF
+    from ecw_cc_tpu.ops.ccsd_t import solve_ccsd
+
+    mol, ghf, eris_host, eris = h2o_sto3g
+    t1, t2, _ = solve_ccsd(eris, conv_tol=1e-12)
+    w_ip64, _ = eom_ipea.eom_ip_ccsd(eris, t1, t2, nroots=2, tol=1e-8)
+    w_ea64, _ = eom_ipea.eom_ea_ccsd(eris, t1, t2, nroots=2, tol=1e-8)
+
+    old = cfg.get_config().dtype
+    try:
+        cfg.set_config(dtype="float32")
+        eris32, vvvv_op = build_eris_device(mol, GHF(ghf._rhf),
+                                            dtype="float32",
+                                            pack_ladder=True,
+                                            sort_spin=True)
+        t1s, t2s, _ = solve_ccsd(
+            eris32, conv_tol=1e-10,
+            vvvv_op=vvvv_op)
+        w_ip32, _ = eom_ipea.eom_ip_ccsd(eris32, t1s, t2s, nroots=2,
+                                         tol=1e-5)
+        w_ea32, _ = eom_ipea.eom_ea_ccsd(eris32, t1s, t2s, nroots=2,
+                                         tol=1e-5, vvvv_op=vvvv_op)
+    finally:
+        cfg.set_config(dtype=old)
+    assert np.allclose(sorted(w_ip64), sorted(w_ip32), atol=2e-5)
+    assert np.allclose(sorted(w_ea64), sorted(w_ea32), atol=2e-5)
+
+
 @pytest.mark.parametrize("kind,nmo,nocc", [("ip", 6, 3), ("ea", 6, 2)])
 def test_sigma_matches_detspace_at_random_amps(kind, nmo, nocc):
     f, v = _rand_fv(nmo, nocc)
