@@ -602,6 +602,40 @@ def bench_es():
             "E_es1_eV": round(e1_ev, 3)}
 
 
+def bench_ipea():
+    """EOM-IP/EA-CCSD (Wick-derived sigma, ops/eom_ipea.py) wall-clock on
+    C2H2/cc-pVDZ: plain-CCSD solve is shared with the GS rows; reported is
+    the Davidson time-to-solution for 2 IP + 1 EA roots (f32, packed
+    ladder) plus the energies — a NEW capability row (no reference
+    counterpart)."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.models.eris import build_eris_device
+    from ecw_cc_tpu.ops.ccsd_t import solve_ccsd
+    from ecw_cc_tpu.ops.eom_ipea import eom_ea_ccsd, eom_ip_ccsd
+    from ecw_cc_tpu.ops.ladder import pack_vvvv
+
+    mol, ghf = build_host("cc-pvdz")
+    eris = build_eris_device(mol, ghf, dtype="float32")
+    vvvv_op = pack_vvvv(eris.vvvv)
+    t1, t2, _ = solve_ccsd(eris, conv_tol=1e-8, vvvv_op=vvvv_op)
+    # warm-up (compiles the sigma programs)
+    w_ip, _ = eom_ip_ccsd(eris, t1, t2, nroots=2, tol=1e-5)
+    w_ea, _ = eom_ea_ccsd(eris, t1, t2, nroots=1, tol=1e-5,
+                          vvvv_op=vvvv_op)
+    best_ip = best_ea = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        w_ip, _ = eom_ip_ccsd(eris, t1, t2, nroots=2, tol=1e-5)
+        best_ip = min(best_ip, (time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        w_ea, _ = eom_ea_ccsd(eris, t1, t2, nroots=1, tol=1e-5,
+                              vvvv_op=vvvv_op)
+        best_ea = min(best_ea, (time.perf_counter() - t0) * 1e3)
+    return {"ip_solve_ms": round(best_ip, 1), "ea_solve_ms": round(best_ea, 1),
+            "ip1_eV": round(w_ip[0] * 27.2114, 3),
+            "ea1_eV": round(w_ea[0] * 27.2114, 3)}
+
+
 def _backend_alive(timeout=None):
     """Probe JAX backend initialization in a SUBPROCESS with a hard timeout.
 
@@ -714,6 +748,10 @@ def main():
             line["es"] = bench_es()
         except Exception as exc:  # pragma: no cover - keep the GS line alive
             print(f"bench_es failed: {exc!r}", file=sys.stderr)
+        try:
+            line["ipea"] = bench_ipea()
+        except Exception as exc:  # pragma: no cover - keep the line alive
+            print(f"bench_ipea failed: {exc!r}", file=sys.stderr)
         if pvtz is not None:
             try:
                 line["t_energy_pvtz"] = bench_t("cc-pvtz")

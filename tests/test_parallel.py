@@ -359,3 +359,48 @@ def test_sharded_sectored_t_energy_matches_single(h2o_631g):
                                             mesh=mesh))
         assert abs(e_mesh - e_one) < 1e-12 * max(1.0, abs(e_one))
         assert abs(e_mesh - e_dense) < 1e-11 * max(1.0, abs(e_dense))
+
+
+def test_sharded_eom_sigma_matches_replicated():
+    """EOM-EE sigma (jvp of the residual) on tp-sharded eris/amplitudes
+    equals the replicated sigma — GSPMD propagates the shardings through
+    the linearized residual, so the EOM Davidson can run multi-chip."""
+    import __graft_entry__ as g
+    from ecw_cc_tpu.ops import eom
+    from ecw_cc_tpu.parallel.mesh import make_mesh
+    from ecw_cc_tpu.parallel.sharding import shard_eris, amp_shardings
+
+    dtype = jnp.float64
+    nocc, nvir = 4, 8
+    eris = g._synthetic_eris(nocc, nvir, dtype)
+    rng = np.random.default_rng(3)
+
+    def amps(scale, seed):
+        r = np.random.default_rng(seed)
+        a1 = jnp.asarray(r.standard_normal((nocc, nvir)) * scale, dtype)
+        a2 = jnp.asarray(
+            r.standard_normal((nocc, nocc, nvir, nvir)) * scale, dtype)
+        a2 = a2 - jnp.transpose(a2, (1, 0, 2, 3))
+        a2 = a2 - jnp.transpose(a2, (0, 1, 3, 2))
+        return a1, a2
+
+    t1, t2 = amps(0.02, 1)
+    r1, r2 = amps(1.0, 2)
+    sigma, sigma_left = eom.make_sigma(eris, t1, t2)
+    s1_ref, s2_ref = sigma(r1, r2)
+    g1_ref, g2_ref = sigma_left(r1, r2)
+
+    mesh = make_mesh(n_dp=2)
+    eris_sh = shard_eris(eris, mesh)
+    sh = amp_shardings(mesh)
+    t1s = jax.device_put(t1, sh["t1"])
+    t2s = jax.device_put(t2, sh["t2"])
+    r1s = jax.device_put(r1, sh["t1"])
+    r2s = jax.device_put(r2, sh["t2"])
+    sigma_s, sigma_left_s = eom.make_sigma(eris_sh, t1s, t2s)
+    s1, s2 = sigma_s(r1s, r2s)
+    g1, g2 = sigma_left_s(r1s, r2s)
+    assert np.allclose(np.asarray(s1), np.asarray(s1_ref), atol=1e-11)
+    assert np.allclose(np.asarray(s2), np.asarray(s2_ref), atol=1e-11)
+    assert np.allclose(np.asarray(g1), np.asarray(g1_ref), atol=1e-11)
+    assert np.allclose(np.asarray(g2), np.asarray(g2_ref), atol=1e-11)
