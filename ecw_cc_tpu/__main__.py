@@ -16,7 +16,7 @@ Spec format (all keys but molecule/basis optional):
   "config": {"soup_sector": true},           // extra config fields
   "target": {"prop": "mat", "posthf": "HF",  // Build_GS_exp args
              "field": [0.05, 0.01, 0.0]},
-  "es_targets": {"mom": [1, 0]} | {"eom": 2} |
+  "es_targets": {"mom": [1, 0]} | {"eom": 2, "eom_prop": "trdip"} |
                 {"input": [[["trdip", [0.54, 0.0, 0.0]]]]},
   "run": {
     "solver": "CCSD_GS",        // CCS_GS | CCSD_GS | CCS_ES
@@ -65,7 +65,8 @@ def run_spec(spec):
         if "mom" in es:
             ecw.Build_ES_exp_MOM(tuple(es["mom"]))
         elif "eom" in es:
-            ecw.Build_ES_exp_EOM(int(es["eom"]))
+            ecw.Build_ES_exp_EOM(int(es["eom"]),
+                                 prop=es.get("eom_prop", "trmat"))
         elif "input" in es:
             ecw.Build_ES_exp_input(es["input"])
         else:

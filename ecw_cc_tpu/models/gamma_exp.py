@@ -389,6 +389,19 @@ class ESexp:
                 tr_r = tr_r[np.ix_(unperm, unperm)]
                 g_es = g_es[np.ix_(unperm, unperm)]
                 r1_out = r1_out[np.ix_(io, iv)]
+            # canonical phase in the ALTERNATING layout (the module-level
+            # canonicalization runs in whatever layout the eris use, so the
+            # f32-sorted and f64-dense paths could still disagree): first
+            # near-maximal r1 component positive.  tr_l carries R's phase,
+            # tr_r carries L's (tied to R by <L|R> = 1) — both flip
+            # together; g_es and oscillator strengths are phase-invariant.
+            flat = r1_out.ravel()
+            aflat = np.abs(flat)
+            if aflat.max() > 0 and flat[int(np.argmax(
+                    aflat >= 0.999 * aflat.max()))] < 0:
+                r1_out = -r1_out
+                tr_l = -tr_l
+                tr_r = -tr_r
             self.DE_exp.append(float(omegas[k]))
             self.gamma_tr_mo.append((tr_l, tr_r))
             self.gamma_es_mo.append(g_es)

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
-from ecw_cc_tpu.utils.linalg import davidson_nosym
+from ecw_cc_tpu.utils.linalg import davidson_nosym_device
 
 
 from functools import partial
@@ -135,8 +135,9 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     diag = np.concatenate([d1, d2])
 
     def _asym(r2):
-        return 0.25 * (r2 - r2.transpose(1, 0, 2, 3)
-                       - r2.transpose(0, 1, 3, 2) + r2.transpose(1, 0, 3, 2))
+        return 0.25 * (r2 - jnp.transpose(r2, (1, 0, 2, 3))
+                       - jnp.transpose(r2, (0, 1, 3, 2))
+                       + jnp.transpose(r2, (1, 0, 3, 2)))
 
     if sect is not None:
         # spin-balance projector (static masks): the sectored Jacobian's
@@ -157,25 +158,29 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     else:
         mask1 = mask2 = None
 
+    if mask1 is not None:
+        mask1_d = jnp.asarray(mask1, dtype=t1.dtype)
+        mask2_d = jnp.asarray(mask2, dtype=t1.dtype)
+
     def unpack(v, asym=True):
+        v = jnp.asarray(v, dtype=t1.dtype)
         r1 = v[:nov].reshape(nocc, nvir)
         r2 = v[nov:].reshape(nocc, nocc, nvir, nvir)
         if asym:
             r2 = _asym(r2)
         if mask1 is not None:
-            r1 = r1 * mask1
-            r2 = r2 * mask2
-        return (jnp.asarray(r1, dtype=t1.dtype),
-                jnp.asarray(r2, dtype=t1.dtype))
+            r1 = r1 * mask1_d
+            r2 = r2 * mask2_d
+        return r1, r2
 
     def _pack_out(s1, s2):
-        s1 = np.asarray(s1)
-        s2 = np.asarray(s2)
         if mask1 is not None:
-            s1 = s1 * mask1
-            s2 = s2 * mask2
-        return np.concatenate([s1.ravel(), s2.ravel()])
+            s1 = s1 * mask1_d
+            s2 = s2 * mask2_d
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
 
+    # device-resident Davidson: the basis stays on device; only the
+    # projected small matrices cross the tunnel (utils/linalg)
     def mv_right(v):
         return _pack_out(*sigma(*unpack(v)))
 
@@ -184,8 +189,9 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                                 info=None if sect is None else sect[0])
     x0 = [np.concatenate([g, np.zeros(nocc * nocc * nvir * nvir)])
           for g in guess]
-    conv, w, xs = davidson_nosym(mv_right, x0, diag, nroots=nroots, tol=tol,
-                                 max_cycle=max_cycle, max_space=max_space)
+    conv, w, xs = davidson_nosym_device(mv_right, x0, diag, nroots=nroots,
+                                        tol=tol, max_cycle=max_cycle,
+                                        max_space=max_space)
     if not all(conv[:nroots]):
         # an exhausted Davidson can report junk roots (e.g. ~0 from the
         # projected null space); surface it instead of silently returning
@@ -200,6 +206,15 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     for k in range(nroots):
         v = np.asarray(xs[k])
         v = v / np.linalg.norm(v)
+        # canonical phase: first near-maximal component positive (tolerant
+        # tie-break: spin-partner components have analytically EQUAL
+        # magnitudes, so a bare argmax is dtype/rounding-dependent) —
+        # eigenvector signs are otherwise solver-dependent, which flipped
+        # transition-density targets between the f32 and f64 paths
+        av = np.abs(v)
+        idx = int(np.argmax(av >= 0.999 * av.max()))
+        if v[idx] < 0:
+            v = -v
         Rs.append(tuple(np.asarray(a) for a in unpack(v)))
     if not left:
         return omegas, Rs
@@ -209,16 +224,18 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         # vjp unprojected, and the OUTPUT doubles part is antisymmetrized
         # (the left map restricted to the physical subspace)
         s1, s2 = sigma_left(*unpack(v, asym=False))
-        s2 = _asym(np.asarray(s2))
+        s2 = _asym(jnp.asarray(s2))
         return _pack_out(s1, s2)
 
     Ls = []
     for k in range(nroots):
         xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
                                np.asarray(Rs[k][1]).ravel()])]
-        conv_l, wl, xls = davidson_nosym(mv_left, xl0, diag, nroots=1,
-                                         tol=tol, max_cycle=max_cycle,
-                                         max_space=max_space, follow=True)
+        conv_l, wl, xls = davidson_nosym_device(mv_left, xl0, diag,
+                                                nroots=1, tol=tol,
+                                                max_cycle=max_cycle,
+                                                max_space=max_space,
+                                                follow=True)
         if not conv_l[0]:
             import warnings
 

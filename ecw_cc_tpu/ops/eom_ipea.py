@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ecw_cc_tpu.ops.wick import generate_eom_terms
-from ecw_cc_tpu.utils.linalg import davidson_nosym
+from ecw_cc_tpu.utils.linalg import davidson_nosym_device
 
 _OCC = set("ijklmnop")
 
@@ -247,21 +247,24 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
         guess = auto_guess
 
     def unpack(v, asym=True):
-        r1 = v[:n1]
-        r2 = v[n1:].reshape(shape2)
+        r1 = jnp.asarray(v, dtype=t1.dtype)[:n1]
+        r2 = jnp.asarray(v, dtype=t1.dtype)[n1:].reshape(shape2)
         if asym:
-            r2 = _asym2(jnp.asarray(r2, dtype=t1.dtype), kind)
-        return (jnp.asarray(r1, dtype=t1.dtype),
-                jnp.asarray(r2, dtype=t1.dtype))
+            r2 = _asym2(r2, kind)
+        return r1, r2
 
+    # device-resident Davidson: basis/images stay on device, only the
+    # projected (m, m) matrix and Ritz coefficients cross to the host
+    # (utils/linalg.davidson_nosym_device; over the axon tunnel the host
+    # variant's per-matvec vector round-trips dominate the solve)
     def mv_right(v):
         s1, s2 = sigma(*unpack(v))
-        return np.concatenate([np.asarray(s1).ravel(),
-                               np.asarray(s2).ravel()])
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
 
-    conv, w, xs = davidson_nosym(mv_right, guess, diag, nroots=nroots,
-                                 tol=tol, max_cycle=max_cycle,
-                                 max_space=max_space)
+    conv, w, xs = davidson_nosym_device(mv_right, guess, diag,
+                                        nroots=nroots, tol=tol,
+                                        max_cycle=max_cycle,
+                                        max_space=max_space)
     if not all(conv[:nroots]):
         import warnings
 
@@ -275,6 +278,13 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     for k in range(nroots):
         v = np.asarray(xs[k])
         v = v / np.linalg.norm(v)
+        # canonical phase: first near-maximal component positive (tolerant
+        # tie-break, see ops/eom.py) — Dyson orbitals flip with the
+        # eigenvector sign otherwise
+        av = np.abs(v)
+        idx = int(np.argmax(av >= 0.999 * av.max()))
+        if v[idx] < 0:
+            v = -v
         Rs.append(tuple(np.asarray(a) for a in unpack(v)))
     if not left:
         return omegas, Rs
@@ -284,16 +294,17 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
         # antisymmetrized (same reasoning as ops/eom.mv_left)
         s1, s2 = sigma_left(*unpack(v, asym=False))
         s2 = _asym2(jnp.asarray(s2), kind)
-        return np.concatenate([np.asarray(s1).ravel(),
-                               np.asarray(s2).ravel()])
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
 
     Ls = []
     for k in range(nroots):
         xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
                                np.asarray(Rs[k][1]).ravel()])]
-        conv_l, wl, xls = davidson_nosym(mv_left, xl0, diag, nroots=1,
-                                         tol=tol, max_cycle=max_cycle,
-                                         max_space=max_space, follow=True)
+        conv_l, wl, xls = davidson_nosym_device(mv_left, xl0, diag,
+                                                nroots=1, tol=tol,
+                                                max_cycle=max_cycle,
+                                                max_space=max_space,
+                                                follow=True)
         if not conv_l[0]:
             import warnings
 

@@ -336,3 +336,133 @@ def davidson_nosym(matvec, x0, diag, nroots=1, tol=1e-8, max_cycle=80,
         if added == 0 and not all(conv[:nroots]):
             break
     return conv, theta[:nroots], [Xs[k] for k in range(nroots)]
+
+
+def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
+                          max_cycle=80, max_space=20, follow=False,
+                          guesses=None):
+    """Device-resident davidson_nosym: the basis V and its images AV live
+    as (max_space, n) DEVICE arrays for the whole solve.
+
+    The host variant round-trips full n-vectors every matvec — ~20 MB per
+    iteration at pVDZ EOM sizes, which over the axon tunnel costs more
+    than the matvec itself.  Here per-iteration host traffic is the
+    (m, m) projected matrix down and one m-coefficient vector up per
+    unconverged root (the tiny non-symmetric eig stays on the host: XLA
+    has no non-symmetric eigensolver on TPU).  Same algorithm and
+    semantics as davidson_nosym; identical results are pinned by tests.
+
+    :param matvec: device flat (n,) -> device flat (n,) (jit-safe ops)
+    :param follow: pick Ritz roots by max overlap with `guesses`
+        (default: the x0 vectors) instead of lowest eigenvalue
+    """
+    import jax
+    import jax.numpy as jnp
+
+    diag_h = np.asarray(diag, dtype=float)
+    n = diag_h.size
+    x0 = [np.asarray(v, dtype=float).ravel() for v in x0]
+    dtype = jnp.zeros(0).dtype  # respect enable_x64
+    diag_d = jnp.asarray(diag_h, dtype=dtype)
+
+    @jax.jit
+    def _ortho(V, m_mask, d):
+        # CGS2 against the masked rows of V
+        for _ in range(2):
+            c = (V @ d) * m_mask
+            d = d - V.T @ c
+        return d, jnp.linalg.norm(d)
+
+    @jax.jit
+    def _append(V, AV, row, v):
+        # the operator may run at a lower precision than the subspace
+        # bookkeeping (f32 sigma under x64 bookkeeping, as the host
+        # variant's float64 numpy did)
+        Av = matvec(v).astype(V.dtype)
+        V = jax.lax.dynamic_update_slice(V, v[None, :], (row, 0))
+        AV = jax.lax.dynamic_update_slice(AV, Av[None, :], (row, 0))
+        return V, AV
+
+    @jax.jit
+    def _proj(V, AV):
+        return V @ AV.T
+
+    @jax.jit
+    def _ritz(V, AV, y, theta):
+        x = y @ V
+        r = y @ AV - theta * x
+        xn = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+        denom = theta - diag_d
+        denom = jnp.where(jnp.abs(denom) < 1e-8,
+                          jnp.sign(denom + 1e-30) * 1e-8, denom)
+        return xn, jnp.linalg.norm(r), r / denom
+
+    V = jnp.zeros((max_space, n), dtype=dtype)
+    AV = jnp.zeros((max_space, n), dtype=dtype)
+    m = 0
+    for v in x0:
+        d, nrm = _ortho(V, jnp.asarray(
+            np.arange(max_space) < m, dtype=dtype), jnp.asarray(v, dtype))
+        if float(nrm) >= 1e-12 and m < max_space:
+            V, AV = _append(V, AV, m, d / nrm)
+            m += 1
+    if m == 0:
+        raise ValueError("no independent initial vectors")
+    if follow:
+        G = jnp.asarray(np.array(
+            [np.asarray(g, dtype=float).ravel()
+             for g in (x0 if guesses is None else guesses)]), dtype)
+
+    conv = [False] * nroots
+    theta = np.zeros(nroots)
+    Xs = [None] * nroots
+    for _ in range(max_cycle):
+        H = np.asarray(_proj(V, AV))[:m, :m]
+        w, y = np.linalg.eig(H)
+        if follow:
+            ov = np.asarray(G @ V.T)[:, :m]          # (nguess, m)
+            score = np.max(np.abs(ov @ y.real), axis=0)
+            order = np.argsort(-score)
+        else:
+            order = np.argsort(w.real)
+        w = w[order]
+        y = y[:, order]
+        new_dirs = []
+        for k in range(min(nroots, m)):
+            theta[k] = w[k].real
+            yk = np.zeros(max_space)
+            yk[:m] = y[:, k].real
+            xk, rn, dk = _ritz(V, AV, jnp.asarray(yk, dtype),
+                               jnp.asarray(theta[k], dtype))
+            Xs[k] = xk
+            conv[k] = float(rn) < tol
+            if not conv[k]:
+                new_dirs.append(dk)
+        if all(conv[: min(nroots, m)]) and m >= nroots:
+            break
+        if m + len(new_dirs) > max_space:
+            # collapse the subspace to the current Ritz vectors
+            V = jnp.zeros((max_space, n), dtype=dtype)
+            AV = jnp.zeros((max_space, n), dtype=dtype)
+            m = 0
+            for k in range(min(nroots, len(Xs))):
+                if Xs[k] is None:
+                    continue
+                d, nrm = _ortho(V, jnp.asarray(
+                    np.arange(max_space) < m, dtype=dtype), Xs[k])
+                if float(nrm) >= 1e-12:
+                    V, AV = _append(V, AV, m, d / nrm)
+                    m += 1
+        added = 0
+        for d in new_dirs:
+            if m >= max_space:
+                break
+            d, nrm = _ortho(V, jnp.asarray(
+                np.arange(max_space) < m, dtype=dtype), d)
+            if float(nrm) >= 1e-12:
+                V, AV = _append(V, AV, m, d / nrm)
+                m += 1
+                added += 1
+        if added == 0 and not all(conv[:nroots]):
+            break
+    return conv, theta[:nroots], [Xs[k] for k in range(nroots)]
