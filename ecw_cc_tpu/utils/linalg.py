@@ -365,6 +365,8 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
     dtype = jnp.zeros(0).dtype  # respect enable_x64
     diag_d = jnp.asarray(diag_h, dtype=dtype)
 
+    from functools import partial
+
     @jax.jit
     def _ortho(V, m_mask, d):
         # CGS2 against the masked rows of V
@@ -374,14 +376,34 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
         return d, jnp.linalg.norm(d)
 
     @jax.jit
-    def _append(V, AV, row, v):
-        # the operator may run at a lower precision than the subspace
+    def _set_v(V, row, v):
+        return jax.lax.dynamic_update_slice(V, v[None, :], (row, 0))
+
+    @partial(jax.jit, static_argnames=("k",))
+    def _mv_block(V, AV, start, k):
+        # ONE batched matvec for the k rows just written at V[start:start+k]
+        # (vmap: bigger GEMMs + k-fold fewer dispatches over the tunnel).
+        # The operator may run at a lower precision than the subspace
         # bookkeeping (f32 sigma under x64 bookkeeping, as the host
-        # variant's float64 numpy did)
-        Av = matvec(v).astype(V.dtype)
-        V = jax.lax.dynamic_update_slice(V, v[None, :], (row, 0))
-        AV = jax.lax.dynamic_update_slice(AV, Av[None, :], (row, 0))
-        return V, AV
+        # variant's float64 numpy did).
+        block = jax.lax.dynamic_slice(V, (start, 0), (k, n))
+        Ab = jax.vmap(matvec)(block).astype(V.dtype)
+        return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
+
+    def _add_block(V, AV, m, cand):
+        """Orthonormalize candidate directions into V, then batch-matvec."""
+        added = 0
+        for d in cand:
+            if m + added >= max_space:
+                break
+            d, nrm = _ortho(V, jnp.asarray(
+                np.arange(max_space) < m + added, dtype=dtype), d)
+            if float(nrm) >= 1e-12:
+                V = _set_v(V, m + added, d / nrm)
+                added += 1
+        if added:
+            AV = _mv_block(V, AV, m, added)
+        return V, AV, m + added
 
     @jax.jit
     def _proj(V, AV):
@@ -399,13 +421,7 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
 
     V = jnp.zeros((max_space, n), dtype=dtype)
     AV = jnp.zeros((max_space, n), dtype=dtype)
-    m = 0
-    for v in x0:
-        d, nrm = _ortho(V, jnp.asarray(
-            np.arange(max_space) < m, dtype=dtype), jnp.asarray(v, dtype))
-        if float(nrm) >= 1e-12 and m < max_space:
-            V, AV = _append(V, AV, m, d / nrm)
-            m += 1
+    V, AV, m = _add_block(V, AV, 0, [jnp.asarray(v, dtype) for v in x0])
     if m == 0:
         raise ValueError("no independent initial vectors")
     if follow:
@@ -444,25 +460,12 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
             # collapse the subspace to the current Ritz vectors
             V = jnp.zeros((max_space, n), dtype=dtype)
             AV = jnp.zeros((max_space, n), dtype=dtype)
-            m = 0
-            for k in range(min(nroots, len(Xs))):
-                if Xs[k] is None:
-                    continue
-                d, nrm = _ortho(V, jnp.asarray(
-                    np.arange(max_space) < m, dtype=dtype), Xs[k])
-                if float(nrm) >= 1e-12:
-                    V, AV = _append(V, AV, m, d / nrm)
-                    m += 1
-        added = 0
-        for d in new_dirs:
-            if m >= max_space:
-                break
-            d, nrm = _ortho(V, jnp.asarray(
-                np.arange(max_space) < m, dtype=dtype), d)
-            if float(nrm) >= 1e-12:
-                V, AV = _append(V, AV, m, d / nrm)
-                m += 1
-                added += 1
-        if added == 0 and not all(conv[:nroots]):
+            V, AV, m = _add_block(
+                V, AV, 0,
+                [Xs[k] for k in range(min(nroots, len(Xs)))
+                 if Xs[k] is not None])
+        m_before = m
+        V, AV, m = _add_block(V, AV, m, new_dirs)
+        if m == m_before and not all(conv[:nroots]):
             break
     return conv, theta[:nroots], [Xs[k] for k in range(nroots)]
