@@ -266,6 +266,12 @@ class ECW:
                                        tuple(0.5 * (dl + dr))]])
             self.HF_prop.append([None])
             self.r_ini.append(np.asarray(rini))
+        self.spin_ES = list(es_exp.spin_labels)
+        for k, (de, lab, f) in enumerate(zip(es_exp.DE_exp,
+                                             es_exp.spin_labels,
+                                             self.f_osc_ES)):
+            print(f"  EOM ES {k + 1}: {de * 27.2114:8.4f} eV  {lab:9s} "
+                  f"f = {f:.5f}")
         print("*** EOM-CCSD ES data stored ***")
 
     def Build_ES_exp_input(self, es_prop, rini_list=None, val_core=None,

@@ -67,6 +67,23 @@ def solve_lambda(eris, t1, t2, conv_tol=1e-10, max_cycle=200, vvvv_op=None,
     return l1, l2
 
 
+def _spin_label(r1):
+    """singlet/triplet/spin-flip label of an EE R1 block (alternating
+    spin layout): the Ms=0 singlet combination is symmetric in
+    alpha<->beta, the triplet antisymmetric."""
+    r1 = np.asarray(r1)
+    raa = r1[0::2, 0::2]
+    rbb = r1[1::2, 1::2]
+    off = np.linalg.norm(r1[0::2, 1::2]) + np.linalg.norm(r1[1::2, 0::2])
+    if off > 0.5 * max(np.linalg.norm(r1), 1e-300):
+        return "spin-flip"
+    s = np.linalg.norm(raa + rbb)
+    t = np.linalg.norm(raa - rbb)
+    if max(s, t) < 1e-8:
+        return "n/a"
+    return "singlet" if s > t else "triplet"
+
+
 def _swap_ov_vo(g, nocc):
     """Det-space <p+ q> layout -> the reference tr_rdm1 index convention
     (ov/vo blocks transposed; oo/vv unchanged).  Verified: the reference
@@ -359,6 +376,7 @@ class ESexp:
         self.ECCSD = float(e_cc)
         self.gamma_tr_mo = []
         self.gamma_es_mo = []  # EOM excited-state densities (Tr = N)
+        self.spin_labels = []  # singlet/triplet/spin-flip per root
         self.ini_r = []
         self.trdip_exp = []   # [(d_0k, d_k0, oscillator strength), ...]
         dip_int = self.mol.intor("r", origin=self.mol.charge_center())
@@ -406,6 +424,7 @@ class ESexp:
             self.gamma_tr_mo.append((tr_l, tr_r))
             self.gamma_es_mo.append(g_es)
             self.ini_r.append(r1_out)
+            self.spin_labels.append(_spin_label(r1_out))
             # transition dipoles + oscillator strength: the biorthogonal
             # product d(0,k).d(k,0) equals |<0|mu|k>|^2 in the FCI limit
             # (norm factors cancel in the product; tested exact for a

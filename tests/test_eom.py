@@ -206,10 +206,16 @@ def test_build_es_exp_eom_trdip(h2o_sto3g):
     assert len(ecw.f_osc_ES) == 1 and np.isfinite(ecw.f_osc_ES[0])
 
     ecw2 = ECW("h2o", "sto-3g")
-    ecw2.Build_ES_exp_EOM(1, prop="mat")
+    ecw2.Build_ES_exp_EOM(2, prop="mat")
     assert ecw2.exp_data[1][0][0] == "mat"
     g = ecw2.exp_data[1][0][1]
     assert abs(np.trace(g) - ecw2.mol.nelectron) < 1e-6
+    # spin classification: lowest H2O root is a triplet (f = 0), and
+    # triplet roots carry no oscillator strength
+    assert ecw2.spin_ES[0] == "triplet"
+    for lab, f in zip(ecw2.spin_ES, ecw2.f_osc_ES):
+        if lab == "triplet":
+            assert abs(f) < 1e-8
 
 
 def test_eom_packed_ladder_matches_dense(h2o_sto3g):
