@@ -126,8 +126,12 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     """
     nocc, nvir = t1.shape
     nov = nocc * nvir
-    sigma, sigma_left = make_sigma(eris, t1, t2, fsp=fsp,
-                                   vvvv_op=vvvv_op, sect=sect)
+    # eris/amplitudes travel to the Davidson as matvec OPERANDS (jit
+    # arguments): a matvec that closes over them would bake the ERI
+    # blocks into the Davidson's _mv_block HLO as constants even though
+    # _sigma_right itself takes them as arguments — the inner jit is
+    # inlined when traced (utils/linalg.davidson_nosym_device docstring)
+    ops = (eris, vvvv_op, fsp, t1, t2)
     mo_e = np.diag(np.asarray(eris.fock))
     d1 = (mo_e[None, nocc:] - mo_e[:nocc, None]).ravel()
     eia = mo_e[:nocc, None] - mo_e[None, nocc:]
@@ -181,8 +185,10 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
 
     # device-resident Davidson: the basis stays on device; only the
     # projected small matrices cross the tunnel (utils/linalg)
-    def mv_right(v):
-        return _pack_out(*sigma(*unpack(v)))
+    def mv_right(v, mops):
+        er, vvo, f, a, b = mops
+        s1, s2 = _sigma_right(er, vvo, f, a, b, *unpack(v), sect=sect)
+        return _pack_out(s1, s2)
 
     if guess is None:
         guess = koopman_guesses(eris, nroots,
@@ -191,7 +197,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
           for g in guess]
     conv, w, xs = davidson_nosym_device(mv_right, x0, diag, nroots=nroots,
                                         tol=tol, max_cycle=max_cycle,
-                                        max_space=max_space)
+                                        max_space=max_space, operands=ops)
     if not all(conv[:nroots]):
         # an exhausted Davidson can report junk roots (e.g. ~0 from the
         # projected null space); surface it instead of silently returning
@@ -219,11 +225,13 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     if not left:
         return omegas, Rs
 
-    def mv_left(v):
+    def mv_left(v, mops):
         # transpose of (A . P) is P . A^T: the raw cotangent goes into the
         # vjp unprojected, and the OUTPUT doubles part is antisymmetrized
         # (the left map restricted to the physical subspace)
-        s1, s2 = sigma_left(*unpack(v, asym=False))
+        er, vvo, f, a, b = mops
+        s1, s2 = _sigma_left(er, vvo, f, a, b, *unpack(v, asym=False),
+                             sect=sect)
         s2 = _asym(jnp.asarray(s2))
         return _pack_out(s1, s2)
 
@@ -235,7 +243,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
                                                 max_space=max_space,
-                                                follow=True)
+                                                follow=True, operands=ops)
         if not conv_l[0]:
             import warnings
 

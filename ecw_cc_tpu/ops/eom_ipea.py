@@ -228,7 +228,7 @@ def _diag_guess(eris, kind, nroots):
 
 def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                   tol=1e-7, max_space=30, max_cycle=120, left=False,
-                  vvvv_op=None):
+                  vvvv_op=None, verbose=False):
     """EOM-IP/EA-CCSD roots by Davidson on the Wick-derived sigma.
 
     :param kind: 'ip' (omega = E_{N-1} - E_CCSD, positive ionization
@@ -240,8 +240,14 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     nocc, nvir = t1.shape
     n1 = nocc if kind == "ip" else nvir
     shape2 = (nocc, nocc, nvir) if kind == "ip" else (nocc, nvir, nvir)
-    sigma, sigma_left = make_sigma_ipea(eris, t1, t2, kind, fsp=fsp,
-                                        vvvv_op=vvvv_op)
+    # eris/amplitudes travel to the Davidson as matvec OPERANDS (jit
+    # arguments), never closure constants: a closure bakes the ERI blocks
+    # into the matvec HLO, XLA constant-folds v^4 transposes at compile
+    # time, and on the axon backend the constants re-cross the tunnel to
+    # the remote compiler on every call (utils/linalg docstring)
+    use_packed = _check_eris(eris, kind, vvvv_op)
+    ops = (eris, vvvv_op if use_packed else None,
+           eris.fock if fsp is None else fsp, t1, t2)
     diag, auto_guess = _diag_guess(eris, kind, nroots)
     if guess is None:
         guess = auto_guess
@@ -257,14 +263,17 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     # projected (m, m) matrix and Ritz coefficients cross to the host
     # (utils/linalg.davidson_nosym_device; over the axon tunnel the host
     # variant's per-matvec vector round-trips dominate the solve)
-    def mv_right(v):
-        s1, s2 = sigma(*unpack(v))
+    def mv_right(v, mops):
+        er, vvo, f, a, b = mops
+        s1, s2 = _sigma(er, vvo, f, a, b, *unpack(v), kind,
+                        use_packed=use_packed)
         return jnp.concatenate([s1.ravel(), s2.ravel()])
 
     conv, w, xs = davidson_nosym_device(mv_right, guess, diag,
                                         nroots=nroots, tol=tol,
                                         max_cycle=max_cycle,
-                                        max_space=max_space)
+                                        max_space=max_space,
+                                        verbose=verbose, operands=ops)
     if not all(conv[:nroots]):
         import warnings
 
@@ -289,10 +298,16 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     if not left:
         return omegas, Rs
 
-    def mv_left(v):
+    def mv_left(v, mops):
         # transpose of (A . P) is P . A^T: raw cotangent in, output doubles
         # antisymmetrized (same reasoning as ops/eom.mv_left)
-        s1, s2 = sigma_left(*unpack(v, asym=False))
+        er, vvo, f, a, b = mops
+        l1, l2 = unpack(v, asym=False)
+        _, vjp = jax.vjp(
+            lambda x, y: _sigma(er, vvo, f, a, b, x, y, kind,
+                                use_packed=use_packed),
+            jnp.zeros_like(l1), jnp.zeros_like(l2))
+        s1, s2 = vjp((l1, l2))
         s2 = _asym2(jnp.asarray(s2), kind)
         return jnp.concatenate([s1.ravel(), s2.ravel()])
 
@@ -304,7 +319,7 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
                                                 max_space=max_space,
-                                                follow=True)
+                                                follow=True, operands=ops)
         if not conv_l[0]:
             import warnings
 

@@ -340,7 +340,7 @@ def davidson_nosym(matvec, x0, diag, nroots=1, tol=1e-8, max_cycle=80,
 
 def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
                           max_cycle=80, max_space=20, follow=False,
-                          guesses=None):
+                          guesses=None, verbose=False, operands=None):
     """Device-resident davidson_nosym: the basis V and its images AV live
     as (max_space, n) DEVICE arrays for the whole solve.
 
@@ -352,7 +352,16 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
     has no non-symmetric eigensolver on TPU).  Same algorithm and
     semantics as davidson_nosym; identical results are pinned by tests.
 
-    :param matvec: device flat (n,) -> device flat (n,) (jit-safe ops)
+    :param matvec: device flat (n,) -> device flat (n,) (jit-safe ops);
+        with `operands` given, called as matvec(v, operands) instead
+    :param operands: optional pytree of large device arrays the matvec
+        needs (eris blocks, amplitudes, packed-ladder slabs).  Passing
+        them here makes them ARGUMENTS of the jitted matvec block; a
+        matvec that merely closes over them bakes every array into the
+        HLO as a constant — XLA then constant-folds v^4-sized transposes
+        at compile time and, on the axon backend, the whole ERI set is
+        re-serialized to the remote compiler on every Davidson call
+        (measured: 52 s -> ~3 s for one pVDZ EOM-EA solve).
     :param follow: pick Ritz roots by max overlap with `guesses`
         (default: the x0 vectors) instead of lowest eigenvalue
     """
@@ -379,15 +388,21 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
     def _set_v(V, row, v):
         return jax.lax.dynamic_update_slice(V, v[None, :], (row, 0))
 
+    if operands is None:
+        def _mv1(v, ops):
+            return matvec(v)
+    else:
+        _mv1 = matvec
+
     @partial(jax.jit, static_argnames=("k",))
-    def _mv_block(V, AV, start, k):
+    def _mv_block(V, AV, start, k, ops):
         # ONE batched matvec for the k rows just written at V[start:start+k]
         # (vmap: bigger GEMMs + k-fold fewer dispatches over the tunnel).
         # The operator may run at a lower precision than the subspace
         # bookkeeping (f32 sigma under x64 bookkeeping, as the host
         # variant's float64 numpy did).
         block = jax.lax.dynamic_slice(V, (start, 0), (k, n))
-        Ab = jax.vmap(matvec)(block).astype(V.dtype)
+        Ab = jax.vmap(lambda v: _mv1(v, ops))(block).astype(V.dtype)
         return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
 
     def _add_block(V, AV, m, cand):
@@ -402,7 +417,7 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
                 V = _set_v(V, m + added, d / nrm)
                 added += 1
         if added:
-            AV = _mv_block(V, AV, m, added)
+            AV = _mv_block(V, AV, m, added, operands)
         return V, AV, m + added
 
     @jax.jit
@@ -432,7 +447,7 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
     conv = [False] * nroots
     theta = np.zeros(nroots)
     Xs = [None] * nroots
-    for _ in range(max_cycle):
+    for cycle in range(max_cycle):
         H = np.asarray(_proj(V, AV))[:m, :m]
         w, y = np.linalg.eig(H)
         if follow:
@@ -451,7 +466,11 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
             xk, rn, dk = _ritz(V, AV, jnp.asarray(yk, dtype),
                                jnp.asarray(theta[k], dtype))
             Xs[k] = xk
-            conv[k] = float(rn) < tol
+            rn = float(rn)
+            conv[k] = rn < tol
+            if verbose:
+                print(f"  davidson cycle {cycle:3d} m={m:3d} root {k}: "
+                      f"theta={theta[k]:.8f} |r|={rn:.2e}", flush=True)
             if not conv[k]:
                 new_dirs.append(dk)
         if all(conv[: min(nroots, m)]) and m >= nroots:
