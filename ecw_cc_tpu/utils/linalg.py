@@ -376,18 +376,6 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
 
     from functools import partial
 
-    @jax.jit
-    def _ortho(V, m_mask, d):
-        # CGS2 against the masked rows of V
-        for _ in range(2):
-            c = (V @ d) * m_mask
-            d = d - V.T @ c
-        return d, jnp.linalg.norm(d)
-
-    @jax.jit
-    def _set_v(V, row, v):
-        return jax.lax.dynamic_update_slice(V, v[None, :], (row, 0))
-
     if operands is None:
         def _mv1(v, ops):
             return matvec(v)
@@ -405,40 +393,75 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
         Ab = jax.vmap(lambda v: _mv1(v, ops))(block).astype(V.dtype)
         return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
 
+    @jax.jit
+    def _ortho_insert(V, m, D):
+        # Sequentially CGS2-orthonormalize the stacked candidates D (k, n)
+        # against the first `ptr` rows of V, inserting each accepted row in
+        # place — ONE dispatch + one scalar fetch for the whole block (the
+        # per-candidate _ortho/float(nrm) of the first version cost two
+        # tunnel round-trips per direction, ~10 ms each at EOM sizes).
+        rows = jnp.arange(max_space)
+
+        def body(carry, d):
+            V, ptr = carry
+            mask = (rows < ptr).astype(V.dtype)
+            for _ in range(2):           # CGS2 against the masked rows
+                d = d - V.T @ ((V @ d) * mask)
+            nrm = jnp.linalg.norm(d)
+            ok = (nrm >= 1e-12) & (ptr < max_space)
+            row = jnp.where(ok, d / jnp.maximum(nrm, 1e-300),
+                            jnp.zeros_like(d))
+            V = jnp.where(ok, jax.lax.dynamic_update_slice(
+                V, row[None, :], (ptr, 0)), V)
+            return (V, ptr + ok.astype(ptr.dtype)), nrm
+
+        (V, ptr), _ = jax.lax.scan(body, (V, jnp.asarray(m)), D)
+        return V, ptr
+
     def _add_block(V, AV, m, cand):
         """Orthonormalize candidate directions into V, then batch-matvec."""
-        added = 0
-        for d in cand:
-            if m + added >= max_space:
-                break
-            d, nrm = _ortho(V, jnp.asarray(
-                np.arange(max_space) < m + added, dtype=dtype), d)
-            if float(nrm) >= 1e-12:
-                V = _set_v(V, m + added, d / nrm)
-                added += 1
+        if not cand:
+            return V, AV, m
+        D = jnp.stack([jnp.asarray(d, dtype) for d in cand])
+        V, ptr = _ortho_insert(V, m, D)
+        added = int(ptr) - m
         if added:
-            AV = _mv_block(V, AV, m, added, operands)
+            # matvec the whole candidate span [m, m+len(cand)): rejected
+            # candidates leave zero rows whose images are never read (any
+            # later row write re-runs _mv_block over it) — one dispatch
+            # with a STATIC row count beats re-tracing on `added`
+            k = min(len(cand), max_space - m)
+            AV = _mv_block(V, AV, m, k, operands)
         return V, AV, m + added
 
     @jax.jit
-    def _proj(V, AV):
-        return V @ AV.T
+    def _proj(V, AV, G):
+        # one fused fetch: projected H stacked over the follow overlaps
+        # (separate np.asarray calls are separate tunnel round-trips)
+        H = V @ AV.T
+        return H if G is None else jnp.concatenate([H, G @ V.T], axis=0)
 
     @jax.jit
-    def _ritz(V, AV, y, theta):
-        x = y @ V
-        r = y @ AV - theta * x
-        xn = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
-        denom = theta - diag_d
-        denom = jnp.where(jnp.abs(denom) < 1e-8,
-                          jnp.sign(denom + 1e-30) * 1e-8, denom)
-        return xn, jnp.linalg.norm(r), r / denom
+    def _ritz_all(V, AV, Y, thetas):
+        # all roots in ONE dispatch; the residual norms come back in one
+        # scalar-vector fetch instead of nroots separate float() fetches
+        def one(y, theta):
+            x = y @ V
+            r = y @ AV - theta * x
+            xn = x / jnp.maximum(jnp.linalg.norm(x), 1e-300)
+            denom = theta - diag_d
+            denom = jnp.where(jnp.abs(denom) < 1e-8,
+                              jnp.sign(denom + 1e-30) * 1e-8, denom)
+            return xn, jnp.linalg.norm(r), r / denom
+
+        return jax.vmap(one)(Y, thetas)
 
     V = jnp.zeros((max_space, n), dtype=dtype)
     AV = jnp.zeros((max_space, n), dtype=dtype)
     V, AV, m = _add_block(V, AV, 0, [jnp.asarray(v, dtype) for v in x0])
     if m == 0:
         raise ValueError("no independent initial vectors")
+    G = None
     if follow:
         G = jnp.asarray(np.array(
             [np.asarray(g, dtype=float).ravel()
@@ -448,32 +471,34 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
     theta = np.zeros(nroots)
     Xs = [None] * nroots
     for cycle in range(max_cycle):
-        H = np.asarray(_proj(V, AV))[:m, :m]
+        P = np.asarray(_proj(V, AV, G))
+        H = P[:max_space, :m][:m]
         w, y = np.linalg.eig(H)
         if follow:
-            ov = np.asarray(G @ V.T)[:, :m]          # (nguess, m)
+            ov = P[max_space:, :m]                   # (nguess, m)
             score = np.max(np.abs(ov @ y.real), axis=0)
             order = np.argsort(-score)
         else:
             order = np.argsort(w.real)
         w = w[order]
         y = y[:, order]
+        kc = min(nroots, m)
+        theta[:kc] = w[:kc].real
+        Y = np.zeros((nroots, max_space))
+        Y[:kc, :m] = y[:, :nroots].real.T
+        Xk, rns, Dk = _ritz_all(V, AV, jnp.asarray(Y, dtype),
+                                jnp.asarray(theta, dtype))
+        rns = np.asarray(rns)                        # ONE norms fetch
         new_dirs = []
-        for k in range(min(nroots, m)):
-            theta[k] = w[k].real
-            yk = np.zeros(max_space)
-            yk[:m] = y[:, k].real
-            xk, rn, dk = _ritz(V, AV, jnp.asarray(yk, dtype),
-                               jnp.asarray(theta[k], dtype))
-            Xs[k] = xk
-            rn = float(rn)
-            conv[k] = rn < tol
+        for k in range(kc):
+            Xs[k] = Xk[k]
+            conv[k] = float(rns[k]) < tol
             if verbose:
                 print(f"  davidson cycle {cycle:3d} m={m:3d} root {k}: "
-                      f"theta={theta[k]:.8f} |r|={rn:.2e}", flush=True)
+                      f"theta={theta[k]:.8f} |r|={rns[k]:.2e}", flush=True)
             if not conv[k]:
-                new_dirs.append(dk)
-        if all(conv[: min(nroots, m)]) and m >= nroots:
+                new_dirs.append(Dk[k])
+        if all(conv[:kc]) and m >= nroots:
             break
         if m + len(new_dirs) > max_space:
             # collapse the subspace to the current Ritz vectors
