@@ -699,7 +699,11 @@ def main():
 
     pvtz = None
     if which != "pvdz":
-        pvtz = bench_config("cc-pvtz", n_iters=10, numpy_baseline=False,
+        # n_iters amortizes the ~24 ms axon dispatch+fetch round trip the
+        # single while_loop dispatch pays (measured: a null jitted call +
+        # scalar fetch costs ~24 ms; at n_iters=10 that inflated the
+        # reported pVTZ step by ~2.2 ms/iter)
+        pvtz = bench_config("cc-pvtz", n_iters=40, numpy_baseline=False,
                             measure_high=True)
         # MEASURED pVTZ NumPy baseline when available (tools/
         # measure_numpy_baseline.py runs the ~15 min/iter dense NumPy step
