@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from ecw_cc_tpu.ops.l1reg import subdiff
 from ecw_cc_tpu.ops.spinsect import SpinBlocked, sector_einsum, wrap
 
-einsum = jnp.einsum
+from ecw_cc_tpu.ops.gemm import gemm_einsum as einsum  # flat-GEMM: 11x einsum pathology fix (ops/gemm.py)
 
 
 def _S(spec, *ops):

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 
-einsum = jnp.einsum
+from ecw_cc_tpu.ops.gemm import gemm_einsum as einsum  # flat-GEMM: 11x einsum pathology fix (ops/gemm.py)
 
 
 def _p_i_jk(x):

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ecw_cc_tpu.ops.gemm import gemm_einsum
+
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.utils.linalg import davidson_nosym_device
 
@@ -296,7 +298,7 @@ def _eval_trdm(bra, ket, tens, nocc, nvir, dtype):
             for coeff, pieces, out in _trdm_terms(bra, ket, ps, qs):
                 operands = [tens[name] for name, _ in pieces]
                 subs = [ss for _, ss in pieces]
-                acc = acc + coeff * jnp.einsum(
+                acc = acc + coeff * gemm_einsum(
                     ",".join(subs) + "->" + out, *operands, optimize=True)
             cols.append(acc)
         rows.append(cols)

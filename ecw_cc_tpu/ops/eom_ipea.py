@@ -35,6 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ecw_cc_tpu.ops.gemm import gemm_einsum
+
 from ecw_cc_tpu.ops.wick import generate_eom_terms
 from ecw_cc_tpu.utils.linalg import davidson_nosym_device
 
@@ -129,7 +131,7 @@ def _apply_terms(terms, eris, fsp, t1, t2, r1, r2, kind):
                 operands.append(tens[name])
             subs.append(ss)
         expr = ",".join(subs) + "->" + out_subs
-        val = coeff * jnp.einsum(expr, *operands, optimize=True)
+        val = coeff * gemm_einsum(expr, *operands, optimize=True)
         out = val if out is None else out + val
     return out
 
@@ -359,8 +361,8 @@ def _eval_dyson_block(terms, tens, size, dtype):
     for coeff, pieces, out in terms:
         operands = [tens[name] for name, _ in pieces]
         subs = [ss for _, ss in pieces]
-        acc = acc + coeff * jnp.einsum(",".join(subs) + "->" + out,
-                                       *operands, optimize=True)
+        acc = acc + coeff * gemm_einsum(",".join(subs) + "->" + out,
+                                        *operands, optimize=True)
     return acc
 
 

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ecw_cc_tpu.config import get_config
 
-einsum = jnp.einsum
+from ecw_cc_tpu.ops.gemm import gemm_einsum as einsum  # flat-GEMM: 11x einsum pathology fix (ops/gemm.py)
 
 
 def _ladder_mm_xla(tau_r, vvvv_r):

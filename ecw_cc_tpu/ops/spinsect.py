@@ -278,7 +278,8 @@ def sector_einsum(spec, *operands, info=None):
             subs.append(val)
         if not ok:
             continue
-        val = jnp.einsum(spec, *subs)
+        from ecw_cc_tpu.ops.gemm import gemm_einsum
+        val = gemm_einsum(spec, *subs)
         if sym and not out:
             val = val + val   # the skipped mirror assignment's equal share
         if okey in out_blocks:
