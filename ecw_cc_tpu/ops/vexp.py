@@ -420,7 +420,7 @@ def make_es_vexp_device(exp: Exp):
     where rdm1_es/tr_r/tr_l are stacked (n_es, dim, dim), Vnn/V0n/Vn0 are
     stacked potentials and Delta is the (n_states, n_states) deviation
     matrix.  Supports the property set exercised by Solver_ES
-    (mat/Ek/v1e/dip for the GS; mat/Ek/v1e/dip/DEk/trdip/trmat for ES;
+    (mat/Ek/v1e/dip/F for the GS; mat/Ek/v1e/dip/DEk/trdip/trmat/F for ES;
     reference exp_pot.py:131-345 and Solver_ES.py:274-296).  Lflat is the
     flattened per-state per-property weight vector.
     """
@@ -451,6 +451,16 @@ def make_es_vexp_device(exp: Exp):
     if exp.dip_int is not None:
         trace_mats["dip"] = jnp.stack([_trace_mat(exp.dip_int[c])
                                        for c in range(3)])
+    if exp.F_int is not None and any("F" in st for st in names):
+        # structure factors for ES states: same re/im split as the GS
+        # device branch (host path: Exp.Vexp_update 'F' case, reference
+        # exp_pot.py:324-341 with its R/G shape bug fixed)
+        trace_mats["F"] = (
+            jnp.stack([_trace_mat(np.ascontiguousarray(np.real(fa)))
+                       for fa in exp.F_int]),
+            jnp.stack([_trace_mat(np.ascontiguousarray(np.imag(fa)))
+                       for fa in exp.F_int]))
+        nh_F = len(exp.h)
     targets = exp.exp_data
     DEk_GS_idx = exp.DEk_GS_idx
 
@@ -550,6 +560,28 @@ def make_es_vexp_device(exp: Exp):
                         Delta = Delta.at[dl, dr].add(jnp.sum(
                             jnp.where(jnp.abs(exp_val) > 1e-6,
                                       diff / jnp.abs(exp_val), 0.0)))
+                elif name == "F":
+                    # state structure factor: |F_exp,h - F_calc,h| per
+                    # reciprocal vector, potential = real part of the MO FT
+                    # integral (mirrors the GS device branch; host quirk:
+                    # every component normalized by |exp[1]|)
+                    Fre, Fim = trace_mats["F"]
+                    F_pot = pot_mats["F"].astype(dtype)
+                    cre = jnp.einsum("hij,ji->h", Fre.astype(dtype),
+                                     rdm1_es[n - 1])
+                    cim = jnp.einsum("hij,ji->h", Fim.astype(dtype),
+                                     rdm1_es[n - 1])
+                    tgt = np.asarray(targets[n][i][1])
+                    t_re = jnp.asarray(np.real(tgt), dtype=dtype)
+                    t_im = jnp.asarray(np.imag(tgt), dtype=dtype)
+                    diff = jnp.sqrt((t_re - cre) ** 2 + (t_im - cim) ** 2)
+                    ref = abs(complex(tgt.ravel()[1])) if tgt.size > 1 \
+                        else abs(complex(tgt.ravel()[0]))
+                    if ref > 1e-6:
+                        Delta = Delta.at[n, n].add(jnp.sum(diff) / ref)
+                    dmat = diff[:, None, None] * F_pot
+                    Vnn = Vnn.at[n - 1].add(
+                        w * (2.0 / nh_F) * jnp.sum(dmat, axis=0))
                 else:
                     raise NotImplementedError(
                         f"device ES Vexp does not support {name!r}")

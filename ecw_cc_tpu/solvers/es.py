@@ -592,7 +592,7 @@ class Solver_ES:
 # Fully-jitted device path: one lax.while_loop for the coupled ES solve
 # ---------------------------------------------------------------------------
 
-_ES_DEVICE_PROPS = {"mat", "trmat", "Ek", "v1e", "dip", "DEk", "trdip"}
+_ES_DEVICE_PROPS = {"mat", "trmat", "Ek", "v1e", "dip", "DEk", "trdip", "F"}
 
 
 class SolverES_Device:
@@ -610,7 +610,7 @@ class SolverES_Device:
         ok = all(p in _ES_DEVICE_PROPS for st in names for p in st)
         if not ok:
             raise NotImplementedError(
-                "device ES solver supports mat/trmat/Ek/v1e/dip/DEk/trdip "
+                "device ES solver supports mat/trmat/Ek/v1e/dip/DEk/trdip/F "
                 "targets; use Solver_ES.SCF for others")
         from ecw_cc_tpu.ops.vexp import make_es_vexp_device
 

@@ -237,3 +237,40 @@ def test_driver_es_solve_on_eom_targets():
     out = ecw.CCS_ES(0.1, diis="all", conv="rl", conv_thres=1e-5,
                      maxiter=60, print_ite=False)
     assert "Convergence reached" in out[0]
+
+
+def test_device_es_vexp_F_parity(ecw_es):
+    """Device ES Vexp supports structure-factor ('F') state targets: the
+    fused jitted update matches the host Exp.Vexp_update 'F' branch
+    (reference exp_pot.py:324-341, its R/G shape bug fixed on both paths)
+    on random MO rdm1s, potential and Delta alike."""
+    import jax.numpy as jnp
+
+    from ecw_cc_tpu.ops.vexp import Exp, make_es_vexp_device
+
+    ecw = ecw_es
+    nmo = len(np.asarray(ecw.mo_occ))
+    rng = np.random.default_rng(3)
+    rdm1_gs = rng.standard_normal((nmo, nmo)) * 0.05 + np.diag(ecw.mo_occ)
+    rdm1_es = rng.standard_normal((nmo, nmo)) * 0.05 + np.diag(ecw.mo_occ)
+    h = [[1, 0, 0], [0, 1, 0], [1, 1, 0]]
+    rec = np.asarray([8.0, 8.0, 8.0])
+    Fvals = list(rng.standard_normal(3) + 1j * rng.standard_normal(3))
+    exp_data = [[["mat", np.diag(ecw.mo_occ)]], [["F", Fvals, h, rec]]]
+    L = 0.2
+
+    host = Exp(L, exp_data, ecw.mol, ecw.mo_coeff)
+    d_h, _ = host.Vexp_update(rdm1_es, rdm1_es, (1, 1))
+    V11_h = host.Vexp[1, 1]
+
+    dev = Exp(L, exp_data, ecw.mol, ecw.mo_coeff)
+    upd = make_es_vexp_device(dev)
+    z = jnp.zeros((1, nmo, nmo))
+    V00, Vnn, V0n, Vn0, Delta = upd(jnp.asarray(rdm1_gs),
+                                    jnp.asarray(rdm1_es)[None], z, z,
+                                    jnp.asarray([L, L]))
+    assert np.max(np.abs(np.asarray(Vnn[0]) - V11_h)) < 1e-10
+    assert abs(float(Delta[1, 1]) - d_h) < 1e-10
+    # the device ES solver gate accepts 'F' now
+    from ecw_cc_tpu.solvers.es import _ES_DEVICE_PROPS
+    assert "F" in _ES_DEVICE_PROPS
