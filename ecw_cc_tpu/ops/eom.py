@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from ecw_cc_tpu.ops.gemm import gemm_einsum
 
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
-from ecw_cc_tpu.utils.linalg import davidson_nosym_device
+from ecw_cc_tpu.utils.linalg import davidson_device
 
 
 from functools import partial
@@ -197,7 +197,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                                 info=None if sect is None else sect[0])
     x0 = [np.concatenate([g, np.zeros(nocc * nocc * nvir * nvir)])
           for g in guess]
-    conv, w, xs = davidson_nosym_device(mv_right, x0, diag, nroots=nroots,
+    conv, w, xs = davidson_device(mv_right, x0, diag, nroots=nroots,
                                         tol=tol, max_cycle=max_cycle,
                                         max_space=max_space, operands=ops)
     if not all(conv[:nroots]):
@@ -241,7 +241,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     for k in range(nroots):
         xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
                                np.asarray(Rs[k][1]).ravel()])]
-        conv_l, wl, xls = davidson_nosym_device(mv_left, xl0, diag,
+        conv_l, wl, xls = davidson_device(mv_left, xl0, diag,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
                                                 max_space=max_space,

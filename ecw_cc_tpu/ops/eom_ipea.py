@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ecw_cc_tpu.ops.gemm import gemm_einsum
 
 from ecw_cc_tpu.ops.wick import generate_eom_terms
-from ecw_cc_tpu.utils.linalg import davidson_nosym_device
+from ecw_cc_tpu.utils.linalg import davidson_device
 
 _OCC = set("ijklmnop")
 
@@ -271,7 +271,7 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                         use_packed=use_packed)
         return jnp.concatenate([s1.ravel(), s2.ravel()])
 
-    conv, w, xs = davidson_nosym_device(mv_right, guess, diag,
+    conv, w, xs = davidson_device(mv_right, guess, diag,
                                         nroots=nroots, tol=tol,
                                         max_cycle=max_cycle,
                                         max_space=max_space,
@@ -317,7 +317,7 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     for k in range(nroots):
         xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
                                np.asarray(Rs[k][1]).ravel()])]
-        conv_l, wl, xls = davidson_nosym_device(mv_left, xl0, diag,
+        conv_l, wl, xls = davidson_device(mv_left, xl0, diag,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
                                                 max_space=max_space,

@@ -338,6 +338,192 @@ def davidson_nosym(matvec, x0, diag, nroots=1, tol=1e-8, max_cycle=80,
     return conv, theta[:nroots], [Xs[k] for k in range(nroots)]
 
 
+def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
+                          max_cycle=80, max_space=20, follow=False,
+                          guesses=None, verbose=False, operands=None):
+    """Fully device-resident davidson_nosym: the ENTIRE solve — expansion,
+    batched matvecs, subspace projection, the small non-symmetric eig
+    (utils/schur.eig_small: shifted-QR on device; TPU has no nonsym
+    eigensolver primitive), Ritz extraction, preconditioning and restarts —
+    runs inside one jitted lax.while_loop.  One dispatch + one result fetch
+    per solve, vs ~3 blocking fetches + a host np.linalg.eig per cycle in
+    davidson_nosym_device (~24 ms/round-trip over the axon tunnel made
+    IP/EA solves 11x the CCSD solve at the same size, BENCH_r03).
+
+    Same algorithm and semantics as davidson_nosym / davidson_nosym_device
+    (the analogue of pyscf lib.davidson_nosym1 used by the reference at
+    /root/reference/ECW_CC/Solver_ES.py:710-711); identical roots are
+    pinned by tests/test_linalg_device.py and the EOM test suite.
+
+    Requirements beyond davidson_nosym_device: the matvec must be
+    jit-traceable (all call sites already are), and the x0 guesses must be
+    linearly independent with len(x0) >= nroots (checked on host; every
+    call site passes unit/Koopman guesses).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ecw_cc_tpu.utils import schur as _schur
+
+    diag_h = np.asarray(diag, dtype=float)
+    n = diag_h.size
+    x0h = np.array([np.asarray(v, dtype=float).ravel() for v in x0])
+    B = x0h.shape[0]
+    S = int(max_space)
+    if B > S:
+        raise ValueError("more guesses than max_space")
+    if B < nroots:
+        raise ValueError("need at least nroots independent guesses")
+    # host-side independence check (the fused loop assumes m >= nroots)
+    if np.linalg.matrix_rank(x0h) < nroots:
+        raise ValueError("no independent initial vectors")
+    dtype = jnp.zeros(0).dtype  # respect enable_x64
+    cast = lambda a: jnp.asarray(a, dtype)
+
+    if operands is None:
+        def _mv1(v, ops):
+            return matvec(v)
+    else:
+        _mv1 = matvec
+
+    Gh = None
+    if follow:
+        Gh = np.array([np.asarray(g, dtype=float).ravel()
+                       for g in (x0 if guesses is None else guesses)])
+
+    def _ortho_insert(V, m, D):
+        # CGS2-insert the rows of D into V starting at row m (same scheme
+        # as davidson_nosym_device._ortho_insert)
+        rows = jnp.arange(S)
+
+        def body(carry, d):
+            V, ptr = carry
+            mask = (rows < ptr).astype(V.dtype)
+            for _ in range(2):
+                d = d - V.T @ ((V @ d) * mask)
+            nrm = jnp.linalg.norm(d)
+            ok = (nrm >= 1e-12) & (ptr < S)
+            row = jnp.where(ok, d / jnp.maximum(nrm, jnp.finfo(V.dtype).tiny),
+                            jnp.zeros_like(d))
+            V = jnp.where(ok, jax.lax.dynamic_update_slice(
+                V, row[None, :], (ptr, 0)), V)
+            return (V, ptr + ok.astype(ptr.dtype)), nrm
+
+        (V, ptr), _ = jax.lax.scan(body, (V, m), D)
+        return V, ptr
+
+    def _mv_rows(V, AV, start, k, ops):
+        # batched matvec of the k rows at V[start:start+k] (k static).
+        # Zero (rejected) rows map to zero images: the operator is linear.
+        block = jax.lax.dynamic_slice(V, (start, 0), (k, n))
+        Ab = jax.vmap(lambda v: _mv1(v, ops))(block).astype(V.dtype)
+        return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
+
+    @jax.jit
+    def _run(x0_d, diag_d, G_d, ops):
+        rows = jnp.arange(S)
+        V = jnp.zeros((S, n), dtype)
+        AV = jnp.zeros((S, n), dtype)
+        V, m0 = _ortho_insert(V, jnp.asarray(0), x0_d)
+        AV = _mv_rows(V, AV, 0, B, ops)
+
+        def body(carry):
+            V, AV, m, X, theta, rn, conv, cyc, stall = carry
+            act = rows < m
+            H = V @ AV.T
+            H = jnp.where(jnp.outer(act, act), H, jnp.zeros((), dtype))
+            # distinct large diagonal padding: inactive eigenpairs stay
+            # decoupled (e_i) and sort last by real part / zero overlap
+            scale = jnp.max(jnp.abs(H)) + 1.0
+            H = H + jnp.diag(jnp.where(act, jnp.zeros((), dtype),
+                                       scale * (2.0 + rows.astype(dtype))))
+            lam, Y = _schur.eig_small(H)
+            if follow:
+                ov = G_d @ V.T                          # (ng, S)
+                score = jnp.max(jnp.abs(ov @ jnp.real(Y).astype(dtype)),
+                                axis=0)
+                order = jnp.argsort(-score)
+            else:
+                order = jnp.argsort(jnp.real(lam))
+            sel = order[:nroots]
+            theta2 = jnp.real(lam)[sel].astype(dtype)
+            Yr = jnp.real(Y)[:, sel].astype(dtype)      # (S, nroots)
+            Xn = Yr.T @ V                               # (nroots, n)
+            AXn = Yr.T @ AV
+            R = AXn - theta2[:, None] * Xn
+            rn2 = jnp.linalg.norm(R, axis=1)
+            conv2 = rn2 < tol
+            Xu = Xn / jnp.maximum(jnp.linalg.norm(Xn, axis=1, keepdims=True),
+                                  jnp.finfo(dtype).tiny)
+            denom = theta2[:, None] - diag_d[None, :]
+            denom = jnp.where(jnp.abs(denom) < 1e-8,
+                              jnp.sign(denom + 1e-30) * 1e-8, denom)
+            D = jnp.where(conv2[:, None], jnp.zeros_like(R), R / denom)
+            all_conv = jnp.all(conv2)
+
+            def expand(args):
+                V, AV, m = args
+                n_new = jnp.sum(~conv2)
+
+                def collapse(args):
+                    V, AV, m = args
+                    Vc, mc = _ortho_insert(jnp.zeros_like(V),
+                                           jnp.asarray(0), Xu)
+                    AVc = _mv_rows(Vc, jnp.zeros_like(AV), 0, nroots, ops)
+                    return Vc, AVc, mc
+
+                V, AV, m = jax.lax.cond(m + n_new > S, collapse,
+                                        lambda a: a, (V, AV, m))
+                V, ptr = _ortho_insert(V, m, D)
+                AV = _mv_rows(V, AV, m, nroots, ops)
+                return V, AV, ptr, ptr - m
+
+            def hold(args):
+                V, AV, m = args
+                return V, AV, m, jnp.asarray(1)  # nonzero: not a stall
+
+            V, AV, m2, added = jax.lax.cond(all_conv, hold, expand,
+                                            (V, AV, m))
+            stall2 = (~all_conv) & (added == 0)
+            return V, AV, m2, Xu, theta2, rn2, conv2, cyc + 1, stall2
+
+        def cond(carry):
+            conv, cyc, stall = carry[6], carry[7], carry[8]
+            return (cyc < max_cycle) & ~jnp.all(conv) & ~stall
+
+        carry0 = (V, AV, m0,
+                  jnp.zeros((nroots, n), dtype),
+                  jnp.zeros((nroots,), dtype),
+                  jnp.full((nroots,), jnp.inf, dtype),
+                  jnp.zeros((nroots,), bool),
+                  jnp.asarray(0), jnp.asarray(False))
+        out = jax.lax.while_loop(cond, body, carry0)
+        return out[3], out[4], out[5], out[6], out[7]
+
+    G_d = None if Gh is None else cast(Gh)
+    X, theta, rn, conv_d, cycles = _run(cast(x0h), cast(diag_h), G_d,
+                                        operands)
+    rn = np.asarray(rn)                                  # ONE result fetch
+    conv = [bool(c) for c in np.asarray(conv_d)]
+    theta_h = np.zeros(nroots)
+    theta_h[:] = np.asarray(theta)
+    if verbose:
+        print(f"  davidson(fused): {int(cycles)} cycles, "
+              f"|r|={[f'{r:.2e}' for r in rn]}", flush=True)
+    return conv, theta_h, [X[k] for k in range(nroots)]
+
+
+def davidson_device(matvec, x0, diag, **kw):
+    """Dispatcher: the fused single-dispatch Davidson by default, the
+    host-cycle variant with ECW_CC_TPU_DAVIDSON=host (kept for A/B
+    measurements and as a fallback)."""
+    import os
+
+    if os.environ.get("ECW_CC_TPU_DAVIDSON", "fused") == "host":
+        return davidson_nosym_device(matvec, x0, diag, **kw)
+    return davidson_fused_device(matvec, x0, diag, **kw)
+
+
 def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
                           max_cycle=80, max_space=20, follow=False,
                           guesses=None, verbose=False, operands=None):
