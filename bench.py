@@ -48,6 +48,56 @@ STEP_VERSION = 2
 LW = 0.01
 
 
+def _cpu_host_key():
+    """8-hex digest of the CPU identity (machine + model + flags).
+
+    The NumPy baseline is a HOST CPU timing (183.6 s/iter on this box vs
+    342.2 s on the round-2 one), so cache entries are keyed on the CPU
+    identity — unlike config._host_fingerprint this deliberately omits the
+    boot id (a reboot does not change CPU speed) and jaxlib (NumPy-only
+    path).  A baseline measured on a different host is still usable but is
+    flagged in the bench JSON (ADVICE r3 #1)."""
+    import hashlib
+    import platform
+
+    flags = model = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for ln in fh:
+                if ln.startswith("flags") and not flags:
+                    flags = " ".join(sorted(ln.split(":", 1)[1].split()))
+                elif ln.startswith("model name") and not model:
+                    model = ln.split(":", 1)[1].strip()
+                if flags and model:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        "|".join((platform.machine(), model, flags)).encode()
+    ).hexdigest()[:8]
+
+
+def _baseline_lookup(cache, basis, allow_foreign=True):
+    """(numpy_ms, foreign) from the baseline cache: prefer the entry
+    measured on THIS host; optionally fall back to another host's
+    measurement (or a legacy un-keyed entry) with foreign=True so the JSON
+    can flag it.  allow_foreign=False (the cheap pVDZ baseline) forces a
+    re-measure instead of trusting another machine's timing."""
+    host_key = f"{basis}_v{STEP_VERSION}_{_cpu_host_key()}"
+    if host_key in cache:
+        return cache[host_key], False
+    if not allow_foreign:
+        return None, False
+    legacy = cache.get(f"{basis}_v{STEP_VERSION}")
+    if legacy is not None:
+        return legacy, True
+    prefix = f"{basis}_v{STEP_VERSION}_"
+    for k, v in sorted(cache.items()):
+        if k.startswith(prefix):
+            return v, True
+    return None, False
+
+
 # ---------------------------------------------------------------------------
 # Reference engine: the identical FULL iteration in NumPy f64 einsum
 # ---------------------------------------------------------------------------
@@ -487,14 +537,13 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
                   for f in GEris._fields}
         # exact f64 blocks from the host builder would differ at 1e-7; for
         # TIMING the f32->f64 cast is irrelevant and avoids a second build
-        key = f"{basis}_v{STEP_VERSION}"
         cache = {}
         if os.path.exists(BASE_FILE):
             with open(BASE_FILE) as f:
                 cache = json.load(f)
-        if key in cache:
-            numpy_ms = cache[key]
-        else:
+        numpy_ms, foreign = _baseline_lookup(cache, basis,
+                                             allow_foreign=False)
+        if numpy_ms is None:
             amps = mp2_amps(blocks)
             numpy_full_step(blocks, *amps, target_np, LW)   # warm-up
             times = []
@@ -503,13 +552,16 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
                 numpy_full_step(blocks, *amps, target_np, LW)
                 times.append((time.perf_counter() - t0) * 1e3)
             numpy_ms = min(times)
-            cache[key] = numpy_ms
+            foreign = False
+            cache[f"{basis}_v{STEP_VERSION}_{_cpu_host_key()}"] = numpy_ms
             tmp = BASE_FILE + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(cache, f)
             os.replace(tmp, BASE_FILE)
         result["numpy_ms"] = round(numpy_ms, 1)
         result["vs_baseline"] = round(numpy_ms / tpu_ms, 2)
+        if foreign:
+            result["baseline_foreign_host"] = True
     return result
 
 
@@ -712,10 +764,12 @@ def main():
         if os.path.exists(BASE_FILE):
             with open(BASE_FILE) as f:
                 cache = json.load(f)
-        meas = cache.get(f"cc-pvtz_v{STEP_VERSION}")
+        meas, foreign = _baseline_lookup(cache, "cc-pvtz")
         if meas is not None:
             pvtz["numpy_ms"] = round(meas, 1)
             pvtz["vs_baseline"] = round(meas / pvtz["value_ms"], 2)
+            if foreign:
+                pvtz["baseline_foreign_host"] = True
         # ... otherwise estimated from measured pVDZ NumPy throughput
         # (FLOP/s) scaled to the pVTZ FLOP count; flagged as an estimate.
         elif pvdz.get("flops_per_iter") and pvtz.get("flops_per_iter"):

@@ -26,6 +26,46 @@ from ecw_cc_tpu.utils import props as uprops
 from ecw_cc_tpu.utils import convert
 
 
+def _f_trace_mats(exp, trace_mat_fn):
+    """Stacked (nh, dim, dim) real/imag structure-factor trace operators —
+    the complex FT integrals split into two real trace matrices (shared by
+    the GS and ES device Vexp builders; host analogue: Exp.Vexp_update 'F'
+    case, reference exp_pot.py:324-341 with its R/G shape bug fixed)."""
+    import jax.numpy as jnp
+
+    return (jnp.stack([trace_mat_fn(np.ascontiguousarray(np.real(fa)))
+                       for fa in exp.F_int]),
+            jnp.stack([trace_mat_fn(np.ascontiguousarray(np.imag(fa)))
+                       for fa in exp.F_int]))
+
+
+def _f_update(trace_F, F_pot, nh_F, tgt_np, rdm1):
+    """Per-state structure-factor body shared by the GS and ES device Vexp
+    updates: |F| deviation per reciprocal vector, potential = deviation-
+    weighted real MO FT integrals scaled 2/nh.
+
+    Returns (vpot, delta_inc, vmax_inc); delta_inc is None when the
+    normalization reference is below threshold (host Delta() quirk
+    replicated: every component is normalized by |exp[1]|, comp_idx=1)."""
+    import jax.numpy as jnp
+
+    dtype = rdm1.dtype
+    Fre, Fim = trace_F
+    cre = jnp.einsum("hij,ji->h", Fre.astype(dtype), rdm1)
+    cim = jnp.einsum("hij,ji->h", Fim.astype(dtype), rdm1)
+    tgt_np = np.asarray(tgt_np)
+    t_re = jnp.asarray(np.real(tgt_np), dtype=dtype)
+    t_im = jnp.asarray(np.imag(tgt_np), dtype=dtype)
+    diff = jnp.sqrt((t_re - cre) ** 2 + (t_im - cim) ** 2)
+    ref = abs(complex(tgt_np.ravel()[1])) if tgt_np.size > 1 \
+        else abs(complex(tgt_np.ravel()[0]))
+    delta_inc = jnp.sum(diff) / ref if ref > 1e-6 else None
+    dmat = diff[:, None, None] * F_pot.astype(dtype)
+    vpot = (2.0 / nh_F) * jnp.sum(dmat, axis=0)
+    vmax_inc = jnp.sum(jnp.max(jnp.abs(dmat), axis=(1, 2)))
+    return vpot, delta_inc, vmax_inc
+
+
 class Exp:
     def __init__(self, L, exp_data, mol, mo_coeff, Ek_exp_GS=None, Ek_HF_GS=None,
                  HF_prop=False):
@@ -330,15 +370,9 @@ def make_gs_vexp_device(exp: Exp, perm=None):
     if exp.dip_int is not None:
         trace_mats["dip"] = jnp.stack([_trace_mat(exp.dip_int[c]) for c in range(3)])
     if exp.F_int is not None and "F" in names:
-        # structure factors (reference exp_pot.py:324-341, with the R/G
-        # shape bug fixed as on the host path): complex FT integrals split
-        # into real/imag trace operators; the potential matrix is the real
-        # part of the MO-transformed FT integral (dic_int['F'])
-        trace_mats["F"] = (
-            jnp.stack([_trace_mat(np.ascontiguousarray(np.real(fa)))
-                       for fa in exp.F_int]),
-            jnp.stack([_trace_mat(np.ascontiguousarray(np.imag(fa)))
-                       for fa in exp.F_int]))
+        # structure factors: the potential matrix is the real part of the
+        # MO-transformed FT integral (dic_int['F']); shared GS/ES helper
+        trace_mats["F"] = _f_trace_mats(exp, _trace_mat)
         nh_F = len(exp.h)
 
     def device_update(rdm1, L):
@@ -386,23 +420,12 @@ def make_gs_vexp_device(exp: Exp, perm=None):
                 v = v + w * jnp.sum(dmat, axis=0)
                 vmax = vmax + jnp.sum(jnp.max(jnp.abs(dmat), axis=(1, 2)))
             elif name == "F":
-                Fre, Fim = trace_mats["F"]
-                F_pot = pot_mats["F"].astype(rdm1.dtype)  # (nh, dim, dim)
-                cre = jnp.einsum("hij,ji->h", Fre.astype(rdm1.dtype), rdm1)
-                cim = jnp.einsum("hij,ji->h", Fim.astype(rdm1.dtype), rdm1)
-                tgt = np.asarray(targets[i])
-                t_re = jnp.asarray(np.real(tgt), dtype=rdm1.dtype)
-                t_im = jnp.asarray(np.imag(tgt), dtype=rdm1.dtype)
-                diff = jnp.sqrt((t_re - cre) ** 2 + (t_im - cim) ** 2)
-                # host Delta() quirk replicated: every component's deviation
-                # is normalized by |exp[1]| (default comp_idx=1)
-                ref = abs(complex(np.asarray(tgt).ravel()[1])) if tgt.size > 1 \
-                    else abs(complex(np.asarray(tgt).ravel()[0]))
-                if ref > 1e-6:
-                    delta = delta + jnp.sum(diff) / ref
-                dmat = diff[:, None, None] * F_pot
-                v = v + w * (2.0 / nh_F) * jnp.sum(dmat, axis=0)
-                vmax = vmax + jnp.sum(jnp.max(jnp.abs(dmat), axis=(1, 2)))
+                vpot, delta_inc, vmax_inc = _f_update(
+                    trace_mats["F"], pot_mats["F"], nh_F, targets[i], rdm1)
+                if delta_inc is not None:
+                    delta = delta + delta_inc
+                v = v + w * vpot
+                vmax = vmax + vmax_inc
             else:
                 raise NotImplementedError(
                     f"device GS Vexp does not support {name!r}; use the host path")
@@ -452,14 +475,8 @@ def make_es_vexp_device(exp: Exp):
         trace_mats["dip"] = jnp.stack([_trace_mat(exp.dip_int[c])
                                        for c in range(3)])
     if exp.F_int is not None and any("F" in st for st in names):
-        # structure factors for ES states: same re/im split as the GS
-        # device branch (host path: Exp.Vexp_update 'F' case, reference
-        # exp_pot.py:324-341 with its R/G shape bug fixed)
-        trace_mats["F"] = (
-            jnp.stack([_trace_mat(np.ascontiguousarray(np.real(fa)))
-                       for fa in exp.F_int]),
-            jnp.stack([_trace_mat(np.ascontiguousarray(np.imag(fa)))
-                       for fa in exp.F_int]))
+        # structure factors for ES states: shared GS/ES helper
+        trace_mats["F"] = _f_trace_mats(exp, _trace_mat)
         nh_F = len(exp.h)
     targets = exp.exp_data
     DEk_GS_idx = exp.DEk_GS_idx
@@ -561,27 +578,13 @@ def make_es_vexp_device(exp: Exp):
                             jnp.where(jnp.abs(exp_val) > 1e-6,
                                       diff / jnp.abs(exp_val), 0.0)))
                 elif name == "F":
-                    # state structure factor: |F_exp,h - F_calc,h| per
-                    # reciprocal vector, potential = real part of the MO FT
-                    # integral (mirrors the GS device branch; host quirk:
-                    # every component normalized by |exp[1]|)
-                    Fre, Fim = trace_mats["F"]
-                    F_pot = pot_mats["F"].astype(dtype)
-                    cre = jnp.einsum("hij,ji->h", Fre.astype(dtype),
-                                     rdm1_es[n - 1])
-                    cim = jnp.einsum("hij,ji->h", Fim.astype(dtype),
-                                     rdm1_es[n - 1])
-                    tgt = np.asarray(targets[n][i][1])
-                    t_re = jnp.asarray(np.real(tgt), dtype=dtype)
-                    t_im = jnp.asarray(np.imag(tgt), dtype=dtype)
-                    diff = jnp.sqrt((t_re - cre) ** 2 + (t_im - cim) ** 2)
-                    ref = abs(complex(tgt.ravel()[1])) if tgt.size > 1 \
-                        else abs(complex(tgt.ravel()[0]))
-                    if ref > 1e-6:
-                        Delta = Delta.at[n, n].add(jnp.sum(diff) / ref)
-                    dmat = diff[:, None, None] * F_pot
-                    Vnn = Vnn.at[n - 1].add(
-                        w * (2.0 / nh_F) * jnp.sum(dmat, axis=0))
+                    # state structure factor (shared GS/ES body, _f_update)
+                    vpot, delta_inc, _ = _f_update(
+                        trace_mats["F"], pot_mats["F"], nh_F,
+                        targets[n][i][1], rdm1_es[n - 1])
+                    if delta_inc is not None:
+                        Delta = Delta.at[n, n].add(delta_inc)
+                    Vnn = Vnn.at[n - 1].add(w * vpot)
                 else:
                     raise NotImplementedError(
                         f"device ES Vexp does not support {name!r}")

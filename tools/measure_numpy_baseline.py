@@ -49,7 +49,8 @@ def main(basis="cc-pvtz", n_timed=1):
         print(f"timed {i}: {times[-1] / 1e3:.1f} s", flush=True)
     numpy_ms = min(times)
 
-    key = f"{basis}_v{bench.STEP_VERSION}"
+    # keyed on the CPU identity: the baseline is a host timing (ADVICE r3)
+    key = f"{basis}_v{bench.STEP_VERSION}_{bench._cpu_host_key()}"
     cache = {}
     if os.path.exists(bench.BASE_FILE):
         with open(bench.BASE_FILE) as f:
