@@ -30,17 +30,16 @@ __all__ = ["BasisSet", "overlap", "kinetic", "nuclear", "dipole", "eri", "ft_aop
 # Shell / basis containers
 # ----------------------------------------------------------------------------
 
-NCART = {0: 1, 1: 3, 2: 6, 3: 10}
-NSPH = {0: 1, 1: 3, 2: 5, 3: 7}
+LMAX = 5            # s, p, d, f, g, h (native engine: mdint.cpp LMAX)
 
 # Cartesian monomial orderings (lexicographic in (lx, ly, lz) descending on x)
 CART_COMPONENTS = {
-    0: [(0, 0, 0)],
-    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
-    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
-    3: [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1), (1, 0, 2),
-        (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)],
+    l: [(lx, ly, l - lx - ly)
+        for lx in range(l, -1, -1) for ly in range(l - lx, -1, -1)]
+    for l in range(LMAX + 1)
 }
+NCART = {l: len(c) for l, c in CART_COMPONENTS.items()}
+NSPH = {l: 2 * l + 1 for l in range(LMAX + 1)}
 
 
 def _c2s_matrix(l):
@@ -80,7 +79,88 @@ def _c2s_matrix(l):
         M[5, 2], M[5, 7] = b / 2, -b / 2      # m=+2
         M[6, 0], M[6, 3] = a, -3 * a          # m=+3
         return M
-    raise NotImplementedError(f"l={l} not supported yet (s,p,d,f only)")
+    if l == 4:
+        # cols: x4 x3y x3z x2y2 x2yz x2z2 xy3 xy2z xyz2 xz3
+        #       y4 y3z y2z2 yz3 z4   (rows m=-4..4; exact constants, the
+        # native engine embeds the identical values — mdint.cpp case 4)
+        c = np.sqrt(35.0) / 8.0
+        d = np.sqrt(35.0 / 8.0)
+        e = np.sqrt(5.0) / 2.0
+        f = np.sqrt(5.0 / 8.0)
+        M = np.zeros((9, 15))
+        M[0, 1], M[0, 6] = 4 * c, -4 * c             # m=-4: xy(x2-y2)
+        M[1, 4], M[1, 11] = 3 * d, -d                # m=-3: yz(3x2-y2)
+        M[2, 1], M[2, 6], M[2, 8] = -e, -e, 6 * e    # m=-2: xy(7z2-r2)
+        M[3, 4], M[3, 11], M[3, 13] = -3 * f, -3 * f, 4 * f  # m=-1
+        M[4, 0], M[4, 3], M[4, 5] = 0.375, 0.75, -3.0        # m=0
+        M[4, 10], M[4, 12], M[4, 14] = 0.375, -3.0, 1.0
+        M[5, 2], M[5, 7], M[5, 9] = -3 * f, -3 * f, 4 * f    # m=+1
+        M[6, 0], M[6, 5] = -e / 2, 3 * e             # m=+2: (x2-y2)(7z2-r2)
+        M[6, 10], M[6, 12] = e / 2, -3 * e
+        M[7, 2], M[7, 7] = d, -3 * d                 # m=+3: xz(x2-3y2)
+        M[8, 0], M[8, 3], M[8, 10] = c, -6 * c, c    # m=+4: x4-6x2y2+y4
+        return M
+    if l <= LMAX:
+        return _c2s_general(l)
+    raise NotImplementedError(f"l={l} > LMAX={LMAX}")
+
+
+_C2S_CACHE = {}
+
+
+def _c2s_general(l):
+    """Real-solid-harmonic expansion over the CART_COMPONENTS[l] monomials
+    for arbitrary l (g shells and beyond, r3 VERDICT next #8).
+
+    r^l Y_lm is a homogeneous degree-l polynomial, so its monomial
+    coefficients are EXACT: they are recovered by least squares from real
+    spherical harmonics evaluated on unit-sphere points (deterministic
+    seed; residual ~1e-14, snapped to clean zeros).  Rows in PySCF m order
+    (-l..l); per-row scale is normalized so the m=0 row's z^l coefficient
+    is 1 (matching the hand-coded l=2,3 tables' convention; absolute AO
+    scale is fixed by the numerical renormalization in BasisSet anyway).
+    The native engine (native/mdint.cpp c2s_matrix) embeds the identical
+    values so both engines agree to the double."""
+    if l in _C2S_CACHE:
+        return _C2S_CACHE[l]
+    try:                      # scipy >= 1.15 renames sph_harm
+        from scipy.special import sph_harm_y
+
+        def _ylm(m, ll, theta, phi):
+            return sph_harm_y(ll, m, theta, phi)
+    except ImportError:       # pragma: no cover - older scipy
+        from scipy.special import sph_harm
+
+        def _ylm(m, ll, theta, phi):
+            return sph_harm(m, ll, phi, theta)
+
+    ncart = NCART[l]
+    rng = np.random.default_rng(12345)
+    pts = rng.standard_normal((4 * ncart, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    x, y, z = pts.T
+    theta = np.arccos(np.clip(z, -1.0, 1.0))
+    phi = np.arctan2(y, x)
+    rows = []
+    for m in range(-l, l + 1):
+        Y = _ylm(abs(m), l, theta, phi)
+        if m < 0:
+            f = np.sqrt(2.0) * (-1) ** m * np.imag(Y)
+        elif m > 0:
+            f = np.sqrt(2.0) * (-1) ** m * np.real(Y)
+        else:
+            f = np.real(Y)
+        rows.append(f)
+    Mon = np.stack([x ** lx * y ** ly * z ** lz
+                    for (lx, ly, lz) in CART_COMPONENTS[l]], axis=1)
+    C, res, rank, _ = np.linalg.lstsq(Mon, np.stack(rows, axis=1),
+                                      rcond=None)
+    C = C.T                                       # (nsph, ncart)
+    # normalize the overall scale by the m=0 row's z^l coefficient
+    C = C / C[l, ncart - 1]
+    C[np.abs(C) < 1e-10] = 0.0
+    _C2S_CACHE[l] = C
+    return C
 
 
 class Shell:
@@ -110,7 +190,8 @@ class BasisSet:
                 # Fold normalized-primitive factors into coefficients
                 e = np.asarray(exps)
                 c = np.asarray(coefs)
-                dfact = {0: 1.0, 1: 1.0, 2: 3.0, 3: 15.0}[l]
+                dfact = float(np.prod(np.arange(2 * l - 1, 0, -2))) \
+                    if l > 0 else 1.0   # (2l-1)!!
                 nprim = (2 * e / np.pi) ** 0.75 * (4 * e) ** (l / 2.0) / np.sqrt(dfact)
                 self.shells.append(Shell(l, e, c * nprim, xyz, ia))
         # offsets in the spherical AO basis
@@ -391,7 +472,8 @@ def _native_int1e(bs, kind, **kw):
         return None
     from ecw_cc_tpu import native as _native
 
-    if not _native.available():
+    if not _native.available() \
+            or max(sh.l for sh in bs.shells) > _native.NATIVE_LMAX:
         return None
     return _native.compute_int1e(bs, kind, **kw)
 
@@ -459,7 +541,8 @@ def eri(bs: BasisSet, native="auto"):
         import os as _os
         if _os.environ.get("ECW_CC_TPU_NO_NATIVE", "0") != "1":
             from ecw_cc_tpu import native as _native
-            if _native.available():
+            if _native.available() \
+                    and max(sh.l for sh in bs.shells) <= _native.NATIVE_LMAX:
                 return _native.compute_eri(bs)
             if native is True:
                 raise RuntimeError("native ERI engine requested but unavailable")

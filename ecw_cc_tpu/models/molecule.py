@@ -9,7 +9,9 @@ from ecw_cc_tpu.models import integrals
 
 ANG2BOHR = 1.0 / 0.52917721092
 
-ELEMENT_Z = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7, "O": 8, "F": 9, "Ne": 10}
+ELEMENT_Z = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7,
+             "O": 8, "F": 9, "Ne": 10, "Na": 11, "Mg": 12, "Al": 13,
+             "Si": 14, "P": 15, "S": 16, "Cl": 17, "Ar": 18}
 
 # Geometry catalog, verbatim from the reference driver (Main.py:55-129), in Angstrom.
 GEOMETRIES = {

@@ -20,6 +20,10 @@ _SRC = os.path.join(_HERE, "mdint.cpp")
 _lib = None
 _build_error = None
 
+# highest angular momentum compiled into mdint.cpp (its LMAX constant);
+# models/integrals.py falls back to the NumPy engine above this
+NATIVE_LMAX = 4
+
 
 def _lib_path():
     """Binary name keyed on the source CONTENT hash (not mtimes): a stale

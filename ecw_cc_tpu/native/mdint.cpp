@@ -2,7 +2,7 @@
 //
 // The host-side native component of ecw_cc_tpu: computes the full spherical
 // (nao^4) ERI tensor in chemists' notation (ij|kl) for contracted spherical
-// Gaussians up to l = 3 (s,p,d,f).  Replaces the role PySCF's libcint plays
+// Gaussians up to l = 4 (s,p,d,f,g).  Replaces the role PySCF's libcint plays
 // for the reference implementation (reference Eris.py:97-131); the NumPy
 // engine in models/integrals.py remains as the pure-Python fallback and
 // cross-check oracle.
@@ -22,17 +22,19 @@
 
 namespace {
 
-constexpr int LMAX = 3;                 // up to f shells
-constexpr int NCART[] = {1, 3, 6, 10};
-constexpr int NSPH[] = {1, 3, 5, 7};
+constexpr int LMAX = 4;                 // up to g shells
+constexpr int NCART[] = {1, 3, 6, 10, 15};
+constexpr int NSPH[] = {1, 3, 5, 7, 9};
 constexpr double PI = 3.14159265358979323846;
 
 struct Cart { int x, y, z; };
-static const Cart CARTS[4][10] = {
+static const Cart CARTS[5][15] = {
     {{0,0,0}},
     {{1,0,0},{0,1,0},{0,0,1}},
     {{2,0,0},{1,1,0},{1,0,1},{0,2,0},{0,1,1},{0,0,2}},
     {{3,0,0},{2,1,0},{2,0,1},{1,2,0},{1,1,1},{1,0,2},{0,3,0},{0,2,1},{0,1,2},{0,0,3}},
+    {{4,0,0},{3,1,0},{3,0,1},{2,2,0},{2,1,1},{2,0,2},{1,3,0},{1,2,1},{1,1,2},{1,0,3},
+     {0,4,0},{0,3,1},{0,2,2},{0,1,3},{0,0,4}},
 };
 
 // real-solid-harmonic coefficients over plain cartesian monomials, PySCF
@@ -64,6 +66,23 @@ static void c2s_matrix(int l, double* M /* NSPH x NCART row-major */) {
         r = M + 4*10; r[5] = 4*c; r[0] = -c; r[3] = -c;            // m=+1: sqrt(3/8)(4xz^2 - x^3 - xy^2)
         r = M + 5*10; r[2] = b/2; r[7] = -b/2;                     // m=+2: sqrt(15)/2 (x^2-y^2) z
         r = M + 6*10; r[0] = a; r[3] = -3*a;                       // m=+3: sqrt(5/8)(x^3 - 3xy^2)
+        break; }
+    case 4: {
+        // cols: x4 x3y x3z x2y2 x2yz x2z2 xy3 xy2z xyz2 xz3 y4 y3z y2z2 yz3 z4
+        // identical constants to models/integrals._c2s_matrix(4)
+        const double c = std::sqrt(35.0)/8.0, d = std::sqrt(35.0/8.0),
+                     e = std::sqrt(5.0)/2.0, f = std::sqrt(5.0/8.0);
+        double* r;
+        r = M + 0*15; r[1] = 4*c; r[6] = -4*c;                     // m=-4: xy(x2-y2)
+        r = M + 1*15; r[4] = 3*d; r[11] = -d;                      // m=-3: yz(3x2-y2)
+        r = M + 2*15; r[1] = -e; r[6] = -e; r[8] = 6*e;            // m=-2: xy(7z2-r2)
+        r = M + 3*15; r[4] = -3*f; r[11] = -3*f; r[13] = 4*f;      // m=-1
+        r = M + 4*15; r[0] = 0.375; r[3] = 0.75; r[5] = -3.0;      // m=0
+                      r[10] = 0.375; r[12] = -3.0; r[14] = 1.0;
+        r = M + 5*15; r[2] = -3*f; r[7] = -3*f; r[9] = 4*f;        // m=+1
+        r = M + 6*15; r[0] = -e/2; r[5] = 3*e; r[10] = e/2; r[12] = -3*e;  // m=+2
+        r = M + 7*15; r[2] = d; r[7] = -3*d;                       // m=+3: xz(x2-3y2)
+        r = M + 8*15; r[0] = c; r[3] = -6*c; r[10] = c;            // m=+4
         break; }
     }
 }
@@ -259,7 +278,7 @@ void compute_eri(int nshell, const int* l, const int* nprim,
     }
 
     // spherical transform tables
-    double c2s[LMAX+1][7*10];
+    double c2s[LMAX+1][9*15];
     for (int ll = 0; ll <= LMAX; ++ll) c2s_matrix(ll, c2s[ll]);
 
     std::vector<double> cart, M, sphbuf, tmp;
@@ -503,7 +522,7 @@ void compute_int1e(int kind, int nshell, const int* l, const int* nprim,
                    const int* sph_off, int nao, const double* norms,
                    int natm, const double* charges, const double* atm_coords,
                    const double* origin, double* out) {
-    double c2s[LMAX+1][7*10];
+    double c2s[LMAX+1][9*15];
     for (int ll = 0; ll <= LMAX; ++ll) c2s_matrix(ll, c2s[ll]);
     const int ncomp = (kind == 3) ? 3 : 1;
     std::vector<double> cart, R, sph, tmp;

@@ -262,3 +262,77 @@ def test_device_eris_f32_accurate_for_diffuse_basis():
     ref = emp2(e64)
     got = emp2(e32)
     assert abs(ref - got) < 1e-5 * abs(ref), (ref, got)
+
+
+def test_g_shell_engines_match_and_rotation_invariant():
+    """g-shell (l=4) support (r3 VERDICT next #8): the native C++ engine and
+    the NumPy engine agree on every integral kind for a basis with a g
+    shell, and the spectrum is invariant under rigid rotation (a wrong
+    solid-harmonic combination would break the l=4 subspace)."""
+    import os
+
+    import scipy.spatial.transform as st
+
+    from ecw_cc_tpu.models.integrals import (BasisSet, dipole, eri, kinetic,
+                                             nuclear, overlap)
+
+    basis = {"H": [(0, [(1.3, 1.0)]), (4, [(0.9, 1.0)])]}
+    atoms = [("H", np.array([0.0, 0.0, 0.0])), ("H", np.array([0.0, 0.0, 1.4]))]
+    bs = BasisSet(atoms, basis)
+    charges = np.array([1.0, 1.0])
+    coords = np.array([a[1] for a in atoms])
+    ctr = np.zeros(3)
+
+    Sn, Tn = overlap(bs), kinetic(bs)
+    Vn, Dn, En = nuclear(bs, charges, coords), dipole(bs, ctr), eri(bs)
+    os.environ["ECW_CC_TPU_NO_NATIVE"] = "1"
+    try:
+        pairs = ((Sn, overlap(bs)), (Tn, kinetic(bs)),
+                 (Vn, nuclear(bs, charges, coords)), (Dn, dipole(bs, ctr)),
+                 (En, eri(bs, native=False)))
+    finally:
+        del os.environ["ECW_CC_TPU_NO_NATIVE"]
+    for a, b in pairs:
+        assert np.max(np.abs(np.asarray(a) - np.asarray(b))) < 1e-10
+
+    R = st.Rotation.from_euler("xyz", [0.3, 1.1, -0.7]).as_matrix()
+    bs2 = BasisSet([(s, R @ x) for s, x in atoms], basis)
+    w1 = np.linalg.eigvalsh(Sn)
+    w2 = np.linalg.eigvalsh(overlap(bs2))
+    assert np.max(np.abs(w1 - w2)) < 1e-11
+    wT1 = np.sort(np.linalg.eigvals(np.linalg.solve(Sn, Tn)).real)
+    wT2 = np.sort(np.linalg.eigvals(
+        np.linalg.solve(overlap(bs2), kinetic(bs2))).real)
+    assert np.max(np.abs(wT1 - wT2)) < 1e-10
+
+
+def test_second_row_h2s_rhf_ccsd():
+    """Second-row elements (r3 VERDICT next #8): the regenerated Na-Ar
+    STO-3G-equivalent sets run RHF -> CCSD end-to-end (H2S near
+    equilibrium; the variationally-optimized zetas give E at or below the
+    published-set value, published STO-3G H2S RHF ~ -394.31)."""
+    from ecw_cc_tpu.ops.ccsd_t import solve_ccsd
+
+    geom = "S 0 0 0.1030; H 0 0.9616 -0.8239; H 0 -0.9616 -0.8239"
+    mol = Molecule(geom, "sto-3g")
+    mf = RHF(mol)
+    e = mf.kernel()
+    assert mf.converged
+    assert -394.6 < e < -394.2
+    ghf = GHF(mf)
+    eris = build_eris(mol, ghf).to_device()
+    t1, t2, e_cc = solve_ccsd(eris)
+    assert -0.06 < float(e_cc) < -0.02
+
+
+def test_second_row_registry_and_atoms():
+    """Every Na-Ar STO-3G-equivalent set is registered (5 shells:
+    1s, 2s, 2p, 3s, 3p) and ELEMENT_Z resolves the symbols."""
+    from ecw_cc_tpu.models.basis_data import get_basis
+    from ecw_cc_tpu.models.molecule import ELEMENT_Z
+
+    for i, el in enumerate(("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar")):
+        assert ELEMENT_Z[el] == 11 + i
+        shells = get_basis("sto-3g", el)
+        assert [l for l, _ in shells] == [0, 0, 1, 0, 1]
+        assert all(len(prims) == 3 for _, prims in shells)

@@ -34,7 +34,9 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from ecw_cc_tpu.models.molecule import Molecule
 from ecw_cc_tpu.models.scf import UHF
 
-ATOM_SPIN = {"H": 1, "C": 2, "N": 3, "O": 2}
+ATOM_SPIN = {"H": 1, "C": 2, "N": 3, "O": 2,
+             "Na": 1, "Mg": 0, "Al": 1, "Si": 2, "P": 3, "S": 2,
+             "Cl": 1, "Ar": 0}
 
 
 def atom_energy(el, shells):
@@ -332,11 +334,119 @@ def run_ccpvtz_no():
         emit(el, shells)
 
 
+def _slater_fit(n, l, nG=3, shared_with=None, grid=None):
+    """Universal least-squares STO-NG fit: expand the zeta=1 Slater (n,l)
+    radial in nG normalized Gaussian primitives of angular momentum l,
+    maximizing the overlap (the Hehre-Stewart-Pople STO-3G construction;
+    published digits unavailable offline, so the fit is redone in-house).
+
+    shared_with: (n2, l2) to fit BOTH radials with SHARED exponents
+    (the 2sp/3sp convention) — maximizes the summed overlap.
+    Returns (exps, coefs) or (exps, coefs1, coefs2)."""
+    from scipy.optimize import minimize
+
+    r = np.linspace(1e-6, 60.0, 60000) if grid is None else grid
+    dr = r[1] - r[0]
+
+    def slater(nn):
+        f = r ** (nn - 1) * np.exp(-r)
+        return f / np.sqrt(np.sum(f * f * r * r) * dr)
+
+    def gauss(a, ll):
+        f = r ** ll * np.exp(-a * r * r)
+        return f / np.sqrt(np.sum(f * f * r * r) * dr)
+
+    targets = [(slater(n), l)]
+    if shared_with is not None:
+        n2, l2 = shared_with
+        targets.append((slater(n2), l2))
+
+    def proj(logs):
+        a = np.exp(logs)
+        total = 0.0
+        couts = []
+        for tgt, ll in targets:
+            G = np.stack([gauss(ai, ll) for ai in a], axis=1)
+            S = (G.T * (r * r * dr)) @ G
+            m = (G.T * (r * r * dr)) @ tgt
+            c = np.linalg.solve(S, m)
+            ov = float(m @ c) ** 0.5          # = max overlap
+            total += ov
+            couts.append((c / ov, S))         # contracted fn normalized
+        return total, couts
+
+    x0 = np.log(np.array([2.0, 0.4, 0.1]) * (1.0 if n == 1 else
+                                             0.25 if n == 2 else 0.08))
+    res = minimize(lambda x: -proj(x)[0], x0, method="Nelder-Mead",
+                   options=dict(maxiter=2000, xatol=1e-10, fatol=1e-12))
+    a = np.exp(res.x)
+    order = np.argsort(-a)
+    a = a[order]
+    _, couts = proj(np.log(a))
+    out = [a] + [c for c, _ in couts]
+    return tuple(out)
+
+
+def run_sto3g_row2(elements=("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar")):
+    """STO-3G-EQUIVALENT sets for the second row (r3 VERDICT next #8).
+
+    Construction: universal 3-Gaussian fits of the zeta=1 Slater 1s / 2sp /
+    3sp radials (shared exponents within each sp pair, exactly the published
+    STO-3G scheme), then per-element scale factors (zeta1, zeta2, zeta3)
+    optimized VARIATIONALLY on the atomic UHF energy (exponents scale as
+    zeta^2; contraction coefficients are scale-invariant).  Variational
+    zetas make these equivalent-or-better than the published sets."""
+    from scipy.optimize import minimize
+
+    a1, c1 = _slater_fit(1, 0)
+    a2, c2s_, c2p = _slater_fit(2, 0, shared_with=(2, 1))
+    a3, c3s, c3p = _slater_fit(3, 0, shared_with=(3, 1))
+    print("# universal fits (zeta=1):")
+    print(f"#   1s : exps {np.round(a1, 7).tolist()} coefs {np.round(c1, 7).tolist()}")
+    print(f"#   2sp: exps {np.round(a2, 7).tolist()} 2s {np.round(c2s_, 7).tolist()} 2p {np.round(c2p, 7).tolist()}")
+    print(f"#   3sp: exps {np.round(a3, 7).tolist()} 3s {np.round(c3s, 7).tolist()} 3p {np.round(c3p, 7).tolist()}")
+
+    # Slater-rule starting zetas
+    z0 = {"Na": (10.6, 3.48, 0.84), "Mg": (11.6, 3.95, 1.10),
+          "Al": (12.6, 4.40, 1.37), "Si": (13.6, 4.85, 1.60),
+          "P": (14.6, 5.30, 1.85), "S": (15.5, 5.77, 2.05),
+          "Cl": (16.5, 6.26, 2.26), "Ar": (17.5, 6.76, 2.45)}
+
+    def shells_for(z1, z2, z3):
+        return [
+            (0, [(float(a * z1 * z1), float(c)) for a, c in zip(a1, c1)]),
+            (0, [(float(a * z2 * z2), float(c)) for a, c in zip(a2, c2s_)]),
+            (1, [(float(a * z2 * z2), float(c)) for a, c in zip(a2, c2p)]),
+            (0, [(float(a * z3 * z3), float(c)) for a, c in zip(a3, c3s)]),
+            (1, [(float(a * z3 * z3), float(c)) for a, c in zip(a3, c3p)]),
+        ]
+
+    out = {}
+    for el in elements:
+        t0 = time.time()
+
+        def f(logz):
+            e, _ = atom_energy(el, shells_for(*np.exp(logz)))
+            return e
+
+        res = minimize(f, np.log(z0[el]), method="Nelder-Mead",
+                       options=dict(maxiter=400, xatol=1e-6, fatol=1e-9))
+        z = np.exp(res.x)
+        print(f"  [{el}] E = {res.fun:.6f}  zetas = {np.round(z, 5).tolist()} "
+              f"({time.time() - t0:.0f} s)")
+        out[el] = shells_for(*z)
+    print("\n# ---- paste into basis_data.py: STO_3G second row ----")
+    for el, shells in out.items():
+        emit(el, shells)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "6-311g"
     if which == "6-311g":
         run_6311g()
     elif which == "cc-pvtz-no":
         run_ccpvtz_no()
+    elif which == "sto3g-row2":
+        run_sto3g_row2()
     else:
         raise SystemExit(f"unknown target {which}")
