@@ -599,9 +599,16 @@ def bench_t(basis="cc-pvtz"):
     dense_ms, e_d = timeit(lambda er, a, b: ccsd_t.energy_t(er, a, b))
     sect_ms, e_s = timeit(lambda er, a, b: ccsd_t.energy_t_sect(
         er, a, b, info, sym=sym))
+    # reduced-precision slabs (r4: bf16 streams + full-precision
+    # accumulation; tested rel bound 5e-3, tests/test_ccsd_t.py)
+    bf16_ms, e_b = timeit(lambda er, a, b: ccsd_t.energy_t_sect(
+        er, a, b, info, sym=sym, slab_dtype="bfloat16"))
     return {"dense_ms": dense_ms, "sect_ms": sect_ms, "sym": bool(sym),
             "speedup": round(dense_ms / sect_ms, 1),
-            "e_match": bool(abs(e_d - e_s) < 5e-4 * max(1.0, abs(e_d)))}
+            "e_match": bool(abs(e_d - e_s) < 5e-4 * max(1.0, abs(e_d))),
+            "bf16_ms": bf16_ms,
+            "bf16_rel_err": round(abs(e_b - e_s) / max(abs(e_s), 1e-12), 6),
+            "bf16_e_match": bool(abs(e_b - e_s) < 5e-3 * max(1.0, abs(e_s)))}
 
 
 def bench_es():

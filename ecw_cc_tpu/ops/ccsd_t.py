@@ -73,7 +73,8 @@ def _energy_t_dense(eris, t1, t2, fsp=None):
     return einsum("ijkabc,ijkabc", w, t3c + t3d) / 36.0
 
 
-def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
+def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None,
+                 slab_dtype=None):
     """One (T) scan over (I, J) pairs with I in occupied spin sector sI and
     J in sector sJ (sorted layout).  With the pair spins STATIC, every slab
     contraction in the body decomposes over the compatible spin sectors
@@ -150,7 +151,7 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
                   + S("ka,bc->kabc", t1_b, oovvJI).scale(-1.0))
             v = pabc(v0)
             foIJ = jnp.take(fo, I) + jnp.take(fo, J)
-            e = jnp.asarray(0.0, t1.dtype)
+            e = jnp.asarray(0.0, fo.dtype)
             for key, wblk in w.blocks.items():
                 sk, sa, sb, sc = key
                 D = (foIJ + fo_s[sk][:, None, None, None]
@@ -159,15 +160,29 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
                      - fv_s[sc][None, None, None, :])
                 vblk = v.get(key)
                 tot = wblk if vblk is None else wblk + vblk
-                e = e + jnp.sum(wblk * tot / D)
+                # accumulate the energy at FULL precision even when the
+                # slab contractions run reduced (slab_dtype='bfloat16'):
+                # D is built from the full-precision fock diagonal and the
+                # products promote to fo.dtype before the reduction
+                e = e + jnp.sum(wblk.astype(fo.dtype)
+                                * tot.astype(fo.dtype) / D)
             return acc + jnp.where(valid, e, 0.0), None
 
         return body
 
     ops = (t2, t1, eris.vovv, eris.ovoo, eris.oovv, fo, fv)
+    if slab_dtype is not None:
+        # reduced-precision SLABS (r3 VERDICT next #7): the five big scan
+        # operands are stored/streamed at slab_dtype (bf16 halves both the
+        # HBM traffic and the MXU cost of the per-pair contractions); the
+        # energy denominators (fo, fv) and the accumulation stay at full
+        # precision (see the e loop above).  Exactness bound pinned by
+        # tests/test_ccsd_t.py::test_energy_t_bf16_slab_error_bound.
+        dt = jnp.dtype(slab_dtype)
+        ops = tuple(x.astype(dt) for x in ops[:5]) + (fo, fv)
 
     if mesh is None:
-        acc, _ = jax.lax.scan(mk_body(*ops), jnp.asarray(0.0, t1.dtype),
+        acc, _ = jax.lax.scan(mk_body(*ops), jnp.asarray(0.0, fo.dtype),
                               jnp.arange(nI * nJ))
         return acc
 
@@ -186,10 +201,10 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
         # differ per shard) or shard_map's vma typing rejects the body
         # (pcast is the non-deprecated spelling; pvary the 0.9 fallback)
         try:
-            acc0 = jax.lax.pcast(jnp.asarray(0.0, t1.dtype), axes,
+            acc0 = jax.lax.pcast(jnp.asarray(0.0, fo.dtype), axes,
                                  to="varying")
         except (AttributeError, TypeError):
-            acc0 = jax.lax.pvary(jnp.asarray(0.0, t1.dtype), axes)
+            acc0 = jax.lax.pvary(jnp.asarray(0.0, fo.dtype), axes)
         acc, _ = jax.lax.scan(mk_body(*ops_rep), acc0, ids_local)
         return jax.lax.psum(acc, axes)
 
@@ -200,7 +215,7 @@ def _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=None):
 
 
 def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False,
-                  mesh=None):
+                  mesh=None, slab_dtype=None):
     """(T) energy with spin-sector blocking (SORTED layout; exact).
 
     Same per-(I,J) scan structure as energy_t, but one scan per occupied
@@ -233,9 +248,10 @@ def energy_t_sect(eris, t1, t2, info, fsp=None, sym=False,
         fo = 0.5 * (fo + mirror_dense(fo, "o", info))
         fv = 0.5 * (fv + mirror_dense(fv, "v", info))
     pairs = ((0, 0), (0, 1)) if sym else ((0, 0), (0, 1), (1, 0), (1, 1))
-    e = jnp.asarray(0.0, t1.dtype)
+    e = jnp.asarray(0.0, fo.dtype)
     for sI, sJ in pairs:
-        e = e + _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=mesh)
+        e = e + _sect_scan_t(eris, t1, t2, fo, fv, info, sI, sJ, mesh=mesh,
+                             slab_dtype=slab_dtype)
     if sym:
         e = e + e
     return e / 36.0
@@ -284,7 +300,8 @@ def eris_spin_restricted(eris, info, vvvv_op=None):
     return worst <= 1e3 * eps * scale
 
 
-def energy_t(eris, t1, t2, fsp=None, sect=None, mesh=None):
+def energy_t(eris, t1, t2, fsp=None, sect=None, mesh=None,
+             slab_dtype=None):
     """The (T) energy correction, scanned over (i,j) occupied pairs.
 
     sect: optional (SectorInfo, sym) — route through the spin-sector-blocked
@@ -297,7 +314,11 @@ def energy_t(eris, t1, t2, fsp=None, sect=None, mesh=None):
     store per-step slabs either."""
     if sect is not None:
         info, sym = sect
-        return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym, mesh=mesh)
+        return energy_t_sect(eris, t1, t2, info, fsp=fsp, sym=sym, mesh=mesh,
+                             slab_dtype=slab_dtype)
+    if slab_dtype is not None:
+        raise ValueError("slab_dtype requires the sector-blocked route "
+                         "(pass sect=(SectorInfo, sym))")
     if mesh is not None:
         raise ValueError("energy_t(mesh=...) requires sect: the sharded "
                          "pair scans are implemented on the sector-blocked "

@@ -196,3 +196,22 @@ def test_gexp_f32_sorted_target_matches_f64():
         cfg.set_config(dtype=old)
     assert abs(g64.Eexp - g32.Eexp) < 1e-6
     assert np.max(np.abs(g64.gamma_ao - g32.gamma_ao)) < 1e-5
+
+
+def test_energy_t_bf16_slab_error_bound(h2o_631g):
+    """Reduced-precision (T) (r3 VERDICT next #7): with bf16 SLABS and
+    full-precision denominators/accumulation, the sectored (T) energy
+    matches the exact value to a documented 5e-3 RELATIVE bound (the slab
+    rounding is ~4e-3 per element and largely averages out across the
+    o^2 v^3 terms; measured here ~1e-3 rel at H2O/6-31G).  The bound is
+    the contract bench.py's t row and target generation rely on."""
+    from test_ccsd_kernels import _sorted_system, _mirror_amps
+    from ecw_cc_tpu.ops.ccsd_t import energy_t, energy_t_sect
+
+    _, _, _, er_dense, _, _, info = _sorted_system(h2o_631g)
+    t1, t2, _, _ = map(jnp.asarray, _mirror_amps(info, seed=33))
+    ref = float(energy_t(er_dense, t1, t2))
+    for sym in (False, True):
+        out = float(energy_t_sect(er_dense, t1, t2, info, sym=sym,
+                                  slab_dtype="bfloat16"))
+        assert abs(out - ref) < 5e-3 * max(abs(ref), 1e-6), (sym, ref, out)
