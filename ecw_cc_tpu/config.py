@@ -89,6 +89,18 @@ class Config:
     # incl. a numerical ERI flip-symmetry check), so only canonical blocks
     # are computed — a further exact ~2x FLOP cut (soup + ladder).
     soup_sym: bool = True
+    # Emission scheme for the sector-blocked sub-GEMMs (r3 VERDICT next #2:
+    # ~25 small-M GEMMs at M=49-98 pay MXU pipeline latency per tile pass):
+    #   'sep'     — one dot per surviving spin assignment (r3 behavior)
+    #   'kconcat' — contributions summed into one output block ride ONE
+    #               dot with the contraction axes concatenated (3-4x fewer
+    #               GEMMs; operand concat copies are ~KB-scale)
+    #   'flip'    — emit the transposed orientation (stream the LARGE free
+    #               dim as the MXU M) when N >= 2M
+    #   'kconcat+flip' — both
+    # Measured on the chip by tools/probe_soup_batch.py; parity-tested all
+    # modes (exact: same multiply-add sets, flat reduction order).
+    soup_gemm: str = "sep"
 
 
 _config = Config(
@@ -101,6 +113,7 @@ _config = Config(
     spin_sorted=os.environ.get("ECW_CC_TPU_SORTED", "1") != "0",
     soup_sector=os.environ.get("ECW_CC_TPU_SOUPSECT", "1") != "0",
     soup_sym=os.environ.get("ECW_CC_TPU_SOUPSYM", "1") != "0",
+    soup_gemm=os.environ.get("ECW_CC_TPU_SOUPGEMM", "sep"),
 )
 
 
@@ -110,6 +123,7 @@ def get_config() -> Config:
 
 _CHOICES = {
     "dtype": ("float32", "float64"),
+    "soup_gemm": ("sep", "kconcat", "flip", "kconcat+flip"),
     "ladder_mode": ("auto", "dense", "packed", "sectors"),
     "iter_precision": ("highest", "high", "default", "bf16", "hybrid"),
     "hybrid_fast": ("high", "default", "bf16"),

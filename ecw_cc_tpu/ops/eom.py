@@ -185,6 +185,15 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
             s2 = s2 * mask2_d
         return jnp.concatenate([s1.ravel(), s2.ravel()])
 
+    # full input-space projector (antisymmetry x spin balance) for the
+    # Davidson's candidate directions: without it, f32 preconditioned
+    # residuals accumulate roundoff in the operator's structural null
+    # space and a spurious ~0 root converges first (utils/linalg
+    # davidson_fused_device docstring; regression: test_eom_f32_roots)
+    def _project(v):
+        r1, r2 = unpack(v)
+        return jnp.concatenate([r1.ravel(), r2.ravel()])
+
     # device-resident Davidson: the basis stays on device; only the
     # projected small matrices cross the tunnel (utils/linalg)
     def mv_right(v, mops):
@@ -199,7 +208,8 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
           for g in guess]
     conv, w, xs = davidson_device(mv_right, x0, diag, nroots=nroots,
                                         tol=tol, max_cycle=max_cycle,
-                                        max_space=max_space, operands=ops)
+                                        max_space=max_space, operands=ops,
+                                        project=_project)
     if not all(conv[:nroots]):
         # an exhausted Davidson can report junk roots (e.g. ~0 from the
         # projected null space); surface it instead of silently returning
@@ -244,6 +254,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         conv_l, wl, xls = davidson_device(mv_left, xl0, diag,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
+                                                project=_project,
                                                 max_space=max_space,
                                                 follow=True, operands=ops)
         if not conv_l[0]:

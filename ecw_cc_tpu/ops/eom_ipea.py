@@ -271,11 +271,18 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                         use_packed=use_packed)
         return jnp.concatenate([s1.ravel(), s2.ravel()])
 
+    # antisymmetry projector for the Davidson candidate directions (f32
+    # null-space spurious-root guard, utils/linalg davidson_fused_device)
+    def _project(v):
+        r1, r2 = unpack(v)
+        return jnp.concatenate([r1.ravel(), r2.ravel()])
+
     conv, w, xs = davidson_device(mv_right, guess, diag,
                                         nroots=nroots, tol=tol,
                                         max_cycle=max_cycle,
                                         max_space=max_space,
-                                        verbose=verbose, operands=ops)
+                                        verbose=verbose, operands=ops,
+                                        project=_project)
     if not all(conv[:nroots]):
         import warnings
 
@@ -321,7 +328,8 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                                                 nroots=1, tol=tol,
                                                 max_cycle=max_cycle,
                                                 max_space=max_space,
-                                                follow=True, operands=ops)
+                                                follow=True, operands=ops,
+                                                project=_project)
         if not conv_l[0]:
             import warnings
 

@@ -78,7 +78,14 @@ _PLANS = {}
 def gemm_einsum(spec, *ops, **kw):
     """Drop-in jnp.einsum replacement routing eligible 2-operand
     contractions through one flat single-contracting-dim dot (see module
-    docstring)."""
+    docstring).
+
+    flip=True emits the TRANSPOSED orientation — dot(B2, A2) with output
+    (N, M) — so the larger free dimension streams through the MXU as the
+    matmul M; the extra output transpose is on the (small) result, never
+    an operand (r3 VERDICT next #2: small-M sector GEMMs pay the systolic
+    pipeline latency per tile pass)."""
+    flip = kw.pop("flip", False)
     kw.pop("optimize", None)   # meaningless for the 2-operand flat route
     if len(ops) != 2 or kw:
         if len(ops) > 2:
@@ -98,9 +105,75 @@ def gemm_einsum(spec, *ops, **kw):
     N = int(np.prod(sb, dtype=np.int64)) if sb else 1
     A2 = a.reshape((-1, M) if a_pre else (M, -1))
     B2 = b.reshape((-1, N) if b_pre else (N, -1))
+    if flip and N > M:
+        dn = (((0 if b_pre else 1,), (0 if a_pre else 1,)), ((), ()))
+        O = lax.dot_general(B2, A2, dn)            # (N, M)
+        O = O.reshape(tuple(sb) + tuple(sa))
+        # perm_o indexes the (fa + fb) axis order; axis i of (fa+fb) sits
+        # at position map_[i] of the flipped (fb + fa) layout
+        map_ = [len(sb) + i for i in range(len(sa))] + list(range(len(sb)))
+        perm = tuple(map_[p] for p in perm_o)
+        if perm != tuple(range(O.ndim)):
+            O = jnp.transpose(O, perm)
+        return O
     dn = (((0 if a_pre else 1,), (0 if b_pre else 1,)), ((), ()))
     O = lax.dot_general(A2, B2, dn)
     O = O.reshape(tuple(sa) + tuple(sb))
+    if perm_o != tuple(range(O.ndim)):
+        O = jnp.transpose(O, perm_o)
+    return O
+
+
+def gemm_einsum_sum(spec, subs_list, flip=False):
+    """sum_k einsum(spec, *subs_list[k]) as ONE flat dot: the k
+    contributions' contraction axes are CONCATENATED (each pair may have a
+    different contraction size; the free shapes must match).  Used by
+    spinsect.sector_einsum in 'kconcat' mode — the spin-sector sum into one
+    output block rides one GEMM instead of k (r3 VERDICT next #2).  The
+    concat copies are operand-block-sized (KB-scale at CC shapes).  Exact:
+    the same multiply-add set, one flat reduction."""
+    subs_list = list(subs_list)
+    if len(subs_list) == 1:
+        return gemm_einsum(spec, *subs_list[0], flip=flip)
+    spec = spec.replace(" ", "")
+    plan = _PLANS.get(spec, False)
+    if plan is False:
+        plan = _PLANS[spec] = _plan(spec)
+    if plan is None or any(len(subs) != 2 for subs in subs_list):
+        out = gemm_einsum(spec, *subs_list[0])
+        for subs in subs_list[1:]:
+            out = out + gemm_einsum(spec, *subs)
+        return out
+    nfa, nfb, a_pre, b_pre, perm_o = plan
+    a0, b0 = subs_list[0]
+    sa = a0.shape[a0.ndim - nfa:] if a_pre else a0.shape[:nfa]
+    sb = b0.shape[b0.ndim - nfb:] if b_pre else b0.shape[:nfb]
+    for a, b in subs_list[1:]:
+        sa2 = a.shape[a.ndim - nfa:] if a_pre else a.shape[:nfa]
+        sb2 = b.shape[b.ndim - nfb:] if b_pre else b.shape[:nfb]
+        if sa2 != sa or sb2 != sb:
+            out = gemm_einsum(spec, *subs_list[0])
+            for subs in subs_list[1:]:
+                out = out + gemm_einsum(spec, *subs)
+            return out
+    M = int(np.prod(sa, dtype=np.int64)) if sa else 1
+    N = int(np.prod(sb, dtype=np.int64)) if sb else 1
+    A2 = jnp.concatenate(
+        [a.reshape((-1, M) if a_pre else (M, -1)) for a, _ in subs_list],
+        axis=0 if a_pre else 1)
+    B2 = jnp.concatenate(
+        [b.reshape((-1, N) if b_pre else (N, -1)) for _, b in subs_list],
+        axis=0 if b_pre else 1)
+    if flip and N > M:
+        dn = (((0 if b_pre else 1,), (0 if a_pre else 1,)), ((), ()))
+        O = lax.dot_general(B2, A2, dn).reshape(tuple(sb) + tuple(sa))
+        map_ = [len(sb) + i for i in range(len(sa))] + list(range(len(sb)))
+        perm = tuple(map_[p] for p in perm_o)
+        if perm != tuple(range(O.ndim)):
+            O = jnp.transpose(O, perm)
+        return O
+    dn = (((0 if a_pre else 1,), (0 if b_pre else 1,)), ((), ()))
+    O = lax.dot_general(A2, B2, dn).reshape(tuple(sa) + tuple(sb))
     if perm_o != tuple(range(O.ndim)):
         O = jnp.transpose(O, perm_o)
     return O

@@ -340,7 +340,8 @@ def davidson_nosym(matvec, x0, diag, nroots=1, tol=1e-8, max_cycle=80,
 
 def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
                           max_cycle=80, max_space=20, follow=False,
-                          guesses=None, verbose=False, operands=None):
+                          guesses=None, verbose=False, operands=None,
+                          project=None):
     """Fully device-resident davidson_nosym: the ENTIRE solve — expansion,
     batched matvecs, subspace projection, the small non-symmetric eig
     (utils/schur.eig_small: shifted-QR on device; TPU has no nonsym
@@ -359,6 +360,16 @@ def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
     jit-traceable (all call sites already are), and the x0 guesses must be
     linearly independent with len(x0) >= nroots (checked on host; every
     call site passes unit/Koopman guesses).
+
+    project: optional jittable projector P (flat (n,) -> flat (n,),
+    P^2 = P) onto the invariant subspace the operator acts in (EOM: spin
+    balance x index antisymmetry).  Applied to every candidate direction
+    around the CGS2 insert.  Without it, f32 preconditioned residuals
+    accumulate roundoff in the operator's structural NULL space; once a
+    dirt-dominated direction is normalized into V its masked image is ~0
+    and a spurious ~0 eigenvalue converges as the lowest root (observed:
+    EE roots [~0, ~0, 0.281] instead of [0.281, 0.308, 0.363] at
+    H2O/6-31G f32, nroots=3 — BOTH Davidson variants, r4).
     """
     import jax
     import jax.numpy as jnp
@@ -398,9 +409,16 @@ def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
 
         def body(carry, d):
             V, ptr = carry
+            if project is not None:
+                d = project(d)
             mask = (rows < ptr).astype(V.dtype)
             for _ in range(2):
                 d = d - V.T @ ((V @ d) * mask)
+            if project is not None:
+                # re-project: CGS2 against (projected) V rows re-introduces
+                # only O(eps) null-space content; projecting again before
+                # normalization keeps V rows in range(P) to roundoff
+                d = project(d)
             nrm = jnp.linalg.norm(d)
             ok = (nrm >= 1e-12) & (ptr < S)
             row = jnp.where(ok, d / jnp.maximum(nrm, jnp.finfo(V.dtype).tiny),
@@ -526,7 +544,8 @@ def davidson_device(matvec, x0, diag, **kw):
 
 def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
                           max_cycle=80, max_space=20, follow=False,
-                          guesses=None, verbose=False, operands=None):
+                          guesses=None, verbose=False, operands=None,
+                          project=None):
     """Device-resident davidson_nosym: the basis V and its images AV live
     as (max_space, n) DEVICE arrays for the whole solve.
 
@@ -550,6 +569,9 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
         (measured: 52 s -> ~3 s for one pVDZ EOM-EA solve).
     :param follow: pick Ritz roots by max overlap with `guesses`
         (default: the x0 vectors) instead of lowest eigenvalue
+    :param project: optional jittable subspace projector applied to every
+        candidate direction around the CGS2 insert (see
+        davidson_fused_device — the f32 null-space spurious-root guard)
     """
     import jax
     import jax.numpy as jnp
@@ -590,9 +612,13 @@ def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,
 
         def body(carry, d):
             V, ptr = carry
+            if project is not None:
+                d = project(d)
             mask = (rows < ptr).astype(V.dtype)
             for _ in range(2):           # CGS2 against the masked rows
                 d = d - V.T @ ((V @ d) * mask)
+            if project is not None:
+                d = project(d)           # see davidson_fused_device
             nrm = jnp.linalg.norm(d)
             ok = (nrm >= 1e-12) & (ptr < max_space)
             row = jnp.where(ok, d / jnp.maximum(nrm, 1e-300),

@@ -743,3 +743,36 @@ def test_device_solver_soup_opt_matches_plain(h2o_631g):
     assert np.allclose(rdm1_a, rdm1_b, atol=1e-9)
     for a, b in zip(amps_a, amps_b):
         assert np.allclose(a, b, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["kconcat", "flip", "kconcat+flip"])
+def test_soup_gemm_modes_exact(h2o_631g, mode):
+    """The sector-GEMM emission schemes (config.soup_gemm, r3 VERDICT next
+    #2: 'kconcat' sums spin-sector contributions into one dot with
+    concatenated contraction axes; 'flip' streams the larger free dim as
+    the MXU M) are EXACT rewrites of the r3 per-assignment emission: the
+    full sector-blocked t/lambda updates agree with 'sep' to 1e-12."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
+    from ecw_cc_tpu.ops.ladder import balanced_stacked_sectored_contract
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    t1, t2, l1, l2 = map(jnp.asarray, _mirror_amps(info, seed=21))
+
+    def run():
+        lad_t, lad_l = balanced_stacked_sectored_contract(
+            sect, t2, l2, info.oa, sym=True)
+        t1n, t2n = tupdate_sect(er, t1, t2, er.fock, info,
+                                ladder_pre=lad_t, sym=True)
+        l1n, l2n = lupdate_sect(er, t1, t2, l1, l2, er.fock, info,
+                                ladder_pre=lad_l, sym=True)
+        return [np.asarray(x) for x in (t1n, t2n, l1n, l2n)]
+
+    ref = run()
+    try:
+        cfg.set_config(soup_gemm=mode)
+        out = run()
+    finally:
+        cfg.set_config(soup_gemm="sep")
+    for r, o in zip(ref, out):
+        assert np.max(np.abs(r - o)) < 1e-12 * max(1.0, np.max(np.abs(r)))

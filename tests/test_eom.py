@@ -292,3 +292,33 @@ def test_es_exp_eom_f32_sorted_matches_f64():
         for s in (0, 1):
             assert np.max(np.abs(e64.gamma_tr_mo[k][s]
                                  - e32.gamma_tr_mo[k][s])) < 1e-5
+
+
+def test_eom_f32_roots_match_f64():
+    """f32 production EOM (r3 VERDICT next #9 + r4 spurious-root fix):
+    ESexp.EOM in f32 must find the SAME lowest EE roots as f64, not the
+    structural-null-space junk an unprojected f32 Davidson converges to
+    (regression: w32 was [~0, ~0, 0.281] instead of [0.281, 0.308, 0.363]
+    before the candidate-direction projector in utils/linalg).  Pins the
+    documented f32 error bar: |dw| <= 2e-5 au on excitation energies."""
+    import jax
+
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.models.gamma_exp import ESexp
+    from ecw_cc_tpu.models.molecule import Molecule
+
+    def run():
+        es = ESexp(Molecule("h2o", "6-31g"))
+        es.EOM(3)
+        return np.asarray(es.DE_exp, dtype=np.float64)
+
+    w64 = run()
+    old_x64 = jax.config.jax_enable_x64
+    try:
+        cfg.set_config(dtype="float32")
+        jax.config.update("jax_enable_x64", False)
+        w32 = run()
+    finally:
+        jax.config.update("jax_enable_x64", old_x64)
+        cfg.set_config(dtype="float64")
+    assert np.max(np.abs(w64 - w32)) < 2e-5, (w64, w32)

@@ -328,3 +328,34 @@ def test_device_es_solve_with_F_target(ecw_es):
     assert "Convergence reached" in out_d[0]
     assert np.max(np.abs(out_h[3] - out_d[3])) < 1e-5
     assert np.max(np.abs(out_h[1]["ts"] - out_d[1]["ts"])) < 1e-5
+
+
+def test_device_es_solver_production_basis():
+    """f64 host-path parity at the PRODUCTION ES bench config (r3 VERDICT
+    next #3): H2O/6-31++g** with the reference's two QChem trdip targets
+    (/root/reference/test/Test_ECW_ES.py:1-50) — SolverES_Device must
+    converge and match the host Solver_ES energy matrix."""
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES, SolverES_Device
+    from ecw_cc_tpu.ops.ccs import Gccs
+
+    ecw = ECW("h2o", "6-31++g**")
+    dip1 = (0.523742 + 0.550251) / 2.0
+    dip2 = (0.622534 + 0.649058) / 2.0
+    ecw.Build_ES_exp_input([[["trdip", (dip1, 0.0, 0.0)]],
+                            [["trdip", (0.0, 0.0, dip2)]]])
+    L = 0.1
+    Vh = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    host = Solver_ES(Gccs(ecw.eris), Vh, rn_ini=ecw.r_ini, conv_var="rl",
+                     conv_thres=1e-5, maxiter=80, diis="all")
+    out_h = host.SCF(L, print_ite=False)
+    Vd = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+    dev_s = Solver_ES(Gccs(ecw.eris), Vd, rn_ini=ecw.r_ini, conv_var="rl",
+                      conv_thres=1e-5, maxiter=80, diis="all")
+    out_d = SolverES_Device(dev_s).SCF(L)
+    assert "Convergence reached" in out_h[0]
+    assert "Convergence reached" in out_d[0]
+    assert np.max(np.abs(out_h[3] - out_d[3])) < 1e-8
+    # the tracked ES1 stays in the QChem state's neighborhood (7.6051 eV)
+    e1 = out_d[3][1, 0] * EV
+    assert 6.5 < e1 < 8.5
