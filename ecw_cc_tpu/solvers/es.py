@@ -494,14 +494,19 @@ class Solver_ES:
                               + diag_W + float(F) + np.asarray(Pia)).ravel()
                     r0_cur = r0n[n - 1]
 
-                    def matvec_r(v):
-                        r = jnp.asarray(v.reshape(nocc, nvir))
-                        return np.asarray(ccs_ops.R1eq(r, r0_cur, Rinter)).ravel()
+                    # single-dispatch device Davidson (r3 VERDICT next #1:
+                    # the host-cycle loop was the last host-orchestrated
+                    # production solver); intermediates ride as operands
+                    def matvec_r(v, mops):
+                        Ri, r0c = mops
+                        return ccs_ops.R1eq(v.reshape(nocc, nvir), r0c,
+                                            Ri).ravel()
 
                     x0 = [np.ravel(np.asarray(rn[n - 1]))]
-                    conv_dav, w_dav, xs = ulinalg.davidson_nosym(
+                    conv_dav, w_dav, xs = ulinalg.davidson_device(
                         matvec_r, x0, diag_r, nroots=1, max_space=max_space,
-                        follow=True)
+                        follow=True,
+                        operands=(Rinter, jnp.asarray(r0_cur)))
                     Em = float(w_dav[0])
                     vec = np.asarray(xs[0])
                     vec = vec / np.linalg.norm(vec)
@@ -517,14 +522,15 @@ class Solver_ES:
                               + diag_Wl + float(F_l) + np.asarray(P_l)).ravel()
                     l0_cur = l0n[n - 1]
 
-                    def matvec_l(v):
-                        lv = jnp.asarray(v.reshape(nocc, nvir))
-                        return np.asarray(ccs_ops.es_L1eq(lv, l0_cur, Li)).ravel()
+                    def matvec_l(v, mops):
+                        Lii, l0c = mops
+                        return ccs_ops.es_L1eq(v.reshape(nocc, nvir), l0c,
+                                               Lii).ravel()
 
                     x0l = [np.ravel(np.asarray(ln[n - 1]))]
-                    conv_dl, w_dl, xls = ulinalg.davidson_nosym(
+                    conv_dl, w_dl, xls = ulinalg.davidson_device(
                         matvec_l, x0l, diag_l, nroots=1, max_space=max_space,
-                        follow=True)
+                        follow=True, operands=(Li, jnp.asarray(l0_cur)))
                     Em_l = float(w_dl[0])
                     lvec = np.asarray(xls[0])
                     lvec = lvec / np.linalg.norm(lvec)
