@@ -97,3 +97,41 @@ def test_ekin_v1e_dipole_hf_consistency(h2o_sto3g):
     # 2e energy from the MO eris: 0.5 sum_ij <ij||ij>
     e2 = 0.5 * np.einsum("ijij", eris_host.oooo)
     assert abs(ek + v1 + e2 + mol.energy_nuc() - ghf.e_tot) < 1e-8
+
+
+def test_u_format_coefficient_converters():
+    """The U/R/G MO-coefficient converters (reference utilities.py:246-310
+    — the reference's own U_format branch raises NotImplementedError at
+    Main.py:151, but the converters are part of its utilities surface):
+    round-trip identities, orthonormality preservation, and the spin
+    interleaving convention [0,1,0,1]."""
+    import numpy as np
+
+    from ecw_cc_tpu.utils.convert import (convert_g_to_r_coeff,
+                                          convert_r_to_g_coeff,
+                                          convert_u_to_g_coeff,
+                                          convert_u_to_g_moc)
+
+    rng = np.random.default_rng(0)
+    n = 6
+    C, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    G = convert_r_to_g_coeff(C)
+    assert G.shape == (2 * n, 2 * n)
+    # orthonormal R -> orthonormal G
+    assert np.allclose(G.T @ G, np.eye(2 * n), atol=1e-12)
+    # round trip
+    assert np.allclose(convert_g_to_r_coeff(G), C, atol=1e-15)
+    # alpha rows feed even columns only, beta rows odd columns only
+    assert np.allclose(G[:n, 1::2], 0.0) and np.allclose(G[n:, 0::2], 0.0)
+
+    Cb, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    Gu = convert_u_to_g_coeff((C, Cb))
+    assert np.allclose(Gu[:n, 0::2], C) and np.allclose(Gu[n:, 1::2], Cb)
+    assert np.allclose(Gu.T @ Gu, np.eye(2 * n), atol=1e-12)
+    # equal-spin U collapses to the R->G result
+    assert np.allclose(convert_u_to_g_coeff((C, C)), G)
+
+    moa = np.array([1.0, 1.0, 0.0])
+    mob = np.array([1.0, 0.0, 0.0])
+    mg = convert_u_to_g_moc((moa, mob))
+    assert np.allclose(mg, [1, 1, 1, 0, 0, 0])

@@ -69,9 +69,12 @@ def main():
             return y
         return jax.jit(run)
 
+    An = jnp.concatenate(B, axis=1)            # (K, k*N) as N-concat RHS
     schemes = {}
     schemes["sep"] = (lambda a, *bs: sum(a @ b for b in bs), A[0], *B)
+    schemes["one"] = (lambda a, b: a @ b, A[0], B[0])
     schemes["kconcat"] = (lambda a, b: a @ b, Ak, Bk)
+    schemes["nconcat"] = (lambda a, b: a @ b, A[0], An)
     schemes["batch"] = (
         lambda a, b: jnp.einsum("kmn,knp->kmp", a, b)[0], Ab, Bb)
     schemes["mstack"] = (lambda a, b: a @ b, Am, B[0])
@@ -90,6 +93,7 @@ def main():
         dt_ms = (time.perf_counter() - t0) * 1e3 / args.iters
         flops = {
             "sep": 2 * M * K * N * k, "kconcat": 2 * M * k * K * N,
+            "one": 2 * M * K * N, "nconcat": 2 * M * K * k * N,
             "batch": 2 * k * M * K * N, "mstack": 2 * k * M * K * N,
             "flipMN": 2 * M * K * N * k, "dense": 2 * 64 * M * K * N,
         }[name]
