@@ -586,3 +586,16 @@ def test_cube_orbital_g(tmp_path):
     dy = float(lines[4].split()[2])
     dz = float(lines[5].split()[3])
     assert abs(vals.sum() * dx * dy * dz - 1.0) < 0.05
+
+
+def test_driver_custom_geometry_second_row():
+    """The driver accepts arbitrary geometry strings and non-catalog
+    elements, like the reference's Main.py input path (Main.py:131-143
+    accepts any geometry + basis): H2S (second row, r4 front-end
+    extension) runs Build_GS_exp -> CCS_GS end to end."""
+    ecw = ECW("S 0 0 0.103; H 0 0.962 -0.824; H 0 -0.962 -0.824", "sto-3g")
+    ecw.Build_GS_exp("mat", "HF", field=[0.02, 0.0, 0.0])
+    res = ecw.CCS_GS([0.1], conv_thres=1e-6, maxiter=80)
+    assert "onverg" in res[0]
+    assert np.isfinite(res[1][-1])
+    assert abs(np.trace(np.asarray(res[4])) - ecw.nocc) < 1e-8
