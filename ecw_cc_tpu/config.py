@@ -98,9 +98,12 @@ class Config:
     #   'flip'    — emit the transposed orientation (stream the LARGE free
     #               dim as the MXU M) when N >= 2M
     #   'kconcat+flip' — both
-    # Measured on the chip by tools/probe_soup_batch.py; parity-tested all
-    # modes (exact: same multiply-add sets, flat reduction order).
-    soup_gemm: str = "sep"
+    # Measured on the chip (tools/tpu_measure_r4.py, pVTZ, 41-iter
+    # chains): sep 11.07 / kconcat 9.98 / flip 10.76 / kconcat+flip 9.92
+    # ms per 'highest' iteration (high 8.64, bf16 5.73; solve 265 -> 233
+    # ms) — 'kconcat+flip' is the default.  Parity-tested all modes
+    # (exact: same multiply-add sets, flat reduction order).
+    soup_gemm: str = "kconcat+flip"
 
 
 _config = Config(
@@ -113,7 +116,7 @@ _config = Config(
     spin_sorted=os.environ.get("ECW_CC_TPU_SORTED", "1") != "0",
     soup_sector=os.environ.get("ECW_CC_TPU_SOUPSECT", "1") != "0",
     soup_sym=os.environ.get("ECW_CC_TPU_SOUPSYM", "1") != "0",
-    soup_gemm=os.environ.get("ECW_CC_TPU_SOUPGEMM", "sep"),
+    soup_gemm=os.environ.get("ECW_CC_TPU_SOUPGEMM", "kconcat+flip"),
 )
 
 
