@@ -33,10 +33,15 @@ class Config:
     #   'sectors' — exact spin-block decomposition (measured slower than
     #               dense on the bench chip: strided slice/scatter
     #               relayouts; kept as a tested option),
-    #   'auto'    — packed at nvir >= ladder_packed_min_nvir, else dense
-    #               (measured crossover, tools/tpu_measure.py).
+    #   'auto'    — packed at nvir >= ladder_packed_min_nvir, else dense.
+    #               Crossover re-measured in r4 with the flat-GEMM engine +
+    #               sectored/sym kernels (tools/crossover_r4.py, C2H2):
+    #               nvir=62 (pVDZ) sorted route wins 2.15x step / 1.56x
+    #               solve; nvir=30 (6-31G) mixed (1.2x step win, 0.9x
+    #               solve loss) — gate placed between at 48 (was 96,
+    #               measured r2 pre-flat-GEMM).
     ladder_mode: str = "auto"
-    ladder_packed_min_nvir: int = 96
+    ladder_packed_min_nvir: int = 48
     # Degenerate-threshold used when dividing by orbital-energy gaps.
     # (The reference divides without protection; 0.0 reproduces that.)
     eia_shift: float = 0.0

@@ -20,7 +20,7 @@ config.setup_jax()
 
 import bench  # noqa: E402
 
-basis = {"pvdz": "cc-pvdz", "pvtz": "cc-pvtz"}[
+basis = {"pvdz": "cc-pvdz", "pvtz": "cc-pvtz", "631g": "6-31g"}[
     sys.argv[1] if len(sys.argv) > 1 else "pvdz"]
 
 # bench_config picks the route from resolve_mode(nvir): force each side
