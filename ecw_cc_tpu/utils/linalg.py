@@ -531,15 +531,196 @@ def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
     return conv, theta_h, [X[k] for k in range(nroots)]
 
 
+def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
+                              max_cycle=80, max_space=20, follow=False,
+                              guesses=None, verbose=False, operands=None,
+                              project=None):
+    """ONE-round-trip-per-cycle device Davidson with a HOST small eig.
+
+    Measured on the axon chip (r4): the fully-fused variant's on-device
+    nonsymmetric eig (utils/schur) costs 5-10 ms per call at max_space
+    20-30 — latency-bound QR sweeps — and the fused loop LOST to the
+    host-cycle variant on the IP/EA bench (2.8 s vs 1.6 s).  This variant
+    keeps the eig on the host (np.linalg.eig of the <= max_space projected
+    matrix, ~0.1 ms) but folds the whole per-cycle device work — Ritz
+    residuals, preconditioned expansion, CGS2 insert, batched matvec,
+    restart AND the next projected matrix — into ONE dispatch whose packed
+    (H | G-overlaps | rn | m) result is fetched in ONE transfer: ~24 ms
+    round-trip + device body per cycle, vs 3 blocking fetches in
+    davidson_nosym_device.
+
+    Same semantics/arguments as davidson_nosym_device (incl. `project`,
+    the f32 null-space guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    diag_h = np.asarray(diag, dtype=float)
+    n = diag_h.size
+    x0h = np.array([np.asarray(v, dtype=float).ravel() for v in x0])
+    B = x0h.shape[0]
+    S = int(max_space)
+    if B > S:
+        raise ValueError("more guesses than max_space")
+    dtype = jnp.zeros(0).dtype  # respect enable_x64
+    diag_d = jnp.asarray(diag_h, dtype)
+    tiny = np.finfo(np.float32 if dtype == jnp.float32 else np.float64).tiny
+
+    if operands is None:
+        def _mv1(v, ops):
+            return matvec(v)
+    else:
+        _mv1 = matvec
+
+    Gh = None
+    if follow:
+        Gh = jnp.asarray(np.array([np.asarray(g, dtype=float).ravel()
+                                   for g in (x0 if guesses is None
+                                             else guesses)]), dtype)
+    ng = 0 if Gh is None else Gh.shape[0]
+
+    def _ortho_insert(V, m, D):
+        rows = jnp.arange(S)
+
+        def body(carry, d):
+            V, ptr = carry
+            if project is not None:
+                d = project(d)
+            mask = (rows < ptr).astype(V.dtype)
+            for _ in range(2):
+                d = d - V.T @ ((V @ d) * mask)
+            if project is not None:
+                d = project(d)
+            nrm = jnp.linalg.norm(d)
+            ok = (nrm >= 1e-12) & (ptr < S)
+            row = jnp.where(ok, d / jnp.maximum(nrm, tiny),
+                            jnp.zeros_like(d))
+            V = jnp.where(ok, jax.lax.dynamic_update_slice(
+                V, row[None, :], (ptr, 0)), V)
+            return (V, ptr + ok.astype(ptr.dtype)), nrm
+
+        (V, ptr), _ = jax.lax.scan(body, (V, m), D)
+        return V, ptr
+
+    def _mv_rows(V, AV, start, k, ops):
+        block = jax.lax.dynamic_slice(V, (start, 0), (k, n))
+        Ab = jax.vmap(lambda v: _mv1(v, ops))(block).astype(V.dtype)
+        return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
+
+    def _pack(V, AV, m, rn):
+        H = V @ AV.T
+        parts = [H.ravel()]
+        if Gh is not None:
+            parts.append((Gh @ V.T).ravel())
+        parts.append(rn.astype(dtype))
+        parts.append(m.astype(dtype)[None])
+        return jnp.concatenate(parts)
+
+    @jax.jit
+    def _init(x0_d, ops):
+        V = jnp.zeros((S, n), dtype)
+        AV = jnp.zeros((S, n), dtype)
+        V, m = _ortho_insert(V, jnp.asarray(0), x0_d)
+        AV = _mv_rows(V, AV, 0, B, ops)
+        return V, AV, m, _pack(V, AV, m,
+                               jnp.full((nroots,), jnp.inf, dtype))
+
+    @jax.jit
+    def _cycle(V, AV, m, Y, theta, ops):
+        # Ritz pairs for the HOST-provided Y/theta, residual expansion,
+        # insert, matvec, restart, and the NEXT projected matrix — one
+        # dispatch, one packed fetch
+        X = Y @ V
+        AX = Y @ AV
+        R = AX - theta[:, None] * X
+        rn = jnp.linalg.norm(R, axis=1)
+        conv = rn < tol
+        Xu = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True),
+                             tiny)
+        denom = theta[:, None] - diag_d[None, :]
+        denom = jnp.where(jnp.abs(denom) < 1e-8,
+                          jnp.sign(denom + 1e-30) * 1e-8, denom)
+        D = jnp.where(conv[:, None], jnp.zeros_like(R), R / denom)
+        n_new = jnp.sum(~conv)
+
+        def collapse(args):
+            V, AV, m = args
+            Vc, mc = _ortho_insert(jnp.zeros_like(V), jnp.asarray(0), Xu)
+            AVc = _mv_rows(Vc, jnp.zeros_like(AV), 0, nroots, ops)
+            return Vc, AVc, mc
+
+        V, AV, m = jax.lax.cond(m + n_new > S, collapse,
+                                lambda a: a, (V, AV, m))
+        V, ptr = _ortho_insert(V, m, D)
+        AV = _mv_rows(V, AV, m, nroots, ops)
+        return V, AV, ptr, _pack(V, AV, ptr, rn)
+
+    @jax.jit
+    def _ritz(V, Y):
+        X = Y @ V
+        return X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True),
+                               tiny)
+
+    def _unpack(p):
+        p = np.asarray(p)                        # the ONE fetch per cycle
+        H = p[: S * S].reshape(S, S)
+        off = S * S
+        Gov = None
+        if ng:
+            Gov = p[off: off + ng * S].reshape(ng, S)
+            off += ng * S
+        rn = p[off: off + nroots]
+        return H, Gov, rn, int(round(float(p[off + nroots])))
+
+    V, AV, m_dev, packed = _init(jnp.asarray(x0h, dtype), operands)
+    H, Gov, rn, m = _unpack(packed)
+    if m < nroots:
+        raise ValueError("no independent initial vectors")
+    conv = [False] * nroots
+    theta = np.zeros(nroots)
+    Y_h = None
+    for cycle in range(max_cycle):
+        w, y = np.linalg.eig(H[:m, :m])
+        if follow:
+            score = np.max(np.abs(Gov[:, :m] @ y.real), axis=0)
+            order = np.argsort(-score)
+        else:
+            order = np.argsort(w.real)
+        w = w[order]
+        y = y[:, order]
+        kc = min(nroots, m)
+        theta[:kc] = w[:kc].real
+        Y_h = np.zeros((nroots, S))
+        Y_h[:kc, :m] = y[:, :nroots].real.T
+        m_prev = m
+        V, AV, m_dev, packed = _cycle(V, AV, m_dev, jnp.asarray(Y_h, dtype),
+                                      jnp.asarray(theta, dtype), operands)
+        H, Gov, rn, m = _unpack(packed)
+        conv = [bool(r < tol) for r in rn]
+        if verbose:
+            print(f"  davidson(pipelined) cycle {cycle:3d} m={m_prev:3d} "
+                  f"|r|={[f'{r:.2e}' for r in rn]}", flush=True)
+        if all(conv[:nroots]):
+            break
+        if m == m_prev:
+            break                                # stall: no new directions
+    X = _ritz(V, jnp.asarray(Y_h, dtype))
+    return conv, theta[:nroots].copy(), [X[k] for k in range(nroots)]
+
+
 def davidson_device(matvec, x0, diag, **kw):
-    """Dispatcher: the fused single-dispatch Davidson by default, the
-    host-cycle variant with ECW_CC_TPU_DAVIDSON=host (kept for A/B
-    measurements and as a fallback)."""
+    """Dispatcher: the pipelined one-round-trip Davidson by default
+    (measured fastest over the axon tunnel), the fully-fused while_loop
+    variant with ECW_CC_TPU_DAVIDSON=fused (one dispatch per SOLVE — wins
+    only when per-cycle round-trips cost more than the on-device small
+    eig), the r3 host-cycle loop with =host."""
     import os
 
-    if os.environ.get("ECW_CC_TPU_DAVIDSON", "fused") == "host":
+    mode = os.environ.get("ECW_CC_TPU_DAVIDSON", "pipelined")
+    if mode == "host":
         return davidson_nosym_device(matvec, x0, diag, **kw)
-    return davidson_fused_device(matvec, x0, diag, **kw)
+    if mode == "fused":
+        return davidson_fused_device(matvec, x0, diag, **kw)
+    return davidson_pipelined_device(matvec, x0, diag, **kw)
 
 
 def davidson_nosym_device(matvec, x0, diag, nroots=1, tol=1e-8,

@@ -61,8 +61,13 @@ def _test_matrix(n=120, seed=3):
     return A
 
 
+VARIANTS = {"fused": "davidson_fused_device",
+            "pipelined": "davidson_pipelined_device"}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
 @pytest.mark.parametrize("nroots", [1, 3])
-def test_fused_davidson_matches_host(nroots):
+def test_fused_davidson_matches_host(nroots, variant):
     A = _test_matrix()
     n = A.shape[0]
     diag = np.diag(A)
@@ -74,7 +79,7 @@ def test_fused_davidson_matches_host(nroots):
 
     conv_h, w_h, xs_h = linalg.davidson_nosym(
         lambda v: A @ v, x0, diag, nroots=nroots, tol=1e-9)
-    conv_f, w_f, xs_f = linalg.davidson_fused_device(
+    conv_f, w_f, xs_f = getattr(linalg, VARIANTS[variant])(
         mv, x0, diag, nroots=nroots, tol=1e-9, operands=ops)
     assert all(conv_h[:nroots]) and all(conv_f[:nroots])
     assert np.allclose(w_f[:nroots], w_h[:nroots], atol=1e-8)
@@ -84,7 +89,8 @@ def test_fused_davidson_matches_host(nroots):
         assert abs(abs(np.dot(xf, xh)) - 1.0) < 1e-6
 
 
-def test_fused_davidson_follow_mode():
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_fused_davidson_follow_mode(variant):
     """Root homing: seed on the 5th-lowest diagonal; follow=True must stay
     on that root instead of falling to the ground state."""
     A = _test_matrix(seed=5)
@@ -96,18 +102,20 @@ def test_fused_davidson_follow_mode():
     def mv(v, ops):
         return ops @ v
 
-    conv, w, xs = linalg.davidson_fused_device(
+    solver = getattr(linalg, VARIANTS[variant])
+    conv, w, xs = solver(
         mv, x0, diag, nroots=1, tol=1e-9, follow=True, operands=ops)
     w_all = np.sort(np.linalg.eigvals(A).real)
     assert conv[0]
     assert abs(w[0] - w_all[4]) < 1e-7
     # and WITHOUT follow it finds the lowest
-    conv2, w2, _ = linalg.davidson_fused_device(
+    conv2, w2, _ = solver(
         mv, x0, diag, nroots=1, tol=1e-9, follow=False, operands=ops)
     assert conv2[0] and abs(w2[0] - w_all[0]) < 1e-7
 
 
-def test_fused_davidson_restart():
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_fused_davidson_restart(variant):
     """max_space smaller than the cycles needed forces the collapse path."""
     A = _test_matrix(seed=7)
     n = A.shape[0]
@@ -117,7 +125,7 @@ def test_fused_davidson_restart():
     def mv(v, ops):
         return ops @ v
 
-    conv, w, xs = linalg.davidson_fused_device(
+    conv, w, xs = getattr(linalg, VARIANTS[variant])(
         mv, [np.eye(n)[0]], diag, nroots=1, tol=1e-9, max_space=5,
         operands=ops)
     w_all = np.sort(np.linalg.eigvals(A).real)
