@@ -93,6 +93,87 @@ def make_sigma(eris, t1, t2, fsp=None, vvvv_op=None, sect=None):
     return sigma, sigma_left
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _mv_factory(nocc, nvir, sect):
+    """STABLE (mv_right, mv_left, project, unpack) for one EE problem
+    config — the pipelined Davidson caches its jitted programs on the
+    matvec identity (utils/linalg._pl_programs); per-call closures
+    re-traced the sigma on every solve.  sect: None or the hashable
+    (SectorInfo, sym) pair.  All large operands stay jit ARGUMENTS; only
+    the static spin-balance masks live in the closure."""
+    nov = nocc * nvir
+
+    def _asym(r2):
+        return 0.25 * (r2 - jnp.transpose(r2, (1, 0, 2, 3))
+                       - jnp.transpose(r2, (0, 1, 3, 2))
+                       + jnp.transpose(r2, (1, 0, 3, 2)))
+
+    if sect is not None:
+        # spin-balance projector (static masks): the sectored Jacobian's
+        # off-balance sector is an exact null space, and in f32 the
+        # preconditioned Davidson residuals otherwise accumulate roundoff
+        # there until a spurious ~0 root converges; masking every iterate
+        # and matvec output keeps the Krylov space exactly Sz-conserving
+        # (binary spins: multiset balance {si,sj}=={sa,sb} iff sums match)
+        inf = sect[0]
+        so = np.zeros(nocc, dtype=int)
+        so[inf.oa:] = 1
+        sv = np.zeros(nvir, dtype=int)
+        sv[inf.va:] = 1
+        mask1 = jnp.asarray((so[:, None] == sv[None, :]).astype(np.float64))
+        mask2 = jnp.asarray(
+            ((so[:, None, None, None] + so[None, :, None, None])
+             == (sv[None, None, :, None]
+                 + sv[None, None, None, :])).astype(np.float64))
+    else:
+        mask1 = mask2 = None
+
+    def unpack(v, asym=True):
+        r1 = v[:nov].reshape(nocc, nvir)
+        r2 = v[nov:].reshape(nocc, nocc, nvir, nvir)
+        if asym:
+            r2 = _asym(r2)
+        if mask1 is not None:
+            r1 = r1 * mask1.astype(r1.dtype)
+            r2 = r2 * mask2.astype(r2.dtype)
+        return r1, r2
+
+    def _pack_out(s1, s2):
+        if mask1 is not None:
+            s1 = s1 * mask1.astype(s1.dtype)
+            s2 = s2 * mask2.astype(s2.dtype)
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
+
+    def mv_right(v, mops):
+        er, vvo, f, a, b = mops
+        s1, s2 = _sigma_right(er, vvo, f, a, b,
+                              *unpack(v.astype(a.dtype)), sect=sect)
+        return _pack_out(s1, s2)
+
+    def mv_left(v, mops):
+        # transpose of (A . P) is P . A^T: the raw cotangent goes into the
+        # vjp unprojected, and the OUTPUT doubles part is antisymmetrized
+        # (the left map restricted to the physical subspace)
+        er, vvo, f, a, b = mops
+        s1, s2 = _sigma_left(er, vvo, f, a, b,
+                             *unpack(v.astype(a.dtype), asym=False),
+                             sect=sect)
+        s2 = _asym(jnp.asarray(s2))
+        return _pack_out(s1, s2)
+
+    def project(v):
+        # full input-space projector (antisymmetry x spin balance) for the
+        # Davidson's candidate directions (f32 null-space spurious-root
+        # guard; regression: test_eom_f32_roots_match_f64)
+        r1, r2 = unpack(v)
+        return jnp.concatenate([r1.ravel(), r2.ravel()])
+
+    return mv_right, mv_left, project, unpack
+
+
 def koopman_guesses(eris, nroots, alpha_only=True, info=None):
     """Unit r1 vectors on the smallest orbital-energy gaps (Koopman);
     with alpha_only, only alpha->alpha excitations are seeded so degenerate
@@ -140,66 +221,12 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
     d2 = -(eia[:, None, :, None] + eia[None, :, None, :]).ravel()
     diag = np.concatenate([d1, d2])
 
-    def _asym(r2):
-        return 0.25 * (r2 - jnp.transpose(r2, (1, 0, 2, 3))
-                       - jnp.transpose(r2, (0, 1, 3, 2))
-                       + jnp.transpose(r2, (1, 0, 3, 2)))
-
-    if sect is not None:
-        # spin-balance projector (static masks): the sectored Jacobian's
-        # off-balance sector is an exact null space, and in f32 the
-        # preconditioned Davidson residuals otherwise accumulate roundoff
-        # there until a spurious ~0 root converges; masking every iterate
-        # and matvec output keeps the Krylov space exactly Sz-conserving
-        # (binary spins: multiset balance {si,sj}=={sa,sb} iff sums match)
-        inf = sect[0]
-        so = np.zeros(nocc, dtype=int)
-        so[inf.oa:] = 1
-        sv = np.zeros(nvir, dtype=int)
-        sv[inf.va:] = 1
-        mask1 = (so[:, None] == sv[None, :]).astype(np.float64)
-        mask2 = ((so[:, None, None, None] + so[None, :, None, None])
-                 == (sv[None, None, :, None]
-                     + sv[None, None, None, :])).astype(np.float64)
-    else:
-        mask1 = mask2 = None
-
-    if mask1 is not None:
-        mask1_d = jnp.asarray(mask1, dtype=t1.dtype)
-        mask2_d = jnp.asarray(mask2, dtype=t1.dtype)
-
-    def unpack(v, asym=True):
-        v = jnp.asarray(v, dtype=t1.dtype)
-        r1 = v[:nov].reshape(nocc, nvir)
-        r2 = v[nov:].reshape(nocc, nocc, nvir, nvir)
-        if asym:
-            r2 = _asym(r2)
-        if mask1 is not None:
-            r1 = r1 * mask1_d
-            r2 = r2 * mask2_d
-        return r1, r2
-
-    def _pack_out(s1, s2):
-        if mask1 is not None:
-            s1 = s1 * mask1_d
-            s2 = s2 * mask2_d
-        return jnp.concatenate([s1.ravel(), s2.ravel()])
-
-    # full input-space projector (antisymmetry x spin balance) for the
-    # Davidson's candidate directions: without it, f32 preconditioned
-    # residuals accumulate roundoff in the operator's structural null
-    # space and a spurious ~0 root converges first (utils/linalg
-    # davidson_fused_device docstring; regression: test_eom_f32_roots)
-    def _project(v):
-        r1, r2 = unpack(v)
-        return jnp.concatenate([r1.ravel(), r2.ravel()])
-
-    # device-resident Davidson: the basis stays on device; only the
-    # projected small matrices cross the tunnel (utils/linalg)
-    def mv_right(v, mops):
-        er, vvo, f, a, b = mops
-        s1, s2 = _sigma_right(er, vvo, f, a, b, *unpack(v), sect=sect)
-        return _pack_out(s1, s2)
+    # STABLE matvec/projector objects (lru_cached factory): the pipelined
+    # Davidson caches its jitted programs on the matvec identity
+    # (utils/linalg._pl_programs) — per-call closures re-traced the sigma
+    # on every solve
+    mv_right, _mv_left_raw, _project, unpack = _mv_factory(
+        nocc, nvir, sect)
 
     if guess is None:
         guess = koopman_guesses(eris, nroots,
@@ -233,19 +260,12 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         idx = int(np.argmax(av >= 0.999 * av.max()))
         if v[idx] < 0:
             v = -v
-        Rs.append(tuple(np.asarray(a) for a in unpack(v)))
+        Rs.append(tuple(np.asarray(a) for a in
+                  unpack(jnp.asarray(v, dtype=t1.dtype))))
     if not left:
         return omegas, Rs
 
-    def mv_left(v, mops):
-        # transpose of (A . P) is P . A^T: the raw cotangent goes into the
-        # vjp unprojected, and the OUTPUT doubles part is antisymmetrized
-        # (the left map restricted to the physical subspace)
-        er, vvo, f, a, b = mops
-        s1, s2 = _sigma_left(er, vvo, f, a, b, *unpack(v, asym=False),
-                             sect=sect)
-        s2 = _asym(jnp.asarray(s2))
-        return _pack_out(s1, s2)
+    mv_left = _mv_left_raw
 
     Ls = []
     for k in range(nroots):
@@ -266,7 +286,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                 "transition density built from it may be inaccurate",
                 RuntimeWarning, stacklevel=2)
         lv = np.asarray(xls[0])
-        l1, l2 = unpack(lv)
+        l1, l2 = unpack(jnp.asarray(lv, dtype=t1.dtype))
         # METRIC CORRECTION + biorthonormalization.  The Davidson solves
         # the transpose of the raw-storage map, whose inner product counts
         # each physical (i<j, a<b) doubles slot 4x; the true left

@@ -166,6 +166,57 @@ def _asym2(x, kind):
     return 0.5 * (x - jnp.transpose(x, (0, 2, 1)))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _mv_factory(kind, use_packed, nocc, nvir):
+    """STABLE (mv_right, mv_left, project, unpack) for one problem config.
+
+    The pipelined Davidson caches its jitted device programs on the matvec
+    identity (utils/linalg._pl_programs); closures re-created per solve
+    re-trace the sigma every call.  All operands (eris, ladder op, fock,
+    amplitudes) stay jit ARGUMENTS — the functions close over static
+    shape/config only."""
+    n1 = nocc if kind == "ip" else nvir
+    shape2 = (nocc, nocc, nvir) if kind == "ip" else (nocc, nvir, nvir)
+
+    def unpack(v, asym=True):
+        r1 = v[:n1]
+        r2 = v[n1:].reshape(shape2)
+        if asym:
+            r2 = _asym2(r2, kind)
+        return r1, r2
+
+    def mv_right(v, mops):
+        er, vvo, f, a, b = mops
+        r1, r2 = unpack(v.astype(a.dtype))
+        s1, s2 = _sigma(er, vvo, f, a, b, r1, r2, kind,
+                        use_packed=use_packed)
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
+
+    def mv_left(v, mops):
+        # transpose of (A . P) is P . A^T: raw cotangent in, output doubles
+        # antisymmetrized (same reasoning as ops/eom.mv_left)
+        er, vvo, f, a, b = mops
+        l1, l2 = unpack(v.astype(a.dtype), asym=False)
+        _, vjp = jax.vjp(
+            lambda x, y: _sigma(er, vvo, f, a, b, x, y, kind,
+                                use_packed=use_packed),
+            jnp.zeros_like(l1), jnp.zeros_like(l2))
+        s1, s2 = vjp((l1, l2))
+        s2 = _asym2(jnp.asarray(s2), kind)
+        return jnp.concatenate([s1.ravel(), s2.ravel()])
+
+    def project(v):
+        # antisymmetry projector for the Davidson candidate directions
+        # (f32 null-space spurious-root guard, utils/linalg)
+        r1, r2 = unpack(v)
+        return jnp.concatenate([r1.ravel(), r2.ravel()])
+
+    return mv_right, mv_left, project, unpack
+
+
 def make_sigma_ipea(eris, t1, t2, kind, fsp=None, connected=True,
                     vvvv_op=None):
     """(sigma, sigma_left) closures at fixed amplitudes.
@@ -254,28 +305,12 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
     if guess is None:
         guess = auto_guess
 
-    def unpack(v, asym=True):
-        r1 = jnp.asarray(v, dtype=t1.dtype)[:n1]
-        r2 = jnp.asarray(v, dtype=t1.dtype)[n1:].reshape(shape2)
-        if asym:
-            r2 = _asym2(r2, kind)
-        return r1, r2
-
-    # device-resident Davidson: basis/images stay on device, only the
-    # projected (m, m) matrix and Ritz coefficients cross to the host
-    # (utils/linalg.davidson_nosym_device; over the axon tunnel the host
-    # variant's per-matvec vector round-trips dominate the solve)
-    def mv_right(v, mops):
-        er, vvo, f, a, b = mops
-        s1, s2 = _sigma(er, vvo, f, a, b, *unpack(v), kind,
-                        use_packed=use_packed)
-        return jnp.concatenate([s1.ravel(), s2.ravel()])
-
-    # antisymmetry projector for the Davidson candidate directions (f32
-    # null-space spurious-root guard, utils/linalg davidson_fused_device)
-    def _project(v):
-        r1, r2 = unpack(v)
-        return jnp.concatenate([r1.ravel(), r2.ravel()])
+    # STABLE matvec/projector objects from the lru_cached factory: the
+    # pipelined Davidson caches its jitted programs on the matvec identity
+    # (utils/linalg._pl_programs) — per-call closures re-traced the sigma
+    # on every solve (~1.5-2 s host tracing each, r4 measurement)
+    mv_right, mv_left_, _project, unpack = _mv_factory(
+        kind, use_packed, nocc, nvir)
 
     conv, w, xs = davidson_device(mv_right, guess, diag,
                                         nroots=nroots, tol=tol,
@@ -303,22 +338,12 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
         idx = int(np.argmax(av >= 0.999 * av.max()))
         if v[idx] < 0:
             v = -v
-        Rs.append(tuple(np.asarray(a) for a in unpack(v)))
+        Rs.append(tuple(np.asarray(a) for a in
+                  unpack(jnp.asarray(v, dtype=t1.dtype))))
     if not left:
         return omegas, Rs
 
-    def mv_left(v, mops):
-        # transpose of (A . P) is P . A^T: raw cotangent in, output doubles
-        # antisymmetrized (same reasoning as ops/eom.mv_left)
-        er, vvo, f, a, b = mops
-        l1, l2 = unpack(v, asym=False)
-        _, vjp = jax.vjp(
-            lambda x, y: _sigma(er, vvo, f, a, b, x, y, kind,
-                                use_packed=use_packed),
-            jnp.zeros_like(l1), jnp.zeros_like(l2))
-        s1, s2 = vjp((l1, l2))
-        s2 = _asym2(jnp.asarray(s2), kind)
-        return jnp.concatenate([s1.ravel(), s2.ravel()])
+    mv_left = mv_left_
 
     Ls = []
     for k in range(nroots):
@@ -337,7 +362,8 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                 f"EOM-{kind.upper()} left Davidson unconverged for root {k} "
                 f"(omega={omegas[k]:.6f}, tol={tol})",
                 RuntimeWarning, stacklevel=2)
-        l1, l2 = unpack(np.asarray(xls[0]))
+        l1, l2 = unpack(jnp.asarray(np.asarray(xls[0]),
+                                    dtype=t1.dtype))
         # METRIC CORRECTION + biorthonormalization (see ops/eom.py): the
         # raw-storage metric counts each (i<j) / (a<b) slot 2x, so the
         # true left eigenvector is D.y with D = diag(1, 2); returned Ls

@@ -531,55 +531,35 @@ def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
     return conv, theta_h, [X[k] for k in range(nroots)]
 
 
-def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
-                              max_cycle=80, max_space=20, follow=False,
-                              guesses=None, verbose=False, operands=None,
-                              project=None):
-    """ONE-round-trip-per-cycle device Davidson with a HOST small eig.
+_PL_PROGRAMS = {}
 
-    Measured on the axon chip (r4): the fully-fused variant's on-device
-    nonsymmetric eig (utils/schur) costs 5-10 ms per call at max_space
-    20-30 — latency-bound QR sweeps — and the fused loop LOST to the
-    host-cycle variant on the IP/EA bench (2.8 s vs 1.6 s).  This variant
-    keeps the eig on the host (np.linalg.eig of the <= max_space projected
-    matrix, ~0.1 ms) but folds the whole per-cycle device work — Ritz
-    residuals, preconditioned expansion, CGS2 insert, batched matvec,
-    restart AND the next projected matrix — into ONE dispatch whose packed
-    (H | G-overlaps | rn | m) result is fetched in ONE transfer: ~24 ms
-    round-trip + device body per cycle, vs 3 blocking fetches in
-    davidson_nosym_device.
 
-    Same semantics/arguments as davidson_nosym_device (incl. `project`,
-    the f32 null-space guard)."""
+def _pl_programs(mv, project, S, B, nroots, n, no_ops, dkey):
+    """Build (or fetch) the three jitted programs of the pipelined Davidson.
+
+    Cached on the matvec/projector IDENTITY + static shape config: a
+    davidson call that re-created its jitted closures per solve re-traced
+    the sigma every time (measured ~1.5-2 s host tracing + persistent-
+    cache loads per solve on the axon setup).  Call sites must therefore
+    pass STABLE function objects (lru_cached factories in ops/eom.py,
+    ops/eom_ipea.py, solvers/es.py)."""
     import jax
     import jax.numpy as jnp
 
-    diag_h = np.asarray(diag, dtype=float)
-    n = diag_h.size
-    x0h = np.array([np.asarray(v, dtype=float).ravel() for v in x0])
-    B = x0h.shape[0]
-    S = int(max_space)
-    if B > S:
-        raise ValueError("more guesses than max_space")
-    dtype = jnp.zeros(0).dtype  # respect enable_x64
-    diag_d = jnp.asarray(diag_h, dtype)
-    tiny = np.finfo(np.float32 if dtype == jnp.float32 else np.float64).tiny
+    key = (mv, project, S, B, nroots, n, no_ops, dkey)
+    hit = _PL_PROGRAMS.get(key)
+    if hit is not None:
+        return hit
 
-    if operands is None:
+    if no_ops:
         def _mv1(v, ops):
-            return matvec(v)
+            return mv(v)
     else:
-        _mv1 = matvec
-
-    Gh = None
-    if follow:
-        Gh = jnp.asarray(np.array([np.asarray(g, dtype=float).ravel()
-                                   for g in (x0 if guesses is None
-                                             else guesses)]), dtype)
-    ng = 0 if Gh is None else Gh.shape[0]
+        _mv1 = mv
 
     def _ortho_insert(V, m, D):
         rows = jnp.arange(S)
+        tiny = jnp.finfo(V.dtype).tiny
 
         def body(carry, d):
             V, ptr = carry
@@ -606,34 +586,33 @@ def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
         Ab = jax.vmap(lambda v: _mv1(v, ops))(block).astype(V.dtype)
         return jax.lax.dynamic_update_slice(AV, Ab, (start, 0))
 
-    def _pack(V, AV, m, rn):
+    def _pack(V, AV, m, rn, G_d):
         H = V @ AV.T
-        parts = [H.ravel()]
-        if Gh is not None:
-            parts.append((Gh @ V.T).ravel())
-        parts.append(rn.astype(dtype))
-        parts.append(m.astype(dtype)[None])
-        return jnp.concatenate(parts)
+        return jnp.concatenate([H.ravel(), (G_d @ V.T).ravel(),
+                                rn.astype(V.dtype),
+                                m.astype(V.dtype)[None]])
 
     @jax.jit
-    def _init(x0_d, ops):
+    def init(x0_d, G_d, ops):
+        dtype = x0_d.dtype
         V = jnp.zeros((S, n), dtype)
         AV = jnp.zeros((S, n), dtype)
         V, m = _ortho_insert(V, jnp.asarray(0), x0_d)
         AV = _mv_rows(V, AV, 0, B, ops)
         return V, AV, m, _pack(V, AV, m,
-                               jnp.full((nroots,), jnp.inf, dtype))
+                               jnp.full((nroots,), jnp.inf, dtype), G_d)
 
     @jax.jit
-    def _cycle(V, AV, m, Y, theta, ops):
+    def cycle(V, AV, m, Y, theta, diag_d, tol_d, G_d, ops):
         # Ritz pairs for the HOST-provided Y/theta, residual expansion,
         # insert, matvec, restart, and the NEXT projected matrix — one
         # dispatch, one packed fetch
+        tiny = jnp.finfo(V.dtype).tiny
         X = Y @ V
         AX = Y @ AV
         R = AX - theta[:, None] * X
         rn = jnp.linalg.norm(R, axis=1)
-        conv = rn < tol
+        conv = rn < tol_d
         Xu = X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True),
                              tiny)
         denom = theta[:, None] - diag_d[None, :]
@@ -652,33 +631,81 @@ def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
                                 lambda a: a, (V, AV, m))
         V, ptr = _ortho_insert(V, m, D)
         AV = _mv_rows(V, AV, m, nroots, ops)
-        return V, AV, ptr, _pack(V, AV, ptr, rn)
+        return V, AV, ptr, _pack(V, AV, ptr, rn, G_d)
 
     @jax.jit
-    def _ritz(V, Y):
+    def ritz(V, Y):
         X = Y @ V
         return X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True),
-                               tiny)
+                               jnp.finfo(V.dtype).tiny)
+
+    _PL_PROGRAMS[key] = (init, cycle, ritz)
+    return init, cycle, ritz
+
+
+def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
+                              max_cycle=80, max_space=20, follow=False,
+                              guesses=None, verbose=False, operands=None,
+                              project=None):
+    """ONE-round-trip-per-cycle device Davidson with a HOST small eig.
+
+    Measured on the axon chip (r4): the fully-fused variant's on-device
+    nonsymmetric eig (utils/schur) costs 5-10 ms per call at max_space
+    20-30 — latency-bound QR sweeps — and the fused loop LOST to the
+    host-cycle variant on the IP/EA bench.  This variant keeps the eig on
+    the host (np.linalg.eig of the <= max_space projected matrix, ~0.1 ms)
+    but folds the whole per-cycle device work — Ritz residuals,
+    preconditioned expansion, CGS2 insert, batched matvec, restart AND the
+    next projected matrix — into ONE dispatch whose packed
+    (H | G-overlaps | rn | m) result is fetched in ONE transfer.
+
+    The device programs are cached on the (matvec, project) IDENTITY
+    (_pl_programs): pass STABLE function objects (lru_cached factories at
+    the call sites) or every solve re-traces the sigma.
+
+    Same semantics/arguments as davidson_nosym_device (incl. `project`,
+    the f32 null-space guard)."""
+    import jax.numpy as jnp
+
+    diag_h = np.asarray(diag, dtype=float)
+    n = diag_h.size
+    x0h = np.array([np.asarray(v, dtype=float).ravel() for v in x0])
+    B = x0h.shape[0]
+    S = int(max_space)
+    if B > S:
+        raise ValueError("more guesses than max_space")
+    dtype = jnp.zeros(0).dtype  # respect enable_x64
+    diag_d = jnp.asarray(diag_h, dtype)
+    tol_d = jnp.asarray(tol, dtype)
+
+    if follow:
+        Gh = np.array([np.asarray(g, dtype=float).ravel()
+                       for g in (x0 if guesses is None else guesses)])
+    else:
+        Gh = np.zeros((0, n))
+    ng = Gh.shape[0]
+    G_d = jnp.asarray(Gh, dtype)
+
+    init, cycle, ritz = _pl_programs(matvec, project, S, B, nroots, n,
+                                     operands is None, str(dtype))
 
     def _unpack(p):
         p = np.asarray(p)                        # the ONE fetch per cycle
         H = p[: S * S].reshape(S, S)
         off = S * S
-        Gov = None
-        if ng:
-            Gov = p[off: off + ng * S].reshape(ng, S)
-            off += ng * S
+        Gov = p[off: off + ng * S].reshape(ng, S)
+        off += ng * S
         rn = p[off: off + nroots]
         return H, Gov, rn, int(round(float(p[off + nroots])))
 
-    V, AV, m_dev, packed = _init(jnp.asarray(x0h, dtype), operands)
+    V, AV, m_dev, packed = init(jnp.asarray(x0h, dtype), G_d, operands)
     H, Gov, rn, m = _unpack(packed)
     if m < nroots:
         raise ValueError("no independent initial vectors")
     conv = [False] * nroots
     theta = np.zeros(nroots)
-    Y_h = None
-    for cycle in range(max_cycle):
+    Y_h = np.zeros((nroots, S))
+    for cyc in range(max_cycle):
         w, y = np.linalg.eig(H[:m, :m])
         if follow:
             score = np.max(np.abs(Gov[:, :m] @ y.real), axis=0)
@@ -692,18 +719,19 @@ def davidson_pipelined_device(matvec, x0, diag, nroots=1, tol=1e-8,
         Y_h = np.zeros((nroots, S))
         Y_h[:kc, :m] = y[:, :nroots].real.T
         m_prev = m
-        V, AV, m_dev, packed = _cycle(V, AV, m_dev, jnp.asarray(Y_h, dtype),
-                                      jnp.asarray(theta, dtype), operands)
+        V, AV, m_dev, packed = cycle(V, AV, m_dev, jnp.asarray(Y_h, dtype),
+                                     jnp.asarray(theta, dtype), diag_d,
+                                     tol_d, G_d, operands)
         H, Gov, rn, m = _unpack(packed)
         conv = [bool(r < tol) for r in rn]
         if verbose:
-            print(f"  davidson(pipelined) cycle {cycle:3d} m={m_prev:3d} "
+            print(f"  davidson(pipelined) cycle {cyc:3d} m={m_prev:3d} "
                   f"|r|={[f'{r:.2e}' for r in rn]}", flush=True)
         if all(conv[:nroots]):
             break
         if m == m_prev:
             break                                # stall: no new directions
-    X = _ritz(V, jnp.asarray(Y_h, dtype))
+    X = ritz(V, jnp.asarray(Y_h, dtype))
     return conv, theta[:nroots].copy(), [X[k] for k in range(nroots)]
 
 
