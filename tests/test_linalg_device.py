@@ -130,3 +130,36 @@ def test_fused_davidson_restart(variant):
         operands=ops)
     w_all = np.sort(np.linalg.eigvals(A).real)
     assert conv[0] and abs(w[0] - w_all[0]) < 1e-7
+
+
+def test_pipelined_program_cache_reused():
+    """Regression for the r4 retracing bug: repeated pipelined solves with
+    a STABLE matvec must reuse the cached device programs (one _PL_PROGRAMS
+    entry, same jitted objects), and the EOM/ES matvec factories must
+    return identical objects across calls so the cache can hit."""
+    A = _test_matrix(seed=11)
+    n = A.shape[0]
+    diag = np.diag(A)
+    ops = jnp.asarray(A)
+
+    def mv(v, ops):
+        return ops @ v
+
+    before = dict(linalg._PL_PROGRAMS)
+    linalg.davidson_pipelined_device(mv, [np.eye(n)[0]], diag, nroots=1,
+                                     tol=1e-9, operands=ops)
+    added = {k: v for k, v in linalg._PL_PROGRAMS.items() if k not in before}
+    assert len(added) == 1
+    linalg.davidson_pipelined_device(mv, [np.eye(n)[1]], diag, nroots=1,
+                                     tol=1e-9, operands=ops)
+    added2 = {k: v for k, v in linalg._PL_PROGRAMS.items()
+              if k not in before}
+    assert added2 == added  # same single entry, same program objects
+
+    # the call-site factories are lru_cached -> stable identities
+    from ecw_cc_tpu.ops import eom, eom_ipea
+    from ecw_cc_tpu.solvers import es
+    assert eom._mv_factory(6, 10, None) is eom._mv_factory(6, 10, None)
+    assert (eom_ipea._mv_factory("ip", False, 6, 10)
+            is eom_ipea._mv_factory("ip", False, 6, 10))
+    assert es._diag_matvecs(6, 10) is es._diag_matvecs(6, 10)
