@@ -78,6 +78,39 @@ def h2o_631g():
     return mol, ghf, eris_host, eris_host.to_device()
 
 
+# --- smoke subset ----------------------------------------------------------
+# `pytest -m smoke` runs a fast (~2-4 min) broad-coverage slice: every
+# subsystem's cheapest parity/oracle tests plus the reference's doctest
+# anchors, for quick iteration between full-suite runs.  Whole modules below
+# are smoke unless listed in _SMOKE_EXCLUDE; a few individually fast tests
+# from the slow e2e modules are added by name.
+_SMOKE_MODULES = {
+    "test_ccs_kernels",
+    "test_ccsd_kernels",
+    "test_linalg_device",
+    "test_spinsect_property",
+    "test_props_tdscf",
+    "test_es_eqs",
+}
+_SMOKE_TESTS = {
+    # doctest anchors (EHF/Eexp/Ep digits, 8-iteration CCS convergence)
+    "test_doctest_anchors",
+    # one end-to-end regression per pillar
+    "test_ccsd_L0_equals_plain_ccsd",
+    "test_generated_ccsd_equals_factorized_at_random_amps",
+    # sharded == replicated on the virtual mesh (cheapest parallel test)
+    "test_sharded_ccsd_step_matches_replicated",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[", 1)[0]
+        if mod in _SMOKE_MODULES or name in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
+
+
 def random_g_amp(rng, nocc, nvir, scale=0.1):
     """Random amplitudes in R format converted to G [0,1,0,1,...] format
     (mirrors reference utilities.convert_r_to_g_amp for the 2-dim case)."""
