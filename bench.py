@@ -626,14 +626,92 @@ def es_row_main():
     stage is singles-sized, so running it at (emulated) f64 on the chip is
     cheap and keeps the physical state.  The parent bench process holds
     the tunnel for the f32 CCSD rows, so the f64 ES row runs FIRST in its
-    own process."""
+    own process.
+
+    ECW_CC_TPU_ES_PLATFORM=cpu pins the XLA:CPU backend (the parent's
+    last-resort fallback when the TPU attempts fail — the row is then
+    flagged platform='cpu')."""
     import ecw_cc_tpu.config as config
 
     config.set_config(x64=True, dtype="float64")
+    if os.environ.get("ECW_CC_TPU_ES_PLATFORM") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     config.setup_jax()
     res = bench_es()
     res["dtype"] = "float64"
     print("ESROW " + json.dumps(res), flush=True)
+
+
+def _exception_tail(stderr, limit=2000):
+    """The most informative slice of a failed subprocess's stderr: the last
+    line that looks like a Python exception message, else the last `limit`
+    chars of the non-empty lines.  BENCH_r04's es failure was diagnosed
+    blind because a flat [-500:] truncation kept only a native stack
+    trace's middle frames (r4 VERDICT weak #1)."""
+    import re
+
+    lines = [ln for ln in (stderr or "").splitlines() if ln.strip()]
+    exc = [ln.strip() for ln in lines
+           if re.match(r"[A-Za-z_][\w.]*(Error|Exception|Interrupt|Exit)\b",
+                       ln.strip())]
+    if exc:
+        return exc[-1][:limit]
+    return "\n".join(lines)[-limit:]
+
+
+def _es_subprocess_row():
+    """Run es_row_main in a subprocess, failure-proofed (r4 VERDICT #1):
+    the subprocess's FULL stdout/stderr is persisted to
+    .bench_es_subprocess.log; a failed TPU attempt is retried ONCE after a
+    60 s lazy-HBM-free window; if both fail, a CPU-f64 run is attempted so
+    the artifact carries either an es row (possibly flagged
+    platform='cpu') or a visible es_error — never a silently-dropped row.
+
+    Returns (row_or_None, error_or_None)."""
+    import subprocess
+
+    log_path = os.path.join(HERE, ".bench_es_subprocess.log")
+
+    def run_once(tag, platform=None):
+        env = dict(os.environ)
+        if platform:
+            env["ECW_CC_TPU_ES_PLATFORM"] = platform
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import bench; bench.es_row_main()"],
+                timeout=1800, capture_output=True, text=True, cwd=HERE,
+                env=env)
+        except Exception as exc:
+            with open(log_path, "a") as fh:
+                fh.write(f"==== es attempt {tag}: {exc!r}\n")
+            return None, f"{tag}: {exc!r}"
+        with open(log_path, "a") as fh:
+            fh.write(f"==== es attempt {tag} (rc={r.returncode})\n"
+                     f"---- stdout\n{r.stdout}\n---- stderr\n{r.stderr}\n")
+        for ln in r.stdout.splitlines():
+            if ln.startswith("ESROW "):
+                return json.loads(ln[6:]), None
+        return None, f"{tag}: {_exception_tail(r.stderr)}"
+
+    with open(log_path, "w") as fh:
+        fh.write("es subprocess log (full output of every attempt)\n")
+    row, err = run_once("tpu-1")
+    if row is None:
+        print(f"es subprocess attempt 1 failed: {err}", file=sys.stderr)
+        time.sleep(60)  # axon frees a dead client's HBM lazily
+        row, err2 = run_once("tpu-2")
+        err = err2 or err
+    if row is None:
+        print(f"es subprocess attempt 2 failed: {err}", file=sys.stderr)
+        row, err3 = run_once("cpu-fallback", platform="cpu")
+        if row is not None:
+            row["platform"] = "cpu"
+            row["tpu_error"] = err
+            return row, None
+        return None, f"{err} | {err3}"
+    return row, None
 
 
 def bench_es():
@@ -784,24 +862,12 @@ def main():
 
     which = os.environ.get("ECW_CC_TPU_BENCH", "both")
 
-    es_row = None
+    es_row = es_error = None
     if ok and which == "both":
         # the f64 ES row runs FIRST in its own process (es_row_main
         # docstring: f32 cannot hold the diffuse-basis ES state; the
         # parent will hold the tunnel for the f32 rows afterwards)
-        import subprocess
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import bench; bench.es_row_main()"],
-                timeout=1800, capture_output=True, text=True, cwd=HERE)
-            for ln in r.stdout.splitlines():
-                if ln.startswith("ESROW "):
-                    es_row = json.loads(ln[6:])
-            if es_row is None:
-                print(f"es subprocess produced no row: "
-                      f"{r.stderr[-500:]}", file=sys.stderr)
-        except Exception as exc:  # pragma: no cover
-            print(f"es subprocess failed: {exc!r}", file=sys.stderr)
+        es_row, es_error = _es_subprocess_row()
         time.sleep(30)   # lazy server-side HBM free before the parent
 
     config.set_config(x64=False, dtype="float32")
@@ -864,6 +930,10 @@ def main():
     if which == "both":
         if es_row is not None:
             line["es"] = es_row
+        elif es_error is not None:
+            # a failed flagship row must be VISIBLE in the artifact, not a
+            # clean-looking line with the key dropped (r4 VERDICT weak #1)
+            line["es_error"] = es_error
         try:
             line["ipea"] = bench_ipea()
         except Exception as exc:  # pragma: no cover - keep the line alive

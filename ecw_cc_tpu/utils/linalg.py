@@ -531,7 +531,15 @@ def davidson_fused_device(matvec, x0, diag, nroots=1, tol=1e-8,
     return conv, theta_h, [X[k] for k in range(nroots)]
 
 
+# Bounded FIFO cache of compiled pipelined-Davidson programs.  Keys include
+# the matvec/projector IDENTITY, so a call site that passes a fresh closure
+# per solve would grow this forever (r4 VERDICT weak #7): on overflow the
+# oldest entry is evicted (its programs are re-traced if ever needed again)
+# and a one-time warning names the offender so the missing lru_cached
+# factory gets fixed rather than silently churning.
 _PL_PROGRAMS = {}
+_PL_PROGRAMS_MAX = 64
+_PL_WARNED = [False]
 
 
 def _pl_programs(mv, project, S, B, nroots, n, no_ops, dkey):
@@ -639,6 +647,20 @@ def _pl_programs(mv, project, S, B, nroots, n, no_ops, dkey):
         return X / jnp.maximum(jnp.linalg.norm(X, axis=1, keepdims=True),
                                jnp.finfo(V.dtype).tiny)
 
+    if len(_PL_PROGRAMS) >= _PL_PROGRAMS_MAX:
+        evicted = next(iter(_PL_PROGRAMS))
+        del _PL_PROGRAMS[evicted]
+        if not _PL_WARNED[0]:
+            _PL_WARNED[0] = True
+            import warnings
+
+            warnings.warn(
+                "pipelined-Davidson program cache overflowed "
+                f"({_PL_PROGRAMS_MAX} entries): a call site is passing "
+                "fresh matvec/projector closures per solve (evicting "
+                f"{getattr(evicted[0], '__qualname__', evicted[0])!r}); "
+                "wrap the factory in functools.lru_cache for stable "
+                "identities", RuntimeWarning, stacklevel=3)
     _PL_PROGRAMS[key] = (init, cycle, ritz)
     return init, cycle, ritz
 

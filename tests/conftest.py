@@ -82,8 +82,8 @@ def h2o_631g():
 # `pytest -m smoke` runs a fast (~2-4 min) broad-coverage slice: every
 # subsystem's cheapest parity/oracle tests plus the reference's doctest
 # anchors, for quick iteration between full-suite runs.  Whole modules below
-# are smoke unless listed in _SMOKE_EXCLUDE; a few individually fast tests
-# from the slow e2e modules are added by name.
+# are smoke when listed in _SMOKE_MODULES; a few individually fast tests
+# from the slow e2e modules are added by name in _SMOKE_TESTS.
 _SMOKE_MODULES = {
     "test_ccs_kernels",
     "test_ccsd_kernels",

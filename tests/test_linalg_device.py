@@ -163,3 +163,38 @@ def test_pipelined_program_cache_reused():
     assert (eom_ipea._mv_factory("ip", False, 6, 10)
             is eom_ipea._mv_factory("ip", False, 6, 10))
     assert es._diag_matvecs(6, 10) is es._diag_matvecs(6, 10)
+
+
+def test_pipelined_program_cache_bounded():
+    """A churning caller (fresh matvec closure per solve) must evict + warn
+    instead of leaking compiled programs forever (r4 VERDICT weak #7)."""
+    import warnings
+
+    A = _test_matrix(seed=13)
+    n = A.shape[0]
+    diag = np.diag(A)
+    ops = jnp.asarray(A)
+    x0 = [np.eye(n)[0]]
+
+    saved = dict(linalg._PL_PROGRAMS)
+    saved_warn = linalg._PL_WARNED[0]
+    try:
+        linalg._PL_PROGRAMS.clear()
+        linalg._PL_WARNED[0] = False
+        old_max = linalg._PL_PROGRAMS_MAX
+        linalg._PL_PROGRAMS_MAX = 4
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            for _ in range(6):
+                def mv(v, ops):          # fresh identity every iteration
+                    return ops @ v
+                linalg.davidson_pipelined_device(
+                    mv, x0, diag, nroots=1, tol=1e-9, operands=ops)
+        assert len(linalg._PL_PROGRAMS) <= 4
+        assert any("program cache overflowed" in str(w.message)
+                   for w in rec)
+    finally:
+        linalg._PL_PROGRAMS_MAX = old_max
+        linalg._PL_PROGRAMS.clear()
+        linalg._PL_PROGRAMS.update(saved)
+        linalg._PL_WARNED[0] = saved_warn
