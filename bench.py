@@ -615,35 +615,6 @@ def bench_t(basis="cc-pvtz"):
             "bf16_e_match": bool(abs(e_b - e_s) < 5e-3 * max(1.0, abs(e_s)))}
 
 
-def es_row_main():
-    """Subprocess entry for the ES row: configures f64 + the default
-    (axon TPU) backend and prints one 'ESROW {json}' line.
-
-    WHY A SUBPROCESS IN f64: the coupled ES fixed point at the diffuse
-    production basis is UNSTABLE under the f32 iteration map — an f32
-    solve seeded AT the converged f64 solution (E_es1 = 7.13 eV) drifts to
-    a different self-consistent state (9.11 eV, r4 measurement); the ES
-    stage is singles-sized, so running it at (emulated) f64 on the chip is
-    cheap and keeps the physical state.  The parent bench process holds
-    the tunnel for the f32 CCSD rows, so the f64 ES row runs FIRST in its
-    own process.
-
-    ECW_CC_TPU_ES_PLATFORM=cpu pins the XLA:CPU backend (the parent's
-    last-resort fallback when the TPU attempts fail — the row is then
-    flagged platform='cpu')."""
-    import ecw_cc_tpu.config as config
-
-    config.set_config(x64=True, dtype="float64")
-    if os.environ.get("ECW_CC_TPU_ES_PLATFORM") == "cpu":
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-    config.setup_jax()
-    res = bench_es()
-    res["dtype"] = "float64"
-    print("ESROW " + json.dumps(res), flush=True)
-
-
 def _exception_tail(stderr, limit=2000):
     """The most informative slice of a failed subprocess's stderr: the last
     line that looks like a Python exception message, else the last `limit`
@@ -661,69 +632,24 @@ def _exception_tail(stderr, limit=2000):
     return "\n".join(lines)[-limit:]
 
 
-def _es_subprocess_row():
-    """Run es_row_main in a subprocess, failure-proofed (r4 VERDICT #1):
-    the subprocess's FULL stdout/stderr is persisted to
-    .bench_es_subprocess.log; a failed TPU attempt is retried ONCE after a
-    60 s lazy-HBM-free window; if both fail, a CPU-f64 run is attempted so
-    the artifact carries either an es row (possibly flagged
-    platform='cpu') or a visible es_error — never a silently-dropped row.
-
-    Returns (row_or_None, error_or_None)."""
-    import subprocess
-
-    log_path = os.path.join(HERE, ".bench_es_subprocess.log")
-
-    def run_once(tag, platform=None):
-        env = dict(os.environ)
-        if platform:
-            env["ECW_CC_TPU_ES_PLATFORM"] = platform
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import bench; bench.es_row_main()"],
-                timeout=1800, capture_output=True, text=True, cwd=HERE,
-                env=env)
-        except Exception as exc:
-            with open(log_path, "a") as fh:
-                fh.write(f"==== es attempt {tag}: {exc!r}\n")
-            return None, f"{tag}: {exc!r}"
-        with open(log_path, "a") as fh:
-            fh.write(f"==== es attempt {tag} (rc={r.returncode})\n"
-                     f"---- stdout\n{r.stdout}\n---- stderr\n{r.stderr}\n")
-        for ln in r.stdout.splitlines():
-            if ln.startswith("ESROW "):
-                return json.loads(ln[6:]), None
-        return None, f"{tag}: {_exception_tail(r.stderr)}"
-
-    with open(log_path, "w") as fh:
-        fh.write("es subprocess log (full output of every attempt)\n")
-    row, err = run_once("tpu-1")
-    if row is None:
-        print(f"es subprocess attempt 1 failed: {err}", file=sys.stderr)
-        time.sleep(60)  # axon frees a dead client's HBM lazily
-        row, err2 = run_once("tpu-2")
-        err = err2 or err
-    if row is None:
-        print(f"es subprocess attempt 2 failed: {err}", file=sys.stderr)
-        row, err3 = run_once("cpu-fallback", platform="cpu")
-        if row is not None:
-            row["platform"] = "cpu"
-            row["tpu_error"] = err
-            return row, None
-        return None, f"{err} | {err3}"
-    return row, None
-
-
 def bench_es():
-    """ES production path on device at PRODUCTION scale (r3 VERDICT next
-    #3): the fully-jitted coupled multi-state ES solver (SolverES_Device)
-    on the reference's ES demonstration config — H2O/6-31++g** with the
-    two QChem transition-dipole targets
+    """ES production path on device at PRODUCTION scale and PRODUCTION
+    precision (f32): the fully-jitted coupled multi-state ES solver
+    (SolverES_Device) on the reference's ES demonstration config —
+    H2O/6-31++g** with the two QChem transition-dipole targets
     (/root/reference/test/Test_ECW_ES.py:1-50, gamma_exp.py:27-94).
     Returns per-iteration ms (fixed 20-iteration run) and converging
-    solve_ms (diis='all', conv 'rl' 1e-5, L=0.1); f64 host-path parity is
-    pinned by tests/test_es.py::test_device_es_solver_production_basis.
-    Run via es_row_main (f64 subprocess) — see its docstring."""
+    solve_ms (diis='all', conv 'rl' 1e-5, L=0.1).
+
+    Runs IN the parent bench process under its f32 config (r5): the r4
+    claim that the diffuse-basis ES fixed point is unstable under f32 was
+    a LAYOUT artifact — the measurement fed alternating-convention
+    amplitudes into the spin-SORTED ecw.eris; with the correct
+    alternating-layout eris (ecw._eris_alt(), same handle CCS_ES uses) the
+    f32 state matches f64 exactly (7.1335 / 10.0701 eV, cold start and
+    f64-seeded; tools/es_f32_drift_r5.py, pinned by
+    tests/test_es.py::test_f32_es_holds_f64_state_production_basis).  f64
+    host parity: tests/test_es.py::test_device_es_solver_production_basis."""
     import jax.numpy as jnp
     from ecw_cc_tpu import ECW
     from ecw_cc_tpu.ops.ccs import Gccs
@@ -736,10 +662,13 @@ def bench_es():
     ecw.Build_ES_exp_input([[["trdip", (dip1, 0.0, 0.0)]],
                             [["trdip", (0.0, 0.0, dip2)]]])
     L = 0.1
+    # the ES solvers take eris in the reference (alternating) MO
+    # convention; under the f32 production config ecw.eris is spin-sorted
+    eris = ecw._eris_alt()
 
     # per-iteration: fixed-count run of the while_loop body
     Vi = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
-    s_it = Solver_ES(Gccs(ecw.eris), Vi, rn_ini=ecw.r_ini, conv_var="rl",
+    s_it = Solver_ES(Gccs(eris), Vi, rn_ini=ecw.r_ini, conv_var="rl",
                      conv_thres=0.0, maxiter=20, diis="all")
     dev_it = SolverES_Device(s_it)
     out = dev_it.SCF(L)            # compile + run (maxiter path)
@@ -750,7 +679,7 @@ def bench_es():
         best_it = min(best_it, (time.perf_counter() - t0) / 20 * 1e3)
     # converging solve (the end-user number)
     Vs = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
-    s_sv = Solver_ES(Gccs(ecw.eris), Vs, rn_ini=ecw.r_ini, conv_var="rl",
+    s_sv = Solver_ES(Gccs(eris), Vs, rn_ini=ecw.r_ini, conv_var="rl",
                      conv_thres=1e-5, maxiter=80, diis="all")
     dev_sv = SolverES_Device(s_sv)
     out = dev_sv.SCF(L)
@@ -766,7 +695,7 @@ def bench_es():
             n_it = int(tok)
     e1_ev = float(np.asarray(out[3])[1, 0]) * 27.2114
     e2_ev = float(np.asarray(out[3])[2, 0]) * 27.2114
-    return {"basis": "6-31++g**",
+    return {"basis": "6-31++g**", "dtype": "float32",
             "value_ms": round(best_it, 3), "solve_ms": round(best_sv, 1),
             "solve_iters": n_it, "converged": "Convergence reached" in text,
             "E_es1_eV": round(e1_ev, 3), "E_es2_eV": round(e2_ev, 3)}
@@ -862,16 +791,26 @@ def main():
 
     which = os.environ.get("ECW_CC_TPU_BENCH", "both")
 
-    es_row = es_error = None
-    if ok and which == "both":
-        # the f64 ES row runs FIRST in its own process (es_row_main
-        # docstring: f32 cannot hold the diffuse-basis ES state; the
-        # parent will hold the tunnel for the f32 rows afterwards)
-        es_row, es_error = _es_subprocess_row()
-        time.sleep(30)   # lazy server-side HBM free before the parent
-
     config.set_config(x64=False, dtype="float32")
     config.setup_jax()
+
+    es_row = es_error = None
+    if which == "both":
+        # ES production row at production precision, IN-PROCESS (r5: the
+        # r4 f64 subprocess — and its crash surface — is gone; f32 holds
+        # the diffuse-basis state, see bench_es docstring).  A failure
+        # surfaces as an es_error field, never a silently-dropped row.
+        try:
+            es_row = bench_es()
+        except Exception as exc:  # pragma: no cover - keep the line alive
+            import traceback
+
+            tb = traceback.format_exc()
+            with open(os.path.join(HERE, ".bench_es_subprocess.log"),
+                      "w") as fh:
+                fh.write(tb)
+            es_error = _exception_tail(tb)
+            print(f"bench_es failed: {exc!r}", file=sys.stderr)
 
     pvdz = bench_config("cc-pvdz", n_iters=40, numpy_baseline=True)
 

@@ -195,6 +195,43 @@ def permute_geris(eris: GEris, o_idx, v_idx, f_idx) -> GEris:
     return GEris(**fields)
 
 
+def warn_if_sorted_layout(eris, where):
+    """Warn when an eris handle that must be in the reference (alternating
+    alpha/beta) MO convention looks spin-SORTED instead.
+
+    Under the f32 production config ECW builds spin-sorted eris
+    (config.spin_sorted); consumers without sorted-layout support must use
+    ECW._eris_alt().  Feeding the sorted handle silently scrambles the
+    physics: the r4 'f32 ES instability' (7.13 -> 9.11 eV drift,
+    BENCH/VERDICT r4) was exactly this — alternating-convention amplitudes
+    iterated against sorted blocks (diagnosed tools/es_f32_drift_r5.py).
+
+    Detection is structural, on the fock diagonal of an (RHF-derived) GHF,
+    checked separately on the occ and vir segments (the sorted layout
+    sorts each segment alpha-block-first): alternating has equal PAIRS
+    d[0::2] == d[1::2]; sorted has equal HALVES d[:m/2] == d[m/2:].  Warn
+    only when the pairs test fails and the halves test passes on both
+    segments (a UHF-derived GHF fails both)."""
+    d = np.diag(np.asarray(eris.fock))
+    no = eris.oovv.shape[0]
+    segs = [d[:no], d[no:]]
+    if any(s.size < 2 or s.size % 2 for s in segs):
+        return
+    tol = 1e3 * np.finfo(d.dtype).eps * max(1.0, float(np.abs(d).max()))
+    pairs = all(np.allclose(s[0::2], s[1::2], atol=tol) for s in segs)
+    halves = all(np.allclose(s[:s.size // 2], s[s.size // 2:], atol=tol)
+                 for s in segs)
+    if halves and not pairs:
+        import warnings
+
+        warnings.warn(
+            f"{where}: the eris fock diagonal looks spin-SORTED "
+            "(alpha block then beta block), but this consumer expects the "
+            "reference alternating convention — pass ECW._eris_alt() (or "
+            "a host-built eris) instead of the sorted production handle",
+            RuntimeWarning, stacklevel=3)
+
+
 def _sector_rows_from_slab(slab4, eff, lo, hi, ma):
     """Sectored ladder rows from one sorted-layout <ab||ef> slab (w, v, v, v)
     covering a = eff..eff+w-1 (cf. _packed_rows_from_slab): returns

@@ -61,6 +61,12 @@ class Solver_ES:
         self.Vexp_class = Vexp
         self.nbr_states = Vexp.nbr_states
         self.tablefmt = tablefmt
+        # the ES equations consume the reference (alternating) MO layout;
+        # the sorted production handle silently scrambles them (the r4
+        # 'f32 ES instability' artifact — models/eris.py docstring)
+        from ecw_cc_tpu.models.eris import warn_if_sorted_layout
+
+        warn_if_sorted_layout(mycc.eris, "Solver_ES")
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.dim = self.nocc + self.nvir

@@ -93,6 +93,11 @@ class Solver_CCS:
         self.mycc = mycc
         self.myVexp = VX_exp
         self.Grad = CCS_grad
+        # CCS kernels consume the alternating MO layout (no mo_perm
+        # support here); a spin-sorted handle scrambles them silently
+        from ecw_cc_tpu.models.eris import warn_if_sorted_layout
+
+        warn_if_sorted_layout(mycc.eris, "Solver_CCS")
         self.diis = diis
         self.maxdiis = maxdiis
         self.mindiis = mindiis
@@ -435,6 +440,12 @@ class Solver_CCSD:
             self._vvsect = vvvv_op
             self._vvsect_mode = "explicit"  # never invalidated by mode changes
         self.mo_perm = None if mo_perm is None else np.asarray(mo_perm)
+        if self.mo_perm is None:
+            # without mo_perm the kernels consume the alternating layout;
+            # a sorted handle (the f32 production ecw.eris) scrambles them
+            from ecw_cc_tpu.models.eris import warn_if_sorted_layout
+
+            warn_if_sorted_layout(mycc.eris, "Solver_CCSD(mo_perm=None)")
         self.nocc = mycc.nocc
         self.nvir = mycc.nvir
         self.fock = mycc.fock

@@ -359,3 +359,52 @@ def test_device_es_solver_production_basis():
     # the tracked ES1 stays in the QChem state's neighborhood (7.6051 eV)
     e1 = out_d[3][1, 0] * EV
     assert 6.5 < e1 < 8.5
+
+
+def test_f32_es_holds_f64_state_production_basis():
+    """r5 regression for the r4 'f32 ES instability' — which was a LAYOUT
+    artifact, not a precision one: the r4 measurement fed
+    alternating-convention amplitudes into the spin-SORTED f32 production
+    eris (ecw.eris) and saw E_es1 drift 7.13 -> 9.11 eV.  With the correct
+    alternating handle (ECW._eris_alt(), what CCS_ES itself uses) a COLD
+    f32 solve at the production config converges to the f64 fixed point
+    (7.1335 / 10.0701 eV, tools/es_f32_drift_r5.py) — so the ES pillar
+    runs at production precision with no f64 subprocess.
+
+    Also pins the guard: constructing an ES solver on the sorted handle
+    warns (models/eris.warn_if_sorted_layout)."""
+    from ecw_cc_tpu import config as cfg
+    from ecw_cc_tpu.ops.ccs import Gccs
+    from ecw_cc_tpu.ops.vexp import Exp
+    from ecw_cc_tpu.solvers.es import Solver_ES, SolverES_Device
+
+    old_dtype = cfg.get_config().dtype
+    try:
+        cfg.set_config(dtype="float32")
+        ecw = ECW("h2o", "6-31++g**")
+        dip1 = (0.523742 + 0.550251) / 2.0
+        dip2 = (0.622534 + 0.649058) / 2.0
+        ecw.Build_ES_exp_input([[["trdip", (dip1, 0.0, 0.0)]],
+                                [["trdip", (0.0, 0.0, dip2)]]])
+        L = 0.1
+        eris = ecw._eris_alt()
+        assert np.asarray(eris.fock).dtype == np.float32
+        V = Exp(L, ecw.exp_data, ecw.mol, ecw.mo_coeff)
+        s = Solver_ES(Gccs(eris), V, rn_ini=ecw.r_ini, conv_var="rl",
+                      conv_thres=1e-5, maxiter=80, diis="all")
+        out = SolverES_Device(s).SCF(L)
+        assert "Convergence reached" in out[0]
+        Ep = np.asarray(out[3])
+        # f64 anchors (CPU, conv 1e-7): 7.1335 / 10.0701 eV at L=0.1
+        assert abs(float(Ep[1, 0]) * EV - 7.1335) < 2e-3
+        assert abs(float(Ep[2, 0]) * EV - 10.0701) < 2e-3
+
+        # the r4 footgun now warns: ecw.eris is spin-sorted at this size
+        # (nvir=48 >= the packed-route gate)
+        with pytest.warns(RuntimeWarning, match="spin-SORTED"):
+            Solver_ES(Gccs(ecw.eris), Exp(L, ecw.exp_data, ecw.mol,
+                                          ecw.mo_coeff),
+                      rn_ini=ecw.r_ini, conv_var="rl", conv_thres=1e-5,
+                      maxiter=80, diis="all")
+    finally:
+        cfg.set_config(dtype=old_dtype)
