@@ -701,6 +701,35 @@ def bench_es():
             "E_es1_eV": round(e1_ev, 3), "E_es2_eV": round(e2_ev, 3)}
 
 
+def bench_ee(eris, t1, t2, vvvv_op):
+    """EOM-EE-CCSD wall-clock on C2H2/cc-pVDZ (shares the converged
+    CCSD amplitudes with bench_ipea): warm Davidson time-to-solution for
+    the lowest EE root (right only — comparable to the r4 BASELINE.md
+    table) and for 2 roots WITH left eigenvectors (the r5 block left
+    solve, ops/eom.py).  No EE number existed in any BENCH artifact before
+    r5 (r4 VERDICT weak #3)."""
+    from ecw_cc_tpu.ops.eom import eom_ccsd
+
+    w1, _ = eom_ccsd(eris, t1, t2, nroots=1, tol=1e-5, vvvv_op=vvvv_op)
+    best_r = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        w1, _ = eom_ccsd(eris, t1, t2, nroots=1, tol=1e-5, vvvv_op=vvvv_op)
+        best_r = min(best_r, (time.perf_counter() - t0) * 1e3)
+    wb, _, _ = eom_ccsd(eris, t1, t2, nroots=2, tol=1e-5, left=True,
+                        vvvv_op=vvvv_op)
+    best_b = np.inf
+    for _ in range(2):
+        t0 = time.perf_counter()
+        wb, _, _ = eom_ccsd(eris, t1, t2, nroots=2, tol=1e-5, left=True,
+                            vvvv_op=vvvv_op)
+        best_b = min(best_b, (time.perf_counter() - t0) * 1e3)
+    return {"ee_solve_ms": round(best_r, 1),
+            "ee_left2_solve_ms": round(best_b, 1),
+            "ee1_eV": round(w1[0] * 27.2114, 3),
+            "ee2_eV": round(wb[1] * 27.2114, 3)}
+
+
 def bench_ipea():
     """EOM-IP/EA-CCSD (Wick-derived sigma, ops/eom_ipea.py) wall-clock on
     C2H2/cc-pVDZ: plain-CCSD solve is shared with the GS rows; reported is
@@ -730,9 +759,10 @@ def bench_ipea():
         w_ea, _ = eom_ea_ccsd(eris, t1, t2, nroots=1, tol=1e-5,
                               vvvv_op=vvvv_op)
         best_ea = min(best_ea, (time.perf_counter() - t0) * 1e3)
-    return {"ip_solve_ms": round(best_ip, 1), "ea_solve_ms": round(best_ea, 1),
-            "ip1_eV": round(w_ip[0] * 27.2114, 3),
-            "ea1_eV": round(w_ea[0] * 27.2114, 3)}
+    row = {"ip_solve_ms": round(best_ip, 1), "ea_solve_ms": round(best_ea, 1),
+           "ip1_eV": round(w_ip[0] * 27.2114, 3),
+           "ea1_eV": round(w_ea[0] * 27.2114, 3)}
+    return row, (eris, t1, t2, vvvv_op)
 
 
 def _backend_alive(timeout=None):
@@ -874,7 +904,11 @@ def main():
             # clean-looking line with the key dropped (r4 VERDICT weak #1)
             line["es_error"] = es_error
         try:
-            line["ipea"] = bench_ipea()
+            line["ipea"], shared = bench_ipea()
+            try:
+                line["ee"] = bench_ee(*shared)
+            except Exception as exc:  # pragma: no cover
+                print(f"bench_ee failed: {exc!r}", file=sys.stderr)
         except Exception as exc:  # pragma: no cover - keep the line alive
             print(f"bench_ipea failed: {exc!r}", file=sys.stderr)
         if pvtz is not None:

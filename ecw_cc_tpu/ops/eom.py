@@ -199,6 +199,56 @@ def koopman_guesses(eris, nroots, alpha_only=True, info=None):
     return guesses
 
 
+def cis_guesses(eris, nroots, info=None, alpha_only=True):
+    """CIS-quality singles guesses for EOM-EE: diagonalize the explicit
+    singles-singles block A[ia,jb] = d_ij d_ab (e_a - e_i) + <aj||ib> on
+    the host (nov x nov, trivially small next to the doubles space) and
+    seed the Davidson with its lowest eigenvectors.  Bare Koopman unit
+    vectors ignore the <aj||ib> coupling that dominates low EE roots
+    (singlet/triplet splitting), costing the block Davidson many cycles to
+    rebuild; CIS vectors start inside the right symmetry sector.
+
+    alpha_only: restrict to the Sz-conserving alpha->alpha (+ mirror)
+    sector the production solver targets — with info (sorted layout) or
+    the alternating convention.  Returns raveled r1 guesses (np arrays)."""
+    nocc, nvir = eris.nocc, eris.nvir
+    mo_e = np.diag(np.asarray(eris.fock))
+    eia = mo_e[None, nocc:] - mo_e[:nocc, None]          # (o, v)
+    ovvo = np.asarray(eris.ovvo)                          # <ja||bi>
+    # A[ia,jb] = d_ij d_ab eia + <aj||ib>; <aj||ib> = -<ja||ib> = ovvo
+    # with axes (j, a, b, i) -> transpose to (i, a, j, b)
+    A = np.transpose(ovvo, (3, 1, 0, 2)).copy()
+    A = A.reshape(nocc * nvir, nocc * nvir)
+    A[np.arange(nocc * nvir), np.arange(nocc * nvir)] += eia.ravel()
+    w, v = np.linalg.eig(A)
+    order = np.argsort(w.real)
+    guesses = []
+    k = 0
+    for idx in order:
+        g = v[:, idx].real.copy()
+        if alpha_only:
+            # keep only roots with weight in the alpha->alpha sector
+            g2 = g.reshape(nocc, nvir)
+            m = np.zeros_like(g2)
+            if info is not None:
+                m[:info.oa, :info.va] = 1.0
+            else:
+                m[0::2, 0::2] = 1.0
+            if np.linalg.norm(g2 * m) < 0.5:
+                continue
+        nrm = np.linalg.norm(g)
+        if nrm < 1e-12:
+            continue
+        guesses.append(g / nrm)
+        k += 1
+        if k == nroots:
+            break
+    if len(guesses) < nroots:      # pathological fallback
+        guesses += koopman_guesses(eris, nroots - len(guesses),
+                                   info=info)[:]
+    return guesses
+
+
 def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
              max_space=30, max_cycle=120, left=False, vvvv_op=None,
              sect=None):
@@ -229,8 +279,11 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         nocc, nvir, sect)
 
     if guess is None:
-        guess = koopman_guesses(eris, nroots,
-                                info=None if sect is None else sect[0])
+        # CIS-quality guesses (r5): start inside the right singles
+        # symmetry sector instead of bare Koopman unit vectors — measured
+        # cycle-count lever on the EE block Davidson
+        guess = cis_guesses(eris, nroots,
+                            info=None if sect is None else sect[0])
     x0 = [np.concatenate([g, np.zeros(nocc * nocc * nvir * nvir)])
           for g in guess]
     conv, w, xs = davidson_device(mv_right, x0, diag, nroots=nroots,
@@ -267,25 +320,49 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
 
     mv_left = _mv_left_raw
 
-    Ls = []
+    # ONE block Davidson for ALL left roots (r5: the per-root follow-mode
+    # solves cost nroots separate Davidson runs — at ~24 ms tunnel latency
+    # per cycle the k-root left stage dominated the EE wall clock).  A^T
+    # has the same spectrum as A, and the R vectors are excellent guesses
+    # for the L space, so the block solve converges to the same lowest-k
+    # set; each left root is then PAIRED to its right root by raw-storage
+    # overlap (eigenvalue pairing alone mis-pairs degenerate multiplets).
+    xr = [np.concatenate([np.asarray(R[0]).ravel(),
+                          np.asarray(R[1]).ravel()]) for R in Rs]
+    conv_l, wl, xls = davidson_device(mv_left, xr, diag, nroots=nroots,
+                                      tol=tol, max_cycle=max_cycle,
+                                      project=_project,
+                                      max_space=max_space, operands=ops)
+    xls = [np.asarray(x) for x in xls]
+    ovm = np.array([[abs(np.vdot(xl, r)) for r in xr] for xl in xls])
+    Ls = [None] * nroots
+    assign = {}
+    for _ in range(nroots):
+        j, k = np.unravel_index(np.argmax(ovm), ovm.shape)
+        assign[k] = j
+        ovm[j, :] = -1.0
+        ovm[:, k] = -1.0
     for k in range(nroots):
-        xl0 = [np.concatenate([np.asarray(Rs[k][0]).ravel(),
-                               np.asarray(Rs[k][1]).ravel()])]
-        conv_l, wl, xls = davidson_device(mv_left, xl0, diag,
-                                                nroots=1, tol=tol,
-                                                max_cycle=max_cycle,
-                                                project=_project,
-                                                max_space=max_space,
-                                                follow=True, operands=ops)
-        if not conv_l[0]:
-            import warnings
+        j = assign[k]
+        bad = (not conv_l[j]) or abs(wl[j] - omegas[k]) > max(
+            1e-3, 1e3 * tol)
+        if bad:
+            # fall back to the r4 per-root follow solve for this root
+            conv_1, wl_1, xl_1 = davidson_device(
+                mv_left, [xr[k]], diag, nroots=1, tol=tol,
+                max_cycle=max_cycle, project=_project,
+                max_space=max_space, follow=True, operands=ops)
+            if not conv_1[0]:
+                import warnings
 
-            warnings.warn(
-                f"EOM left Davidson unconverged for root {k} "
-                f"(omega={omegas[k]:.6f}, tol={tol}); the L vector and any "
-                "transition density built from it may be inaccurate",
-                RuntimeWarning, stacklevel=2)
-        lv = np.asarray(xls[0])
+                warnings.warn(
+                    f"EOM left Davidson unconverged for root {k} "
+                    f"(omega={omegas[k]:.6f}, tol={tol}); the L vector and "
+                    "any transition density built from it may be "
+                    "inaccurate", RuntimeWarning, stacklevel=2)
+            lv = np.asarray(xl_1[0])
+        else:
+            lv = xls[j]
         l1, l2 = unpack(jnp.asarray(lv, dtype=t1.dtype))
         # METRIC CORRECTION + biorthonormalization.  The Davidson solves
         # the transpose of the raw-storage map, whose inner product counts
@@ -300,7 +377,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         l1 = np.asarray(l1)
         l2 = 4.0 * np.asarray(l2)
         ov = np.vdot(l1, Rs[k][0]) + 0.25 * np.vdot(l2, Rs[k][1])
-        Ls.append((l1 / ov, l2 / ov))
+        Ls[k] = (l1 / ov, l2 / ov)
     return omegas, Rs, Ls
 
 
