@@ -529,7 +529,11 @@ def bench_config(basis, n_iters, numpy_baseline, measure_high=False,
         for _ in range(2):
             t0 = time.perf_counter()
             out = run_s(eris, vvsect_dev, Lw, *args, alpha_v)
-            _ = float(out[8][int(out[6]) - 1])
+            # ONE batched result transfer: sequential k + Ep fetches cost
+            # two ~24 ms axon round trips — material on a ~15-iteration
+            # converging solve (r5 fetch probe)
+            k_h, ep_h = jax.device_get((out[6], out[8]))
+            _ = float(ep_h[int(k_h) - 1])
             best_s = min(best_s, (time.perf_counter() - t0) * 1e3)
         result["solve_ms"] = round(best_s, 1)
         result["solve_iters"] = ks

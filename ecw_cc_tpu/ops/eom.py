@@ -214,9 +214,51 @@ def cis_guesses(eris, nroots, info=None, alpha_only=True):
     nocc, nvir = eris.nocc, eris.nvir
     mo_e = np.diag(np.asarray(eris.fock))
     eia = mo_e[None, nocc:] - mo_e[:nocc, None]          # (o, v)
-    ovvo = np.asarray(eris.ovvo)                          # <ja||bi>
-    # A[ia,jb] = d_ij d_ab eia + <aj||ib>; <aj||ib> = -<ja||ib> = ovvo
-    # with axes (j, a, b, i) -> transpose to (i, a, j, b)
+    ovvo = np.asarray(eris.ovvo)                          # ovvo[j,a,b,i] = <ja||bi>
+    # A[ia,jb] = d_ij d_ab eia + <aj||ib>, and <aj||ib> == <ja||bi>
+    # (simultaneous bra/ket label exchange), i.e. A offdiag = ovvo
+    # transposed (j,a,b,i) -> (i,a,j,b).
+
+    # Spin-paired fast path: for an RHF-derived GHF, diagonalize the two
+    # spin-adapted alpha-sized blocks A+- = A_same +- A_cross (singlet /
+    # triplet combinations, each (o_a*v_a)^2 = 1/16 of the full matrix)
+    # with eigh (A is symmetric for real orbitals) instead of a full-space
+    # nonsymmetric eig — the full eig at cc-pVDZ cost more host time than
+    # the cycles it saved (tools/probe_ee_r5.py).
+    if info is not None:
+        oA = np.arange(info.oa); oB = info.oa + np.arange(info.ob)
+        vA = np.arange(info.va); vB = info.va + np.arange(info.vb)
+    else:
+        oA = np.arange(0, nocc, 2); oB = np.arange(1, nocc, 2)
+        vA = np.arange(0, nvir, 2); vB = np.arange(1, nvir, 2)
+    paired = (len(oA) == len(oB) and len(vA) == len(vB)
+              and np.allclose(mo_e[oA], mo_e[oB], atol=1e-10)
+              and np.allclose(mo_e[nocc + vA], mo_e[nocc + vB],
+                              atol=1e-10))
+    if paired and len(oA) and alpha_only:
+        na = len(oA) * len(vA)
+        # block extractions of ovvo[j,a,b,i] -> (i,a,j,b)
+        same = ovvo[np.ix_(oA, vA, vA, oA)].transpose(3, 1, 0, 2)
+        cross = ovvo[np.ix_(oB, vA, vB, oA)].transpose(3, 1, 0, 2)
+        same = same.reshape(na, na).copy()
+        cross = cross.reshape(na, na)
+        same[np.arange(na), np.arange(na)] += eia[np.ix_(oA, vA)].ravel()
+        cands = []
+        for sgn in (1.0, -1.0):
+            M = same + sgn * cross
+            Ms = 0.5 * (M + M.T)
+            w, v = np.linalg.eigh(Ms)
+            for k in range(min(nroots + 2, na)):
+                cands.append((w[k], v[:, k], sgn))
+        cands.sort(key=lambda t: t[0])
+        guesses = []
+        for w_k, vk, sgn in cands[:nroots]:
+            g = np.zeros((nocc, nvir))
+            g[np.ix_(oA, vA)] = vk.reshape(len(oA), len(vA))
+            g[np.ix_(oB, vB)] = sgn * vk.reshape(len(oA), len(vA))
+            guesses.append(g.ravel() / np.linalg.norm(g))
+        return guesses
+
     A = np.transpose(ovvo, (3, 1, 0, 2)).copy()
     A = A.reshape(nocc * nvir, nocc * nvir)
     A[np.arange(nocc * nvir), np.arange(nocc * nvir)] += eia.ravel()

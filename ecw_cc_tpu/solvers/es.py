@@ -837,8 +837,9 @@ class SolverES_Device:
             self._runs[key] = self._build(use_ov, force_alpha, diis)
         out = self._runs[key](s.mycc.eris, ts, ls, rn, ln, r0n, l0n,
                               jnp.asarray(ov), Lflat)
+        # ONE batched transfer (each np.asarray is its own axon round trip)
         (ts, ls, rn, ln, r0n, l0n, rdm1_gs, ite, k, status,
-         Ep_h, Delta_h) = [np.asarray(x) for x in out]
+         Ep_h, Delta_h) = jax.device_get(out)
         n = int(k)
         if status == 1:
             text = f"Convergence reached for lambda= {L}, after {int(ite)} iteration"

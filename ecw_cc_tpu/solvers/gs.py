@@ -300,8 +300,11 @@ class Solver_CCS:
         Lw = jnp.asarray(self.myVexp.L_check(L)[0], dtype=ts.dtype)
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
         out = run(self.mycc.eris, Lw, ts, ls, alpha_v)
+        # ONE batched transfer: each np.asarray is a separate ~24 ms axon
+        # round trip (r5 probe: 2 sequential fetches 48.8 ms, one
+        # device_get 25.9 ms)
         ts_f, ls_f, rdm1, ite, k, status, Ep_h, Delta_h, vmax_h, conv_h = \
-            [np.asarray(x) for x in out]
+            jax.device_get(out)
         n = int(k)
         text = _conv_text(int(status), L, int(ite))
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
@@ -861,6 +864,7 @@ class Solver_CCSD:
                 dt0 = ts_in.dtype
                 ts, td = ts.astype(dt0), td.astype(dt0)
                 ls, ld = ls.astype(dt0), ld.astype(dt0)
+                vec = None
                 if diis == "tl":
                     dstate, vec = diis_ops.diis_update(
                         dstate,
@@ -871,7 +875,17 @@ class Solver_CCSD:
                     ts = _u_ov(vec[n_ov:2 * n_ov])
                     ld = _u_4(vec[2 * n_ov:2 * n_ov + n_4])
                     td = _u_4(vec[2 * n_ov + n_4:])
-                conv = conv_vec(ts, ls, td, ld, fsp)
+                if vec is not None and conv_kind == "tl":
+                    # the packed DIIS vector already holds the exact
+                    # canonical components conv_vec would re-pack (packing
+                    # is a gather, so |.| and + commute with it): slice it
+                    # instead of 4 more oovv-sized packs per iteration
+                    conv = jnp.concatenate([
+                        jnp.abs(vec[:n_ov]) + jnp.abs(vec[n_ov:2 * n_ov]),
+                        jnp.abs(vec[2 * n_ov:2 * n_ov + n_4])
+                        + jnp.abs(vec[2 * n_ov + n_4:])])
+                else:
+                    conv = conv_vec(ts, ls, td, ld, fsp)
                 Dconv_new = jnp.where(ite > 0,
                                       jnp.linalg.norm(conv - conv_old), Dconv)
                 # freeze finished lanes (trace-time no-op unbatched)
@@ -1074,13 +1088,15 @@ class Solver_CCSD:
         alpha_v = jnp.asarray(0.0 if alpha is None else alpha, dtype=ts.dtype)
         out = run(self.mycc.eris, self._get_vvvv_op(), Lw,
                   ts, ls, td, ld, alpha_v)
+        # ONE batched transfer per solve (each np.asarray is its own
+        # ~24 ms axon round trip; 12 sequential fetches cost ~0.3 s)
         if keep_device and not refine:
             ts_f, ls_f, td_f, ld_f = out[:4]
             (rdm1, ite, k, status, Ep_h, Delta_h, vmax_h,
-             conv_h) = [np.asarray(x) for x in out[4:]]
+             conv_h) = jax.device_get(out[4:])
         else:
             (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
-             Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
+             Ep_h, Delta_h, vmax_h, conv_h) = jax.device_get(out)
         n = int(k)
         text = _conv_text(int(status), L, int(ite), alpha=alpha, ccsd=True)
         Delta_it = np.stack([Delta_h[:n], vmax_h[:n]], axis=1)
@@ -1139,7 +1155,7 @@ class Solver_CCSD:
                     tile(self.tsini), tile(self.lsini),
                     tile(self.tdini), tile(self.ldini), alpha_v)
         (ts_f, ls_f, td_f, ld_f, rdm1, ite, k, status,
-         Ep_h, Delta_h, vmax_h, conv_h) = [np.asarray(x) for x in out]
+         Ep_h, Delta_h, vmax_h, conv_h) = jax.device_get(out)
         results = []
         for i, L in enumerate(Larray):
             n = int(k[i])

@@ -58,11 +58,14 @@ def chain(basis, diis, n_iters=40):
     k = int(out[6])
     assert k >= n_iters
     float(np.asarray(out[8])[k - 1])
+    import jax
+
     best = np.inf
     for _ in range(3):
         t0 = time.perf_counter()
         out = run(eris, vvsect, Lw, *args, alpha_v)
-        float(np.asarray(out[8])[int(out[6]) - 1])   # force execution
+        k_h, ep_h = jax.device_get((out[6], out[8]))   # one transfer
+        float(ep_h[int(k_h) - 1])
         best = min(best, (time.perf_counter() - t0) / n_iters * 1e3)
     return best
 

@@ -87,7 +87,15 @@ def _merge_l(exps_by_l):
 def optimize_atom(el, structure, x0, maxiter_et=400, maxiter_free=800,
                   verbose=True):
     """Two-stage exponent optimization: structured (even-tempered) warm start,
-    then free refinement of every exponent."""
+    then free refinement of every exponent.
+
+    maxiter_free=0 skips stage 2 and returns the even-tempered exponents:
+    for SEGMENTED extraction the free stage is actively harmful — it
+    scrambles the exponent ordering across groups (measured on row-2 S: a
+    29.8 exponent drifted into the 6-primitive core group), so the
+    descending-sorted segments no longer align with 1s/2s/3s character
+    and the contraction loses ~190 Ha; the joint contracted refinement
+    (optimize_contracted) recovers the freedom afterwards."""
     from scipy.optimize import minimize
 
     n_eval = [0]
@@ -103,7 +111,9 @@ def optimize_atom(el, structure, x0, maxiter_et=400, maxiter_free=800,
     exps_by_l = _exps_from_x(res.x, structure)
     if verbose:
         print(f"  [{el}] stage 1 (even-tempered): E = {res.fun:.6f} "
-              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)")
+              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)", flush=True)
+    if maxiter_free == 0:
+        return exps_by_l, res.fun
 
     # stage 2: every exponent free
     free_struct = [(l, "free", len(exps)) for l, exps in exps_by_l]
@@ -220,19 +230,109 @@ def extract_contractions(el, exps_by_l, pattern):
     return shells
 
 
-def optimize_contracted(el, shells0, maxiter=3000, verbose=True):
+def _prim_overlap(exps, l):
+    """Overlap matrix of NORMALIZED same-l Gaussian primitives:
+    S_ij = (2 sqrt(a_i a_j) / (a_i + a_j))^(l + 3/2)."""
+    a = np.asarray(exps)
+    return (2.0 * np.sqrt(np.outer(a, a)) / np.add.outer(a, a)) ** (l + 1.5)
+
+
+def extract_contractions_lsq(el, exps_by_l):
+    """Segmented contraction by LEAST-SQUARES projection of each atomic
+    MO onto its primitive GROUP (in the primitive-overlap metric).
+
+    Unlike extract_contractions this does NOT merge-and-sort the
+    exponents: each entry of exps_by_l IS one segment (a structure group
+    from optimize_atom) — merge-sorting interleaves the et groups on
+    row-2 atoms (S: group-2's 486 lands inside the 6-primitive core
+    window) and any windowed extraction then loses ~190 Ha.  Groups with
+    n >= 2 primitives become contractions fitted to successive occupied
+    l-MOs (ascending energy); n == 1 groups stay free.
+
+    Fit: c_seg = S_seg,seg^-1 S_seg,all c_all, renormalized; c_all are
+    the decontracted-atom MO coefficients over ALL same-l primitives."""
+    e_dec, mf = atom_energy(el, decontracted(exps_by_l))
+    assert mf is not None, "decontracted atom failed"
+    C = mf.mo_coeff[0]
+    occ = mf.mo_occ[0]
+
+    # flat primitive list per l IN GROUP ORDER + AO row of each primitive
+    prims_by_l = {}
+    row = 0
+    rows_by_l = {}
+    for l, exps in exps_by_l:
+        for a in exps:
+            prims_by_l.setdefault(l, []).append(a)
+            rows_by_l.setdefault(l, []).append(row)
+            row += 2 * l + 1
+
+    def mo_l_and_component(mo):
+        r = int(np.argmax(np.abs(C[:, mo])))
+        for l, rlist in rows_by_l.items():
+            for r0 in rlist:
+                if r0 <= r < r0 + 2 * l + 1:
+                    return l, r - r0
+        raise RuntimeError("row mapping failed")
+
+    mos_by_l = {l: [] for l in prims_by_l}
+    for mo in range(C.shape[1]):
+        if occ[mo] <= 0:
+            continue
+        l, comp = mo_l_and_component(mo)
+        key = round(float(mf.mo_energy[0][mo]), 6)
+        if not any(k == key for k, _, _ in mos_by_l[l]):
+            mos_by_l[l].append((key, mo, comp))
+
+    mo_iters = {l: iter(sorted(v)) for l, v in mos_by_l.items()}
+    offsets = {}
+    shells = []
+    for l, exps in exps_by_l:
+        start = offsets.get(l, 0)
+        offsets[l] = start + len(exps)
+        if len(exps) == 1:
+            shells.append((l, [(float(exps[0]), 1.0)]))
+            continue
+        _, mo, comp = next(mo_iters[l])
+        all_exps = prims_by_l[l]
+        S_full = _prim_overlap(all_exps, l)
+        block = list(range(start, start + len(exps)))
+        c_all = np.array([C[rows_by_l[l][k] + comp, mo]
+                          for k in range(len(all_exps))])
+        S_bb = S_full[np.ix_(block, block)]
+        S_ba = S_full[block, :]
+        c_seg = np.linalg.solve(S_bb, S_ba @ c_all)
+        nrm = float(np.sqrt(c_seg @ S_bb @ c_seg))
+        c_seg = c_seg / nrm
+        if c_seg[np.argmax(np.abs(c_seg))] < 0:
+            c_seg = -c_seg
+        shells.append((l, [(float(a), float(c)) for a, c in
+                           zip(exps, c_seg)]))
+    e_con, _ = atom_energy(el, shells)
+    print(f"  [{el}] decontracted E = {e_dec:.6f}, "
+          f"lsq-contracted E = {e_con:.6f} (dE = {e_con - e_dec:.2e})",
+          flush=True)
+    return shells
+
+
+def optimize_contracted(el, shells0, maxiter=3000, verbose=True,
+                        coef_only=False, method="Nelder-Mead"):
     """Joint variational refinement of the CONTRACTED basis: all exponents
     (log space) and all contraction coefficients of multi-primitive shells
     are free parameters; minimizes the contracted-atom UHF energy (this is
-    Pople's construction — segmented AO extraction alone loses ~0.1 Ha)."""
+    Pople's construction — segmented AO extraction alone loses ~0.1 Ha).
+
+    coef_only=True freezes the exponents (half the parameter space — a
+    cheap warm stage that pulls a rough extraction into the right basin
+    before the joint stage; row-2 S needed it)."""
     from scipy.optimize import minimize
 
     # flatten
     x0, slots = [], []
     for si, (l, prims) in enumerate(shells0):
         for pi, (a, c) in enumerate(prims):
-            slots.append((si, pi, "e"))
-            x0.append(np.log(a))
+            if not coef_only:
+                slots.append((si, pi, "e"))
+                x0.append(np.log(a))
             if len(prims) > 1:
                 slots.append((si, pi, "c"))
                 x0.append(c)
@@ -254,11 +354,15 @@ def optimize_contracted(el, shells0, maxiter=3000, verbose=True):
         return e
 
     t0 = time.time()
-    res = minimize(f, np.asarray(x0), method="Nelder-Mead",
-                   options=dict(maxiter=maxiter, xatol=1e-5, fatol=1e-9))
+    opts = dict(maxiter=maxiter)
+    if method == "Nelder-Mead":
+        opts.update(xatol=1e-5, fatol=1e-9)
+    res = minimize(f, np.asarray(x0), method=method, options=opts)
     if verbose:
-        print(f"  [{el}] stage 3 (contracted joint): E = {res.fun:.6f} "
-              f"({n_eval[0]} evals, {time.time() - t0:.0f} s)")
+        tag = "coef-only" if coef_only else "joint"
+        print(f"  [{el}] stage 3 (contracted {tag}, {method}): "
+              f"E = {res.fun:.6f} ({n_eval[0]} evals, "
+              f"{time.time() - t0:.0f} s)", flush=True)
     return build(res.x), res.fun
 
 
@@ -440,6 +544,56 @@ def run_sto3g_row2(elements=("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar")):
         emit(el, shells)
 
 
+def run_631g_row2(elements=("S", "P", "Cl")):
+    """6-31G sp cores for second-row elements (r4 VERDICT next #7: an
+    embedded polarized row-2 set for H2S/SO2-class systems).  Structure =
+    the published 6-31G scheme for Na-Ar: s (6,6,3,1), p (6,3,1) —
+    published digits unavailable offline, so the exponents/contractions
+    are regenerated variationally like the 6-311G/cc-pVTZ cores (the sp
+    exponent sharing of the Pople construction is RELAXED: independent p
+    exponents can only lower the atomic energy; AO counts match 6-31G
+    exactly).  The d polarization exponents of 6-31G* are the standard
+    published single values (P 0.55, S 0.65, Cl 0.75) added in
+    basis_data.py, not optimized here."""
+    structure = [(0, "et", 6), (0, "et", 6), (0, "et", 3), (0, "free", 1),
+                 (1, "et", 6), (1, "et", 3), (1, "free", 1)]
+    starts = {
+        "S":  [np.log(22000.0), np.log(0.215), np.log(420.0), np.log(0.25),
+               np.log(2.2), np.log(0.34), np.log(0.10),
+               np.log(250.0), np.log(0.23), np.log(1.8), np.log(0.33),
+               np.log(0.09)],
+        "P":  [np.log(19000.0), np.log(0.215), np.log(360.0), np.log(0.25),
+               np.log(1.9), np.log(0.34), np.log(0.09),
+               np.log(210.0), np.log(0.23), np.log(1.5), np.log(0.33),
+               np.log(0.08)],
+        "Cl": [np.log(26000.0), np.log(0.215), np.log(490.0), np.log(0.25),
+               np.log(2.6), np.log(0.34), np.log(0.12),
+               np.log(300.0), np.log(0.23), np.log(2.1), np.log(0.33),
+               np.log(0.10)],
+    }
+    out = {}
+    for el in elements:
+        print(f"== {el} (16s,10p)/[4s,3p] ==", flush=True)
+        # maxiter_free=0: segmented extraction needs the ORDERED
+        # even-tempered groups (see optimize_atom docstring); the joint
+        # contracted stage then refines exponents and coefficients freely
+        exps_by_l, e = optimize_atom(el, structure, np.asarray(starts[el]),
+                                     maxiter_free=0)
+        shells = extract_contractions_lsq(el, exps_by_l)
+        # coef-only warm stage (24 params) pulls the rough lsq start into
+        # the right basin; Powell handles the ~55-param joint stage better
+        # than Nelder-Mead at this size (measured: NM stalled 0.4 Ha high)
+        shells, _ = optimize_contracted(el, shells, maxiter=2000,
+                                        coef_only=True)
+        shells, e_fin = optimize_contracted(el, shells, maxiter=10,
+                                            method="Powell")
+        out[el] = shells
+        print(f"  [{el}] final contracted E = {e_fin:.6f}", flush=True)
+    print("\n# ---- paste into basis_data.py: _631G row-2 cores ----")
+    for el, shells in out.items():
+        emit(el, shells)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "6-311g"
     if which == "6-311g":
@@ -448,5 +602,7 @@ if __name__ == "__main__":
         run_ccpvtz_no()
     elif which == "sto3g-row2":
         run_sto3g_row2()
+    elif which == "6-31g-row2":
+        run_631g_row2(tuple(sys.argv[2:]) or ("S", "P", "Cl"))
     else:
         raise SystemExit(f"unknown target {which}")
