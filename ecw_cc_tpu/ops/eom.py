@@ -171,7 +171,13 @@ def _mv_factory(nocc, nvir, sect):
         r1, r2 = unpack(v)
         return jnp.concatenate([r1.ravel(), r2.ravel()])
 
-    return mv_right, mv_left, project, unpack
+    # jitted for the HOST-side unpacks of converged eigenvectors: eager
+    # unpack on the axon backend costs one ~5 ms tunnel dispatch PER op
+    # (reshape/transposes/masks); one jitted call + one device_get is two
+    # round trips total (r5 EE overhead hunt, tools/probe_ee_r5.py)
+    unpack_j = jax.jit(unpack, static_argnums=(1,))
+
+    return mv_right, mv_left, project, unpack_j
 
 
 def koopman_guesses(eris, nroots, alpha_only=True, info=None):
@@ -342,9 +348,10 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
             f"omegas={[float(x) for x in w[:nroots]]} (tol={tol}; in f32 "
             "use tol>=1e-5)", RuntimeWarning, stacklevel=2)
     omegas = [float(x) for x in w[:nroots]]
+    xs_h = jax.device_get(list(xs[:nroots]))     # ONE batched transfer
     Rs = []
     for k in range(nroots):
-        v = np.asarray(xs[k])
+        v = np.asarray(xs_h[k])
         v = v / np.linalg.norm(v)
         # canonical phase: first near-maximal component positive (tolerant
         # tie-break: spin-partner components have analytically EQUAL
@@ -355,8 +362,8 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
         idx = int(np.argmax(av >= 0.999 * av.max()))
         if v[idx] < 0:
             v = -v
-        Rs.append(tuple(np.asarray(a) for a in
-                  unpack(jnp.asarray(v, dtype=t1.dtype))))
+        Rs.append(tuple(jax.device_get(
+            unpack(jnp.asarray(v, dtype=t1.dtype)))))
     if not left:
         return omegas, Rs
 
@@ -375,6 +382,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
                                       tol=tol, max_cycle=max_cycle,
                                       project=_project,
                                       max_space=max_space, operands=ops)
+    xls = jax.device_get(list(xls))              # ONE batched transfer
     xls = [np.asarray(x) for x in xls]
     ovm = np.array([[abs(np.vdot(xl, r)) for r in xr] for xl in xls])
     Ls = [None] * nroots
@@ -405,7 +413,7 @@ def eom_ccsd(eris, t1, t2, nroots=1, fsp=None, guess=None, tol=1e-7,
             lv = np.asarray(xl_1[0])
         else:
             lv = xls[j]
-        l1, l2 = unpack(jnp.asarray(lv, dtype=t1.dtype))
+        l1, l2 = jax.device_get(unpack(jnp.asarray(lv, dtype=t1.dtype)))
         # METRIC CORRECTION + biorthonormalization.  The Davidson solves
         # the transpose of the raw-storage map, whose inner product counts
         # each physical (i<j, a<b) doubles slot 4x; the true left

@@ -214,7 +214,11 @@ def _mv_factory(kind, use_packed, nocc, nvir):
         r1, r2 = unpack(v)
         return jnp.concatenate([r1.ravel(), r2.ravel()])
 
-    return mv_right, mv_left, project, unpack
+    # jitted for the host-side eigenvector unpacks (eager ops on the axon
+    # backend cost ~5 ms tunnel dispatch each; ops/eom.py r5 note)
+    unpack_j = jax.jit(unpack, static_argnums=(1,))
+
+    return mv_right, mv_left, project, unpack_j
 
 
 def make_sigma_ipea(eris, t1, t2, kind, fsp=None, connected=True,
@@ -327,9 +331,10 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
             f"omegas={[float(x) for x in w[:nroots]]} (tol={tol})",
             RuntimeWarning, stacklevel=2)
     omegas = [float(x) for x in w[:nroots]]
+    xs_h = jax.device_get(list(xs[:nroots]))     # ONE batched transfer
     Rs = []
     for k in range(nroots):
-        v = np.asarray(xs[k])
+        v = np.asarray(xs_h[k])
         v = v / np.linalg.norm(v)
         # canonical phase: first near-maximal component positive (tolerant
         # tie-break, see ops/eom.py) — Dyson orbitals flip with the
@@ -338,8 +343,8 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
         idx = int(np.argmax(av >= 0.999 * av.max()))
         if v[idx] < 0:
             v = -v
-        Rs.append(tuple(np.asarray(a) for a in
-                  unpack(jnp.asarray(v, dtype=t1.dtype))))
+        Rs.append(tuple(jax.device_get(
+            unpack(jnp.asarray(v, dtype=t1.dtype)))))
     if not left:
         return omegas, Rs
 
@@ -362,8 +367,8 @@ def eom_ipea_ccsd(eris, t1, t2, kind, nroots=1, fsp=None, guess=None,
                 f"EOM-{kind.upper()} left Davidson unconverged for root {k} "
                 f"(omega={omegas[k]:.6f}, tol={tol})",
                 RuntimeWarning, stacklevel=2)
-        l1, l2 = unpack(jnp.asarray(np.asarray(xls[0]),
-                                    dtype=t1.dtype))
+        l1, l2 = jax.device_get(unpack(jnp.asarray(np.asarray(xls[0]),
+                                                   dtype=t1.dtype)))
         # METRIC CORRECTION + biorthonormalization (see ops/eom.py): the
         # raw-storage metric counts each (i<j) / (a<b) slot 2x, so the
         # true left eigenvector is D.y with D = diag(1, 2); returned Ls

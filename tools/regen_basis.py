@@ -172,16 +172,29 @@ def extract_contractions(el, exps_by_l, pattern):
                     return l, r - r0
         raise RuntimeError("row mapping failed")
 
-    # pick, per l, the occupied MOs of that character (ascending energy)
-    mos_by_l = {l: [] for l, _ in exps_srt}
+    # pick, per l, the occupied MOs of that character (ascending energy).
+    # Shell levels are identified by GAP CLUSTERING, not exact-energy
+    # dedup: open-shell UHF atoms break spherical symmetry (S: the
+    # partially-filled 3p splits the 2p m-components by ~1e-2 Ha), so an
+    # exact-energy key returns two 2p components as "two levels" and the
+    # 3p contraction is silently a 2p copy (seen: row-2 S general
+    # contraction 0.78 Ha high).  Same-shell splittings are << the
+    # inter-shell gaps (2p vs 3p: ~5 Ha), so a 0.5 Ha gap threshold is
+    # unambiguous.
+    cand_by_l = {l: [] for l, _ in exps_srt}
     for mo in range(C.shape[1]):
         if occ[mo] <= 0:
             continue
         l, comp = mo_l_and_component(mo)
-        # degenerate p components: keep one representative per energy level
-        key = round(float(mf.mo_energy[0][mo]), 6)
-        if not any(k == key for k, _, _ in mos_by_l[l]):
-            mos_by_l[l].append((key, mo, comp))
+        cand_by_l[l].append((float(mf.mo_energy[0][mo]), mo, comp))
+    mos_by_l = {}
+    for l, cands in cand_by_l.items():
+        cands.sort()
+        kept = []
+        for e, mo, comp in cands:
+            if not kept or e - kept[-1][0] > 0.5:
+                kept.append((e, mo, comp))
+        mos_by_l[l] = kept
 
     shells = []
     for l, exps in exps_srt:
@@ -545,16 +558,21 @@ def run_sto3g_row2(elements=("Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar")):
 
 
 def run_631g_row2(elements=("S", "P", "Cl")):
-    """6-31G sp cores for second-row elements (r4 VERDICT next #7: an
-    embedded polarized row-2 set for H2S/SO2-class systems).  Structure =
-    the published 6-31G scheme for Na-Ar: s (6,6,3,1), p (6,3,1) —
-    published digits unavailable offline, so the exponents/contractions
-    are regenerated variationally like the 6-311G/cc-pVTZ cores (the sp
-    exponent sharing of the Pople construction is RELAXED: independent p
-    exponents can only lower the atomic energy; AO counts match 6-31G
-    exactly).  The d polarization exponents of 6-31G* are the standard
-    published single values (P 0.55, S 0.65, Cl 0.75) added in
-    basis_data.py, not optimized here."""
+    """6-31G-QUALITY sp cores for second-row elements (r4 VERDICT next
+    #7: an embedded polarized row-2 set for H2S/SO2-class systems).
+
+    Published digits are unavailable offline.  Segmented Pople-style
+    regeneration was tried and FAILED on row 2 (three routes, see git
+    history: windowed/lsq extraction loses the 1s-2s-3s group alignment
+    ~190 Ha; Nelder-Mead joint refinement stalls 0.4 Ha high; Powell
+    exploits near-degenerate primitives into 1e14 coefficients).  So the
+    scheme here is the GENERAL contraction that already works for the
+    cc-pVTZ N/O cores: optimized (16s,10p) primitives, the 1s/2s/3s
+    (2p/3p) atomic orbitals as general contractions over all tight
+    primitives, plus one free function per l — the same [4s,3p] AO count
+    as 6-31G, with no segmentation step to go wrong.  The 6-31G* d
+    exponents are the standard published single values (P 0.55, S 0.65,
+    Cl 0.75) added in basis_data.py."""
     structure = [(0, "et", 6), (0, "et", 6), (0, "et", 3), (0, "free", 1),
                  (1, "et", 6), (1, "et", 3), (1, "free", 1)]
     starts = {
@@ -573,20 +591,12 @@ def run_631g_row2(elements=("S", "P", "Cl")):
     }
     out = {}
     for el in elements:
-        print(f"== {el} (16s,10p)/[4s,3p] ==", flush=True)
-        # maxiter_free=0: segmented extraction needs the ORDERED
-        # even-tempered groups (see optimize_atom docstring); the joint
-        # contracted stage then refines exponents and coefficients freely
-        exps_by_l, e = optimize_atom(el, structure, np.asarray(starts[el]),
-                                     maxiter_free=0)
-        shells = extract_contractions_lsq(el, exps_by_l)
-        # coef-only warm stage (24 params) pulls the rough lsq start into
-        # the right basin; Powell handles the ~55-param joint stage better
-        # than Nelder-Mead at this size (measured: NM stalled 0.4 Ha high)
-        shells, _ = optimize_contracted(el, shells, maxiter=2000,
-                                        coef_only=True)
-        shells, e_fin = optimize_contracted(el, shells, maxiter=10,
-                                            method="Powell")
+        print(f"== {el} (16s,10p)/[4s,3p] general ==", flush=True)
+        exps_by_l, e = optimize_atom(el, structure, np.asarray(starts[el]))
+        shells = extract_contractions(
+            el, exps_by_l,
+            {0: {"gen": (3, 15), "free": 1}, 1: {"gen": (2, 9), "free": 1}})
+        e_fin, _ = atom_energy(el, shells)
         out[el] = shells
         print(f"  [{el}] final contracted E = {e_fin:.6f}", flush=True)
     print("\n# ---- paste into basis_data.py: _631G row-2 cores ----")
