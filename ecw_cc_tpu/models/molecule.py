@@ -17,6 +17,9 @@ ELEMENT_Z = {"H": 1, "He": 2, "Li": 3, "Be": 4, "B": 5, "C": 6, "N": 7,
 GEOMETRIES = {
     "h2": [("H", (0.0, 0.0, 0.0)), ("H", (0.0, 0.0, 0.74))],
     "h2o": [("O", (0.0, 0.0, 0.0)), ("H", (0.0, -0.757, 0.587)), ("H", (0.0, 0.757, 0.587))],
+    # beyond the reference catalog: experimental r(SH)=1.3356 A, 92.11 deg
+    "h2s": [("S", (0.0, 0.0, 0.0)), ("H", (0.0, -0.9617, 0.9268)),
+            ("H", (0.0, 0.9617, 0.9268))],
     "c2h2": [("C", (0.0, 0.0, 0.6034010)), ("C", (0.0, 0.0, -0.6034010)),
              ("H", (0.0, 0.0, 1.6667490)), ("H", (0.0, 0.0, -1.6667490))],
     "h2o2": [("O", (0.0, 0.7272250, -0.0593400)), ("O", (0.0, -0.7272250, -0.0593400)),

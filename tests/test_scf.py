@@ -336,3 +336,28 @@ def test_second_row_registry_and_atoms():
         shells = get_basis("sto-3g", el)
         assert [l for l, _ in shells] == [0, 0, 1, 0, 1]
         assert all(len(prims) == 3 for _, prims in shells)
+
+
+def test_h2s_631gstar_ccsd_anchor():
+    """Second-row polarized chemistry end-to-end (r4 VERDICT next #7):
+    H2S/6-31G* (in-house regenerated S core, tools/regen_basis.py
+    6-31g-row2 — general-contraction [4s,3p] + published d exponent 0.65)
+    through RHF + CCSD + (T).  Energies pinned from the first converged
+    run; the RHF sits 0.031 Ha BELOW the published-6-31G* value
+    (-398.667), matching the S atomic core's variational headroom
+    (-397.5038 vs published -397.471)."""
+    from ecw_cc_tpu.models.molecule import Molecule
+    from ecw_cc_tpu.models.scf import RHF, GHF
+    from ecw_cc_tpu.models.eris import build_eris
+    from ecw_cc_tpu.ops.ccsd_t import solve_ccsd, energy_t
+
+    mol = Molecule("h2s", "6-31g*")
+    assert mol.nao == 22                      # [4s,3p,1d] S + 2x [2s] H
+    mf = RHF(mol)
+    e = mf.kernel()
+    assert abs(e - (-398.69775444)) < 1e-6
+    eris = build_eris(mol, GHF(mf)).to_device()
+    t1, t2, ec = solve_ccsd(eris, conv_tol=1e-9)
+    assert abs(float(ec) - (-0.14214656)) < 1e-6
+    et = float(energy_t(eris, t1, t2))
+    assert abs(et - (-0.00290457)) < 1e-6
