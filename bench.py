@@ -315,15 +315,20 @@ def device_full_step(target, Lw, sect_info=None, sym=False):
         fsp = er.fock - Lw * (target - rdm1)
         Ep = ccsd_ops.energy(er, t1, t2, fsp)
         if sect_info is not None:
-            from ecw_cc_tpu.ops.ccsd_sect import lupdate_sect, tupdate_sect
-            ladder_t = ladder_l = None
+            from ecw_cc_tpu.ops.ccsd_sect import (_tau_b, lupdate_sect,
+                                                  tupdate_sect)
+            from ecw_cc_tpu.ops.spinsect import wrap
+            ladder_t = ladder_l = tau_pre = None
             if isinstance(sect, ladder_ops.SectoredVVVV):
-                tau_st = ccsd_ops.make_tau(t2, t1, t1)
+                tau_pre = _tau_b(wrap(t2, "oovv", sect_info, sym=sym),
+                                 wrap(t1, "ov", sect_info, sym=sym))
                 ladder_t, ladder_l = \
                     ladder_ops.balanced_stacked_sectored_contract(
-                        sect, tau_st, l2, sect_info.oa, sym=sym)
+                        sect, tau_pre, l2, sect_info.oa, sym=sym,
+                        blocked_info=sect_info)
             t1n, t2n = tupdate_sect(er, t1, t2, fsp, sect_info, vvvv_op=sect,
-                                    ladder_pre=ladder_t, sym=sym)
+                                    ladder_pre=ladder_t, sym=sym,
+                                    tau_pre=tau_pre)
             l1n, l2n = lupdate_sect(er, t1n, t2n, l1, l2, fsp, sect_info,
                                     vvvv_op=sect, ladder_pre=ladder_l,
                                     sym=sym)

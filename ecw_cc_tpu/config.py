@@ -104,11 +104,15 @@ class Config:
     #               dim as the MXU M) when N >= 2M
     #   'kconcat+flip' — both
     # Measured on the chip (tools/tpu_measure_r4.py, pVTZ, 41-iter
-    # chains): sep 11.07 / kconcat 9.98 / flip 10.76 / kconcat+flip 9.92
-    # ms per 'highest' iteration (high 8.64, bf16 5.73; solve 265 -> 233
-    # ms) — 'kconcat+flip' is the default.  Parity-tested all modes
-    # (exact: same multiply-add sets, flat reduction order).
-    soup_gemm: str = "kconcat+flip"
+    # chains, r4 dense-tail route): sep 11.07 / kconcat 9.98 / flip 10.76
+    # / kconcat+flip 9.92 ms per 'highest' iteration.  Re-measured under
+    # the r5 BLOCKED route (blocked tau/ladder/update tails): sep 9.18 /
+    # kconcat 7.95 / flip 8.84 / kconcat+flip 8.21 ms (solve 195.6 /
+    # 167.5 / 179.2 / 171.5 ms) — with the dense assemblies gone the flip
+    # orientation's extra transposes cost more than its M-streaming buys,
+    # so 'kconcat' is the default.  Parity-tested all modes (exact: same
+    # multiply-add sets, flat reduction order).
+    soup_gemm: str = "kconcat"
 
 
 _config = Config(
@@ -121,7 +125,7 @@ _config = Config(
     spin_sorted=os.environ.get("ECW_CC_TPU_SORTED", "1") != "0",
     soup_sector=os.environ.get("ECW_CC_TPU_SOUPSECT", "1") != "0",
     soup_sym=os.environ.get("ECW_CC_TPU_SOUPSYM", "1") != "0",
-    soup_gemm=os.environ.get("ECW_CC_TPU_SOUPGEMM", "kconcat+flip"),
+    soup_gemm=os.environ.get("ECW_CC_TPU_SOUPGEMM", "kconcat"),
 )
 
 

@@ -76,14 +76,18 @@ def gamma_inter_sect(t1, t2, l1, l2, info, sym=False):
 
 
 def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
-                 ladder_pre=None, eris_sb=None, sym=False, equation=False):
+                 ladder_pre=None, eris_sb=None, sym=False, equation=False,
+                 tau_pre=None):
     """Sector-blocked T1/T2 SCF update (twin of ops/ccsd.tupdate with
     views=None replaced by the blocked routes; same return protocol,
     including equation=True returning the undivided residual values with
     the Fock diagonal kept — the EOM sigma form, ops/eom.py).
 
     ladder_pre: bare-vvvv ladder term from the solver's stacked sectored
-    GEMM (ops/ladder.stacked_sectored_contract), dense (o,o,v,v)."""
+    GEMM (ops/ladder.stacked_sectored_contract) — dense (o,o,v,v) or
+    SpinBlocked (the blocked_info route; keeps the whole update tail
+    blocked).  tau_pre: the blocked tau (_tau_b(t2b, t1b)) when the caller
+    already built it for the ladder rows — skips the recompute."""
     nocc, nvir = t1.shape
     fock = eris.fock
     fov = fsp[:nocc, nocc:]
@@ -93,7 +97,7 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
 
     t1b = wrap(t1, "ov", info, sym=sym)
     t2b = wrap(t2, "oovv", info, sym=sym)
-    tau = _tau_b(t2b, t1b)
+    tau = tau_pre if tau_pre is not None else _tau_b(t2b, t1b)
     tau_t = _tau_b(t2b, t1b, fac=0.5)
 
     # --- F intermediates (cc_Fvv / cc_Foo / cc_Fov) ---
@@ -158,13 +162,23 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     tmp = _S("ma,ijmb->ijab", t1b, sb["ooov"])
     t2new = t2new + (tmp + tmp.transpose(0, 1, 3, 2).scale(-1.0)).scale(-1.0)
 
-    t2new_d = t2new.dense()
-    # bare-vvvv ladder L1 (sectored stacked GEMM or the vvvv_op route)
-    if ladder_pre is not None:
-        t2new_d = t2new_d + ladder_pre
+    # bare-vvvv ladder L1 (sectored stacked GEMM or the vvvv_op route); a
+    # SpinBlocked ladder_pre (ladder blocked_info route) keeps the whole
+    # tail blocked: no dense zero-fill, division on the stored blocks only
+    blocked_pre = ladder_pre is not None and hasattr(ladder_pre, "blocks")
+    if blocked_pre:
+        t2new = t2new + ladder_pre
+        if alpha is None and not equation:
+            from ecw_cc_tpu.ops.spinsect import div_eijab
+            eia = diag_oo[:, None] - diag_vv[None, :]
+            return (t1new / eia,
+                    div_eijab(t2new, diag_oo, diag_vv).dense())
+        t2new_d = t2new.dense()
+    elif ladder_pre is not None:
+        t2new_d = t2new.dense() + ladder_pre
     else:
         from ecw_cc_tpu.ops.ladder import apply_vvvv_op
-        t2new_d = t2new_d + apply_vvvv_op(vvvv_op, tau.dense())
+        t2new_d = t2new.dense() + apply_vvvv_op(vvvv_op, tau.dense())
 
     if alpha is not None:
         dW1 = t1new
@@ -257,13 +271,17 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
     m3 = m3 + _S("klab,ijkl->ijab", sb["oovv"], ltau).scale(0.25)
     lt1 = _S("ijcd,kd->ijck", l2b, t1b)
     m3 = m3 + _S("kcba,ijck->ijab", sb["ovvv"], lt1).scale(-1.0)
-    m3d = m3.dense()
-    if ladder_pre is not None:
-        m3d = m3d + ladder_pre
+    blocked_pre = ladder_pre is not None and hasattr(ladder_pre, "blocks")
+    if blocked_pre:
+        m3b = m3 + ladder_pre        # stays blocked: no dense round trip
     else:
-        from ecw_cc_tpu.ops.ladder import apply_vvvv_op
-        m3d = m3d + apply_vvvv_op(vvvv_op, l2)
-    m3b = wrap(m3d, "oovv", info, sym=sym)
+        m3d = m3.dense()
+        if ladder_pre is not None:
+            m3d = m3d + ladder_pre
+        else:
+            from ecw_cc_tpu.ops.ladder import apply_vvvv_op
+            m3d = m3d + apply_vvvv_op(vvvv_op, l2)
+        m3b = wrap(m3d, "oovv", info, sym=sym)
 
     l2new = sb["oovv"] + m3b
     fov1 = fovb + _S("kjcb,kc->jb", sb["oovv"], t1b)
@@ -308,8 +326,15 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
     l1new = l1new - _S("ik,ka->ia", mij, wrap(tmpka, "ov", info, sym=sym)).dense()
     l1new = l1new - _S("ca,ic->ia", mba, wrap(tmpka, "ov", info, sym=sym)).dense()
 
-    l2new_d = l2new.dense()
     l1new = l1new - l1new * E
+    if blocked_pre and alpha is None:
+        from ecw_cc_tpu.ops.spinsect import SpinBlocked, div_eijab
+        l2new = SpinBlocked(l2new.kinds,
+                            {k: v - v * E for k, v in l2new.blocks.items()},
+                            info, sym=l2new.sym)
+        eia = diag_oo[:, None] - diag_vv[None, :]
+        return l1new / eia, div_eijab(l2new, diag_oo, diag_vv).dense()
+    l2new_d = l2new.dense()
     l2new_d = l2new_d - l2new_d * E
 
     if alpha is not None:

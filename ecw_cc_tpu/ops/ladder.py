@@ -434,7 +434,8 @@ def stacked_sectored_contract(sect, x1, x2):
     return z1, z2
 
 
-def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False):
+def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False,
+                                       blocked_info=None):
     """Both per-iteration ladders with spin-BALANCED row selection.
 
     Requires the sorted layout AND x1/x2 with balanced spin support (the
@@ -448,8 +449,18 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False):
 
     sym=True (closed-shell mirror symmetry, spinsect gate): the beta-beta
     result EQUALS the alpha-alpha result at the same spatial indices, so
-    its GEMM is skipped and wc_bb is never read."""
-    o, _, v, _ = x1.shape
+    its GEMM is skipped and wc_bb is never read.
+
+    blocked_info: a spinsect.SectorInfo — return the results as
+    SpinBlocked tensors instead of assembling dense (o,o,v,v) arrays (r5
+    byte cut: the dense zero-fill + full-size antisymmetrize of two
+    o^2 v^2 outputs never happens; the consumers, ops/ccsd_sect kernels,
+    stay blocked to the final assembly).  x1/x2 may themselves be
+    SpinBlocked (e.g. the blocked tau the t-update already builds): the
+    row packs then slice the stored blocks directly — no dense operand."""
+    xd = x2 if hasattr(x1, "blocks") else x1
+    o, _, v, _ = xd.shape if not hasattr(xd, "blocks") else (
+        xd.info.nocc, 0, xd.info.nvir, 0)
     ma, mb = _sector_dims(sect, v)
     ob = o - oa
     assert not sym or (oa == ob and ma == mb), (
@@ -457,6 +468,15 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False):
     paa, pbb = ma * (ma - 1) // 2, mb * (mb - 1) // 2
 
     def rows(x):
+        if hasattr(x, "blocks"):   # SpinBlocked operand (balanced support)
+            r_aa = _pack_pairs(
+                x.get((0, 0, 0, 0)).reshape(oa * oa, ma * ma), ma)
+            r_ab = x.get((0, 1, 0, 1)).reshape(oa * ob, ma * mb)
+            if sym:
+                return r_aa, None, r_ab
+            r_bb = _pack_pairs(
+                x.get((1, 1, 1, 1)).reshape(ob * ob, mb * mb), mb)
+            return r_aa, r_bb, r_ab
         r_aa = _pack_pairs(x[:oa, :oa, :ma, :ma].reshape(oa * oa, ma * ma),
                            ma)
         r_ab = x[:oa, oa:, :ma, ma:].reshape(oa * ob, ma * mb)
@@ -473,6 +493,35 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False):
     y_ab = _sector_mm(jnp.concatenate([r1[2], r2[2]]), sect.w_ab, ma * mb)
 
     Maa, Mbb, Mab = oa * oa, ob * ob, oa * ob
+
+    def _dt(x):
+        return (next(iter(x.blocks.values())).dtype
+                if hasattr(x, "blocks") else x.dtype)
+
+    if blocked_info is not None:
+        from ecw_cc_tpu.ops.spinsect import SpinBlocked
+
+        def bassemble(k, dtype):
+            A = (_unpack_pairs(y_aa[k * Maa:(k + 1) * Maa], ma)
+                 .reshape(oa, oa, ma, ma).astype(dtype))
+            AB = (y_ab[k * Mab:(k + 1) * Mab].reshape(oa, ob, ma, mb)
+                  .astype(dtype))
+            blocks = {
+                (0, 0, 0, 0): A - jnp.transpose(A, (0, 1, 3, 2)),
+                (0, 1, 0, 1): AB,
+                # z[i_a, j_b, a_b, b_a] = -z[i_a, j_b, b_a, a_b]
+                (0, 1, 1, 0): -jnp.transpose(AB, (0, 1, 3, 2)),
+            }
+            if not sym:
+                B = (_unpack_pairs(y_bb[k * Mbb:(k + 1) * Mbb], mb)
+                     .reshape(ob, ob, mb, mb).astype(dtype))
+                blocks[(1, 1, 1, 1)] = B - jnp.transpose(B, (0, 1, 3, 2))
+                # ij-antisymmetry rows: z[i_b, j_a, ...] = -z[j_a, i_b, ...]
+                blocks[(1, 0, 0, 1)] = -jnp.transpose(AB, (1, 0, 2, 3))
+                blocks[(1, 0, 1, 0)] = jnp.transpose(AB, (1, 0, 3, 2))
+            return SpinBlocked("oovv", blocks, blocked_info, sym=sym)
+
+        return bassemble(0, _dt(x1)), bassemble(1, _dt(x2))
 
     def assemble(k, dtype):
         z = jnp.zeros((o, o, v, v), dtype)

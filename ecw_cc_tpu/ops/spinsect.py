@@ -366,6 +366,25 @@ def packed_size(kinds, info, sym=False):
     return total
 
 
+def div_eijab(sb, diag_oo, diag_vv):
+    """Per-block division of an 'oovv' SpinBlocked tensor by the orbital
+    denominator e_ijab (reference CCSD.py:283-285,332-337 division step).
+    Bitwise-identical to the dense `x / (eia[:,None,:,None] +
+    eia[None,:,None,:])` on the stored blocks (same add/sub order), but
+    touches only the balanced (canonical when sym) blocks — the r5 byte
+    cut for the sector-blocked update tails (ops/ccsd_sect.py)."""
+    assert sb.kinds == "oovv", sb.kinds
+    sl = _slices(sb.info)
+    blocks = {}
+    for key, val in sb.blocks.items():
+        ei_a = (diag_oo[sl[("o", key[0])]][:, None]
+                - diag_vv[sl[("v", key[2])]][None, :])
+        ej_b = (diag_oo[sl[("o", key[1])]][:, None]
+                - diag_vv[sl[("v", key[3])]][None, :])
+        blocks[key] = val / (ei_a[:, None, :, None] + ej_b[None, :, None, :])
+    return SpinBlocked(sb.kinds, blocks, sb.info, sym=sb.sym)
+
+
 def spin_flip_asymmetry(arr, kinds, info):
     """max|block[key] - block[flip(key)]| over the balanced canonical keys
     of a sorted-layout tensor — 0 iff the tensor is exactly closed-shell

@@ -30,6 +30,7 @@ from ecw_cc_tpu.ops import ccs as ccs_ops
 from ecw_cc_tpu.ops import ccsd as ccsd_ops
 from ecw_cc_tpu.ops import ccsd_sect
 from ecw_cc_tpu.ops import diis as diis_ops
+from ecw_cc_tpu.ops import spinsect
 from ecw_cc_tpu.ops import ladder as ladder_ops
 from ecw_cc_tpu.ops.vexp import make_gs_vexp_device
 from ecw_cc_tpu.models.scf import HostDIIS
@@ -815,21 +816,29 @@ class Solver_CCSD:
                 # amplitudes (tau on the t side, l2 on the lambda side):
                 # with the packed route they run as ONE stacked GEMM so the
                 # (p, p) operand — the largest block in HBM — is read once
-                ladder_t = ladder_l = None
+                ladder_t = ladder_l = tau_pre = None
                 if soup_opt and isinstance(
                         vv_u, (ladder_ops.PackedVVVV, ladder_ops.SectoredVVVV)):
-                    tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
                     if isinstance(vv_u, ladder_ops.PackedVVVV):
+                        tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
                         ladder_t, ladder_l = ladder_ops.stacked_packed_contract(
                             vv_u, tau_st, ld_u)
                     elif sinfo is not None:
                         # balanced rows (+ mirror skip when sym): the
                         # structurally-zero occupied row pairs never enter
-                        # the sector GEMMs — 4x fewer rows/M-tiles
+                        # the sector GEMMs — 4x fewer rows/M-tiles.  tau is
+                        # built BLOCKED once (shared with tupdate_sect) and
+                        # the ladder results stay blocked to the update
+                        # tails — no dense tau / dense ladder assembly.
+                        tau_pre = ccsd_sect._tau_b(
+                            spinsect.wrap(td_u, "oovv", sinfo, sym=sym),
+                            spinsect.wrap(ts_u, "ov", sinfo, sym=sym))
                         ladder_t, ladder_l = \
                             ladder_ops.balanced_stacked_sectored_contract(
-                                vv_u, tau_st, ld_u, sinfo.oa, sym=sym)
+                                vv_u, tau_pre, ld_u, sinfo.oa, sym=sym,
+                                blocked_info=sinfo)
                     else:
+                        tau_st = ccsd_ops.make_tau(td_u, ts_u, ts_u)
                         ladder_t, ladder_l = ladder_ops.stacked_sectored_contract(
                             vv_u, tau_st, ld_u)
                 if sinfo is not None:
@@ -838,7 +847,8 @@ class Solver_CCSD:
                     # sym additionally skips every mirror spin block
                     ts, td = ccsd_sect.tupdate_sect(
                         er_u, ts_u, td_u, fsp_u, sinfo, alpha=alpha,
-                        vvvv_op=vv_u, ladder_pre=ladder_t, sym=sym)
+                        vvvv_op=vv_u, ladder_pre=ladder_t, sym=sym,
+                        tau_pre=tau_pre)
                     tsl = ts if cast is None else ts.astype(cast)
                     tdl = td if cast is None else td.astype(cast)
                     ls, ld = ccsd_sect.lupdate_sect(

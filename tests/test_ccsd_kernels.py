@@ -776,3 +776,46 @@ def test_soup_gemm_modes_exact(h2o_631g, mode):
         cfg.set_config(soup_gemm="sep")
     for r, o in zip(ref, out):
         assert np.max(np.abs(r - o)) < 1e-12 * max(1.0, np.max(np.abs(r)))
+
+
+@pytest.mark.parametrize("sym", [False, True])
+def test_blocked_ladder_route_matches_dense(h2o_631g, sym):
+    """The r5 blocked production route — blocked tau (_tau_b) fed straight
+    into the balanced stacked ladder (blocked_info=...), SpinBlocked
+    ladder_pre into the update tails (blocked m3, per-block e_ijab divide,
+    per-block energy term) — equals the r4 dense-assembled path to f64
+    round-off.  This is the exact composition gs.py/bench.py emit."""
+    import jax.numpy as jnp
+    from ecw_cc_tpu.ops.ccsd import make_tau
+    from ecw_cc_tpu.ops.ccsd_sect import _tau_b, lupdate_sect, tupdate_sect
+    from ecw_cc_tpu.ops.ladder import balanced_stacked_sectored_contract
+    from ecw_cc_tpu.ops.spinsect import wrap
+
+    mol, ghf, er, er_dense, sect, perm, info = _sorted_system(h2o_631g)
+    amps = _mirror_amps(info, seed=31) if sym else \
+        _structured_amps(info, seed=31)
+    t1, t2, l1, l2 = map(jnp.asarray, amps)
+    fsp = er.fock
+
+    # r4 path: dense tau, dense-assembled ladder
+    tau_d = make_tau(t2, t1, t1)
+    lt_d, ll_d = balanced_stacked_sectored_contract(
+        sect, tau_d, l2, info.oa, sym=sym)
+    a1, a2 = tupdate_sect(er, t1, t2, fsp, info, ladder_pre=lt_d, sym=sym)
+    c1, c2 = lupdate_sect(er, t1, t2, l1, l2, fsp, info, ladder_pre=ll_d,
+                          sym=sym)
+
+    # r5 path: blocked tau shared by ladder rows + tupdate, blocked tails
+    tau_b = _tau_b(wrap(t2, "oovv", info, sym=sym),
+                   wrap(t1, "ov", info, sym=sym))
+    lt_b, ll_b = balanced_stacked_sectored_contract(
+        sect, tau_b, l2, info.oa, sym=sym, blocked_info=info)
+    assert np.max(np.abs(np.asarray(lt_b.dense() - lt_d))) < 1e-13
+    assert np.max(np.abs(np.asarray(ll_b.dense() - ll_d))) < 1e-13
+    b1, b2 = tupdate_sect(er, t1, t2, fsp, info, ladder_pre=lt_b, sym=sym,
+                          tau_pre=tau_b)
+    d1, d2 = lupdate_sect(er, t1, t2, l1, l2, fsp, info, ladder_pre=ll_b,
+                          sym=sym)
+    for r, o in ((a1, b1), (a2, b2), (c1, d1), (c2, d2)):
+        assert np.max(np.abs(np.asarray(r - o))) < \
+            1e-13 * max(1.0, float(np.max(np.abs(np.asarray(r)))))
