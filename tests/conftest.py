@@ -26,6 +26,27 @@ import ecw_cc_tpu.config as _cfg
 from ecw_cc_tpu.models.molecule import Molecule
 
 
+_LAST_MODULE = [None]
+
+
+@pytest.fixture(autouse=True)
+def _release_executables_between_modules(request):
+    """XLA:CPU's JIT code loader can SIGSEGV once one process holds many
+    loaded executables (observed 2026-08-21 on this host: three full-suite
+    runs crashed deterministically at ~test 151 — inside
+    backend_compile_and_load with the persistent cache off, inside the
+    cache's AOT deserializer with it on — while the SAME program
+    compiles+runs fine in a fresh process or any half-suite subset).
+    jax.clear_caches() at module boundaries releases the accumulated
+    LoadedExecutables; session fixtures hold only arrays, so the cost is
+    re-compiling a handful of shared helper programs per module."""
+    mod = request.module.__name__
+    if _LAST_MODULE[0] not in (None, mod):
+        jax.clear_caches()
+    _LAST_MODULE[0] = mod
+    yield
+
+
 @pytest.fixture(autouse=True)
 def _restore_global_config():
     """Tests that exercise the f32/TPU production paths (entry module,

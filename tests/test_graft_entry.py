@@ -21,8 +21,11 @@ def _driver_env():
     """The driver's environment: axon sitecustomize active (inherited
     PYTHONPATH kept!), none of conftest's pinning/env overrides."""
     env = os.environ.copy()
+    # ECW_CC_TPU_JAX_CACHE: conftest sets "0" for the in-suite AOT-load
+    # hazard (many executables in ONE process); the dryrun subprocess is a
+    # fresh process like the driver's — give it the warm cache back.
     for k in ("ECW_CC_TPU_X64", "ECW_CC_TPU_DTYPE", "ECW_CC_TPU_ITERPREC",
-              "XLA_FLAGS", "JAX_PLATFORMS"):
+              "XLA_FLAGS", "JAX_PLATFORMS", "ECW_CC_TPU_JAX_CACHE"):
         env.pop(k, None)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
