@@ -165,6 +165,15 @@ def tupdate_sect(eris, t1, t2, fsp, info, alpha=None, vvvv_op=None,
     # bare-vvvv ladder L1 (sectored stacked GEMM or the vvvv_op route); a
     # SpinBlocked ladder_pre (ladder blocked_info route) keeps the whole
     # tail blocked: no dense zero-fill, division on the stored blocks only
+    from ecw_cc_tpu.ops.ladder import (SectoredVVVV,
+                                       balanced_stacked_sectored_contract)
+    if ladder_pre is None and not equation and \
+            isinstance(vvvv_op, SectoredVVVV):
+        # in-kernel fallback (target-gen solve_ccsd, the (T) adjoint's CC
+        # map): same blocked balanced ladder as the solver's stacked route,
+        # single operand — tau is already blocked here
+        ladder_pre = balanced_stacked_sectored_contract(
+            vvvv_op, tau, None, info.oa, sym=sym, blocked_info=info)
     blocked_pre = ladder_pre is not None and hasattr(ladder_pre, "blocks")
     if blocked_pre:
         t2new = t2new + ladder_pre
@@ -271,6 +280,13 @@ def lupdate_sect(eris, t1, t2, l1, l2, fsp, info, alpha=None,
     m3 = m3 + _S("klab,ijkl->ijab", sb["oovv"], ltau).scale(0.25)
     lt1 = _S("ijcd,kd->ijck", l2b, t1b)
     m3 = m3 + _S("kcba,ijck->ijab", sb["ovvv"], lt1).scale(-1.0)
+    from ecw_cc_tpu.ops.ladder import (SectoredVVVV,
+                                       balanced_stacked_sectored_contract)
+    if ladder_pre is None and isinstance(vvvv_op, SectoredVVVV):
+        # in-kernel fallback (solve_lambda, the (T) adjoint): blocked
+        # balanced single ladder on the (balanced, antisymmetric) l2
+        ladder_pre = balanced_stacked_sectored_contract(
+            vvvv_op, l2b, None, info.oa, sym=sym, blocked_info=info)
     blocked_pre = ladder_pre is not None and hasattr(ladder_pre, "blocks")
     if blocked_pre:
         m3b = m3 + ladder_pre        # stays blocked: no dense round trip

@@ -457,8 +457,13 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False,
     o^2 v^2 outputs never happens; the consumers, ops/ccsd_sect kernels,
     stay blocked to the final assembly).  x1/x2 may themselves be
     SpinBlocked (e.g. the blocked tau the t-update already builds): the
-    row packs then slice the stored blocks directly — no dense operand."""
-    xd = x2 if hasattr(x1, "blocks") else x1
+    row packs then slice the stored blocks directly — no dense operand.
+
+    x2=None: single-ladder mode — contract only x1 and return one result
+    (the in-kernel vvvv_op fallback of the sect updates, where only one
+    operand exists per call)."""
+    single = x2 is None
+    xd = x1 if single or hasattr(x2, "blocks") else x2
     o, _, v, _ = xd.shape if not hasattr(xd, "blocks") else (
         xd.info.nocc, 0, xd.info.nvir, 0)
     ma, mb = _sector_dims(sect, v)
@@ -486,11 +491,15 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False,
                            mb)
         return r_aa, r_bb, r_ab
 
-    r1, r2 = rows(x1), rows(x2)
-    y_aa = _sector_mm(jnp.concatenate([r1[0], r2[0]]), sect.wc_aa, paa)
-    y_bb = (y_aa if sym else
-            _sector_mm(jnp.concatenate([r1[1], r2[1]]), sect.wc_bb, pbb))
-    y_ab = _sector_mm(jnp.concatenate([r1[2], r2[2]]), sect.w_ab, ma * mb)
+    rls = [rows(x1)] if single else [rows(x1), rows(x2)]
+
+    def cat(i):
+        return rls[0][i] if single else jnp.concatenate([rls[0][i],
+                                                         rls[1][i]])
+
+    y_aa = _sector_mm(cat(0), sect.wc_aa, paa)
+    y_bb = y_aa if sym else _sector_mm(cat(1), sect.wc_bb, pbb)
+    y_ab = _sector_mm(cat(2), sect.w_ab, ma * mb)
 
     Maa, Mbb, Mab = oa * oa, ob * ob, oa * ob
 
@@ -521,6 +530,8 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False,
                 blocks[(1, 0, 1, 0)] = jnp.transpose(AB, (1, 0, 3, 2))
             return SpinBlocked("oovv", blocks, blocked_info, sym=sym)
 
+        if single:
+            return bassemble(0, _dt(x1))
         return bassemble(0, _dt(x1)), bassemble(1, _dt(x2))
 
     def assemble(k, dtype):
@@ -537,7 +548,9 @@ def balanced_stacked_sectored_contract(sect, x1, x2, oa, sym=False,
         z = z.at[oa:, :oa, :ma, ma:].set(-jnp.transpose(ab, (1, 0, 2, 3)))
         return z - jnp.transpose(z, (0, 1, 3, 2))
 
-    return assemble(0, x1.dtype), assemble(1, x2.dtype)
+    if single:
+        return assemble(0, _dt(x1))
+    return assemble(0, _dt(x1)), assemble(1, _dt(x2))
 
 
 def spin_sort_perm(orbspin, nocc):
