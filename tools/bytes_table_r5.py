@@ -146,10 +146,10 @@ def g_t_t2one(er, sb, a, b, c, d):
 
 def g_ladder(er, sb, a, b, c, d):
     t1b, t2b = W(a, "ov"), W(b, "oovv")
-    tau = _tau_b(t2b, t1b).dense()
+    tau = _tau_b(t2b, t1b)
     y1, y2 = ladder_ops.balanced_stacked_sectored_contract(
-        vvvv_op, tau, d, info.oa, sym=SYM)
-    return jnp.sum(y1) + jnp.sum(y2)
+        vvvv_op, tau, d, info.oa, sym=SYM, blocked_info=info)
+    return _blocksum(y1) + _blocksum(y2)
 
 
 def g_l_vinters(er, sb, a, b, c, d):
@@ -256,18 +256,20 @@ def g_rdm1(er, sb, a, b, c, d):
 
 
 def g_full_t(er, sb, a, b, c, d):
-    tau = _tau_b(W(b, "oovv"), W(a, "ov")).dense()
+    # production composition (r5 blocked route): blocked tau shared by the
+    # ladder row-packs and tupdate_sect, SpinBlocked ladder_pre
+    tau = _tau_b(W(b, "oovv"), W(a, "ov"))
     lp_t, lp_l = ladder_ops.balanced_stacked_sectored_contract(
-        vvvv_op, tau, d, info.oa, sym=SYM)
+        vvvv_op, tau, d, info.oa, sym=SYM, blocked_info=info)
     o1, o2 = tupdate_sect(er, a, b, fsp, info, ladder_pre=lp_t,
-                          eris_sb=sb, sym=SYM)
+                          eris_sb=sb, sym=SYM, tau_pre=tau)
     return jnp.sum(o1) + jnp.sum(o2)
 
 
 def g_full_l(er, sb, a, b, c, d):
-    tau = _tau_b(W(b, "oovv"), W(a, "ov")).dense()
+    tau = _tau_b(W(b, "oovv"), W(a, "ov"))
     lp_t, lp_l = ladder_ops.balanced_stacked_sectored_contract(
-        vvvv_op, tau, d, info.oa, sym=SYM)
+        vvvv_op, tau, d, info.oa, sym=SYM, blocked_info=info)
     o1, o2 = lupdate_sect(er, a, b, c, d, fsp, info, ladder_pre=lp_l,
                           eris_sb=sb, sym=SYM)
     return jnp.sum(o1) + jnp.sum(o2)
